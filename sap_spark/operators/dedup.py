@@ -1,0 +1,170 @@
+"""CDC fold operators: ROCANCEL cancellation + last-writer-wins dedup.
+
+Semantics (the sequential-fold contract, FIXTURES.md §2)
+--------------------------------------------------------
+A change-event batch is totally ordered by ``event_seq`` (globally unique
+and monotone; ``delta_token`` only groups events into checkpoint units).
+The final state of a key is the state after applying its events in order:
+
+1. **ROCANCEL**: an event with ``rocancel=true`` is never applied itself;
+   its only effect is to erase the effect of the event whose ``event_seq``
+   equals its ``cancel_seq``. Cancelling a rocancel event is a no-op
+   (nested cancellation is undefined in SLT and rejected here).
+   Cancellation scope is the batch being folded — in the pipeline, one or
+   more whole delta tokens, matching SLT where ROCANCEL records appear
+   within the same delta unit / transaction as their target.
+2. **Duplicate deliveries**: the same ``event_seq`` may be re-delivered in
+   a later delta token with an identical payload; it must apply at most
+   once (idempotence).
+3. **Last-writer-wins**: because ops are upserts (I/U set the row, D
+   deletes it), the folded state of a key depends only on its surviving
+   event with the largest ``event_seq`` — so the sequential fold reduces
+   to a per-key argmax, which distributes.
+
+Two equivalent implementations are provided:
+
+- ``lww_window`` — the row_number() window over (key, order desc) with
+  optional **two-level salting** for hot-key skew (a single hot (repo,path)
+  cannot be split by AQE inside Window.partitionBy; salting must be
+  explicit). This is the canonical CDC-dedup shape.
+- ``lww_agg`` — groupBy(key).agg(max_by(payload, event_seq)). Preferred at
+  scale: hash aggregation does **map-side partial aggregation**, so a hot
+  key is pre-combined to one candidate row per map partition before the
+  shuffle — skew-resistant by construction and shuffles O(keys) rows
+  instead of O(events). Duplicate deliveries tie on event_seq with
+  identical payloads, so max_by remains deterministic.
+
+The reference implements none of this (it is a pass-through batch source,
+SURVEY.md §2.5); these operators are the engine's extension required by
+BASELINE.json north_star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sap_spark.config import EngineConfig
+
+
+def _payload_cols(df: DataFrame, cfg: EngineConfig) -> list[str]:
+    reserved = {
+        *cfg.key_columns,
+        cfg.order_column,
+        cfg.token_column,
+        cfg.op_column,
+        cfg.rocancel_column,
+        cfg.cancel_seq_column,
+    }
+    return [c for c in df.columns if c not in reserved]
+
+
+def drop_cancelled(events: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Remove rocancel events and the events they cancel.
+
+    The cancelled-seq set is tiny relative to the batch (a few % of events),
+    so AQE converts the anti-join to a broadcast anti-join at runtime when
+    it fits — no forced broadcast hint, so a pathological batch with many
+    cancellations still degrades gracefully to a shuffled anti-join instead
+    of OOMing the driver.
+    """
+    rc, cs, seq = cfg.rocancel_column, cfg.cancel_seq_column, cfg.order_column
+    if rc not in events.columns:
+        return events
+    cancelled = (
+        events.where(F.col(rc) & F.col(cs).isNotNull())
+        .select(F.col(cs).alias(seq))
+        .distinct()
+    )
+    return events.where(~F.col(rc)).join(cancelled, on=seq, how="left_anti")
+
+
+def lww_window(
+    events: DataFrame,
+    cfg: EngineConfig,
+    salted: bool = False,
+) -> DataFrame:
+    """Last-writer-wins via row_number window; optional two-level salting.
+
+    Salted form (north_star machinery): level 1 partitions by
+    (key..., salt) where salt = pmod(xxhash64(event_seq), salt_partitions),
+    producing ≤1 winner per (key, salt); level 2 re-deduplicates the ≤
+    salt_partitions winners per key exactly. Salting derives from the
+    *order column*, never the key, so it cannot break LWW ordering: every
+    salt bucket's winner is a true candidate and level 2 picks the global
+    max. Duplicate deliveries (equal event_seq) tie-break on ascending
+    delta_token for determinism.
+    """
+    keys = list(cfg.key_columns)
+    seq, tok = cfg.order_column, cfg.token_column
+    order = [F.col(seq).desc(), F.col(tok).asc()] if tok in events.columns else [
+        F.col(seq).desc()
+    ]
+
+    def pick_one(df: DataFrame, partition_cols: list[str]) -> DataFrame:
+        w = Window.partitionBy(*partition_cols).orderBy(*order)
+        return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop(
+            "__rn"
+        )
+
+    if not salted:
+        return pick_one(events, keys)
+
+    salt = F.pmod(F.xxhash64(F.col(seq)), F.lit(cfg.salt_partitions)).cast("int")
+    level1 = pick_one(events.withColumn("__salt", salt), keys + ["__salt"]).drop("__salt")
+    return pick_one(level1, keys)
+
+
+def lww_agg(events: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Last-writer-wins via hash aggregation (the scale-preferred path).
+
+    max_by(struct(op, payload...), event_seq) with map-side partial
+    aggregation: shuffles one candidate per key per map partition. Output
+    columns: key..., event_seq, op, payload... (delta_token is a checkpoint
+    label, not state, and is dropped).
+    """
+    keys = list(cfg.key_columns)
+    seq, op = cfg.order_column, cfg.op_column
+    payload = [c for c in _payload_cols(events, cfg)]
+    carried = F.struct(F.col(op).alias(op), *[F.col(c).alias(c) for c in payload])
+    agg = events.groupBy(*keys).agg(
+        F.max(F.col(seq)).alias(seq),
+        F.max_by(carried, F.col(seq)).alias("__w"),
+    )
+    return agg.select(*keys, seq, F.col(f"__w.{op}").alias(op), *[
+        F.col(f"__w.{c}").alias(c) for c in payload
+    ])
+
+
+def fold_changes(
+    events: DataFrame,
+    cfg: EngineConfig,
+    strategy: str = "agg",
+) -> DataFrame:
+    """Full batch fold: cancellation → LWW. One surviving row per key.
+
+    strategy: 'agg' (default, partial-agg path), 'window', or
+    'window_salted'.
+    """
+    survivors = drop_cancelled(events, cfg)
+    if strategy == "agg":
+        out = lww_agg(survivors, cfg)
+    elif strategy == "window":
+        out = lww_window(survivors, cfg, salted=False)
+    elif strategy == "window_salted":
+        out = lww_window(survivors, cfg, salted=True)
+    else:
+        raise ValueError(f"unknown LWW strategy: {strategy!r}")
+    keep = [*cfg.key_columns, cfg.order_column, cfg.op_column, *_payload_cols(events, cfg)]
+    return out.select(*[c for c in keep if c in out.columns])
+
+
+def replay(events: DataFrame, cfg: EngineConfig, strategy: str = "agg") -> DataFrame:
+    """Fold an entire log into the final table state (no incremental sink).
+
+    Keys whose last surviving op is D have no row. This is the one-shot
+    batch replay; the incremental path is streaming/pipeline.py + the
+    LakeTable MERGE sink.
+    """
+    folded = fold_changes(events, cfg, strategy=strategy)
+    return folded.where(F.col(cfg.op_column) != "D").drop(cfg.op_column, cfg.order_column)

@@ -1,0 +1,416 @@
+"""LakeTable — a minimal Iceberg-style table format on parquet.
+
+The sandbox image ships no Iceberg/Delta jars, so the engine implements the
+Iceberg *semantics* it needs directly over parquet + a JSON manifest,
+behind one class. Swapping in real Iceberg later means replacing this
+module with `MERGE INTO` / `UpdateSchema` calls — the pipeline layer
+(streaming/pipeline.py) only talks to this interface.
+
+Semantics provided (and how they scale):
+
+- **Snapshot isolation / atomic commit**: every commit writes new immutable
+  data files plus a new manifest ``_meta/v{N}.json``; the current-version
+  pointer ``_meta/VERSION`` is flipped with an atomic rename. Readers
+  resolve the pointer once and see one consistent snapshot. (On an object
+  store this pointer flip is a catalog swap — exactly Iceberg's model.)
+- **Bucketed copy-on-write MERGE**: data files are hash-bucketed by the
+  primary key (``pmod(xxhash64(keys), num_buckets)``). A CDC batch only
+  reads + rewrites the buckets its keys touch; untouched buckets carry
+  over by reference into the new manifest. This is Iceberg COW MERGE with
+  bucket-partition pruning: per-batch cost is O(touched data), not
+  O(table).
+- **Idempotent commits (exactly-once)**: every commit records a
+  ``batch_id`` marker in the manifest, in the same atomic pointer flip as
+  the data. A replayed ``foreachBatch`` with an already-committed batch_id
+  is a no-op — the marker write cannot be observed without its data and
+  vice versa.
+- **Version-aware rows**: each row carries ``_event_seq`` (last applied
+  change) and ``_deleted`` (tombstone). MERGE applies a change only when
+  its event_seq exceeds the stored one, so late or duplicate deliveries
+  of older events cannot regress a row, and deletes leave tombstones that
+  shield against stale re-inserts. ``compact()`` drops tombstones.
+- **Schema evolution without rewrite**: each manifest records a schema;
+  data files remember which schema version they were written under. Reads
+  conform old files to the current schema (null-fill added columns, cast
+  widened columns) — ALTER is a metadata operation, as in Iceberg.
+- **Time travel**: any retained manifest version is readable.
+
+Single-writer by design (one streaming query owns a table), which matches
+the CDC pipeline; a multi-writer catalog is out of scope.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sap_spark.config import EngineConfig
+from sap_spark.schema.compat import apply_cast_plan, plan_evolution
+
+# Internal columns (never exposed by read()).
+SEQ_COL = "_event_seq"
+DELETED_COL = "_deleted"
+INTERNAL_COLS = (SEQ_COL, DELETED_COL)
+
+
+def bucket_expr(key_columns: list[str] | tuple[str, ...], num_buckets: int) -> F.Column:
+    """Deterministic bucket id for a primary key."""
+    return F.pmod(F.xxhash64(*key_columns), F.lit(num_buckets)).cast("int")
+
+
+class LakeTable:
+    """Handle to one table directory. See module docstring for semantics."""
+
+    def __init__(self, spark: SparkSession, path: str, version: int | None = None):
+        self.spark = spark
+        self.path = path
+        self._meta_dir = os.path.join(path, "_meta")
+        self.version = self._current_version() if version is None else version
+        self.manifest = self._load_manifest(self.version)
+
+    # -- manifest / pointer machinery ------------------------------------
+
+    def _version_file(self) -> str:
+        return os.path.join(self._meta_dir, "VERSION")
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self._meta_dir, f"v{version:08d}.json")
+
+    def _current_version(self) -> int:
+        with open(self._version_file()) as f:
+            return int(f.read().strip())
+
+    def _load_manifest(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as f:
+            return json.load(f)
+
+    def _commit(self, manifest: dict) -> None:
+        """Write manifest v(N+1) and atomically flip the pointer."""
+        new_version = self.version + 1
+        manifest["version"] = new_version
+        manifest["parent"] = self.version
+        mpath = self._manifest_path(new_version)
+        tmp = mpath + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, mpath)
+        vtmp = self._version_file() + f".tmp-{uuid.uuid4().hex}"
+        with open(vtmp, "w") as f:
+            f.write(str(new_version))
+        os.replace(vtmp, self._version_file())  # atomic pointer flip
+        self.version = new_version
+        self.manifest = manifest
+
+    # -- creation ---------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        key_columns: list[str] | tuple[str, ...],
+        num_buckets: int = 32,
+        if_not_exists: bool = False,
+    ) -> "LakeTable":
+        """Create an empty table (schema = user columns, no internal cols)."""
+        meta_dir = os.path.join(path, "_meta")
+        if os.path.exists(os.path.join(meta_dir, "VERSION")):
+            if if_not_exists:
+                return cls(spark, path)
+            raise FileExistsError(f"table already exists at {path}")
+        os.makedirs(meta_dir, exist_ok=True)
+        manifest = {
+            "version": 0,
+            "parent": None,
+            "key_columns": list(key_columns),
+            "num_buckets": num_buckets,
+            # schemas[i] = schema version i; files reference their schema_id
+            "schemas": [schema.json()],
+            "current_schema_id": 0,
+            # bucket id (str) -> list of {path, schema_id}
+            "buckets": {},
+            "commits": [],
+            "properties": {},
+        }
+        mpath = os.path.join(meta_dir, "v00000000.json")
+        with open(mpath, "w") as f:
+            json.dump(manifest, f)
+        with open(os.path.join(meta_dir, "VERSION"), "w") as f:
+            f.write("0")
+        return cls(spark, path)
+
+    # -- schema -----------------------------------------------------------
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(
+            json.loads(self.manifest["schemas"][self.manifest["current_schema_id"]])
+        )
+
+    @property
+    def key_columns(self) -> list[str]:
+        return list(self.manifest["key_columns"])
+
+    @property
+    def num_buckets(self) -> int:
+        return int(self.manifest["num_buckets"])
+
+    def committed_batches(self) -> set[str]:
+        return set(self.manifest["commits"])
+
+    def _schema_with_internal(self, schema_id: int | None = None) -> T.StructType:
+        sid = self.manifest["current_schema_id"] if schema_id is None else schema_id
+        base = T.StructType.fromJson(json.loads(self.manifest["schemas"][sid]))
+        return T.StructType(
+            list(base.fields)
+            + [
+                T.StructField(SEQ_COL, T.LongType(), True),
+                T.StructField(DELETED_COL, T.BooleanType(), True),
+            ]
+        )
+
+    def evolve_schema(self, incoming: T.StructType) -> bool:
+        """Schema-evolution gate (C4 rules, schema/compat.py): add nullable
+        columns / widen along the lattice, as a metadata-only commit.
+        Returns True if evolution happened. Incompatible drift raises."""
+        incoming_user = T.StructType(
+            [f for f in incoming.fields if f.name not in INTERNAL_COLS]
+        )
+        plan = plan_evolution(self.schema, incoming_user)
+        if plan.is_noop:
+            return False
+        new_schema = plan.apply_to(self.schema)
+        manifest = json.loads(json.dumps(self.manifest))
+        manifest["schemas"].append(new_schema.json())
+        manifest["current_schema_id"] = len(manifest["schemas"]) - 1
+        self._commit(manifest)
+        return True
+
+    # -- read path ----------------------------------------------------------
+
+    def _read_files(self, files: list[dict], schema_id_target: int) -> DataFrame | None:
+        """Read a file group, conforming every older schema to the target."""
+        if not files:
+            return None
+        target = self._schema_with_internal(schema_id_target)
+        by_sid: dict[int, list[str]] = {}
+        for entry in files:
+            by_sid.setdefault(entry["schema_id"], []).append(entry["path"])
+        parts = []
+        for sid, paths in by_sid.items():
+            df = self.spark.read.schema(self._schema_with_internal(sid)).parquet(*paths)
+            parts.append(apply_cast_plan(df, target))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def read_internal(self, buckets: list[int] | None = None) -> DataFrame:
+        """Read rows incl. internal cols, optionally pruned to buckets."""
+        wanted = (
+            self.manifest["buckets"].items()
+            if buckets is None
+            else [(str(b), self.manifest["buckets"].get(str(b), [])) for b in buckets]
+        )
+        files = [e for _, entries in wanted for e in entries]
+        df = self._read_files(files, self.manifest["current_schema_id"])
+        if df is None:
+            return self.spark.createDataFrame(
+                [], self._schema_with_internal(self.manifest["current_schema_id"])
+            )
+        return df
+
+    def read(self) -> DataFrame:
+        """The user-facing table: live rows, user columns only."""
+        df = self.read_internal()
+        return df.where(~F.coalesce(F.col(DELETED_COL), F.lit(False))).select(
+            *[f.name for f in self.schema.fields]
+        )
+
+    # -- write paths ----------------------------------------------------------
+
+    def _write_buckets(self, df: DataFrame) -> dict[str, list[dict]]:
+        """Write rows (must carry __bucket) as new immutable files; returns
+        bucket -> file entries under the current schema id."""
+        commit_dir = os.path.join(self.path, "data", uuid.uuid4().hex)
+        target = self._schema_with_internal()
+        ordered = apply_cast_plan(
+            df.select(
+                *[c for c in df.columns if c != "__bucket"], F.col("__bucket")
+            ),
+            T.StructType(
+                list(target.fields) + [T.StructField("__bucket", T.IntegerType(), True)]
+            ),
+        )
+        ordered.write.partitionBy("__bucket").mode("overwrite").parquet(commit_dir)
+        sid = self.manifest["current_schema_id"]
+        out: dict[str, list[dict]] = {}
+        for bdir in glob.glob(os.path.join(commit_dir, "__bucket=*")):
+            b = bdir.rsplit("=", 1)[1]
+            entries = [
+                {"path": p, "schema_id": sid}
+                for p in glob.glob(os.path.join(bdir, "*.parquet"))
+            ]
+            if entries:
+                out[b] = entries
+        return out
+
+    def overwrite(self, df: DataFrame, batch_id: str | None = None) -> None:
+        """Replace the whole table (initial load / backfill)."""
+        user_cols = [f.name for f in self.schema.fields]
+        prepared = (
+            apply_cast_plan(df, self.schema)
+            .select(*user_cols)
+            .withColumn(SEQ_COL, F.lit(None).cast("long"))
+            .withColumn(DELETED_COL, F.lit(False))
+            .withColumn("__bucket", bucket_expr(self.key_columns, self.num_buckets))
+        )
+        new_buckets = self._write_buckets(prepared)
+        manifest = json.loads(json.dumps(self.manifest))
+        manifest["buckets"] = new_buckets
+        if batch_id is not None:
+            manifest["commits"].append(batch_id)
+        self._commit(manifest)
+
+    def merge_cdc(
+        self,
+        changes: DataFrame,
+        batch_id: str,
+        op_column: str = "op",
+        seq_column: str = "event_seq",
+    ) -> bool:
+        """Apply a folded CDC batch (≤1 row per key, from fold_changes).
+
+        Equivalent Iceberg statement::
+
+            MERGE INTO t USING s ON <keys>
+            WHEN MATCHED AND s.event_seq > t._event_seq AND s.op =  'D' THEN DELETE
+            WHEN MATCHED AND s.event_seq > t._event_seq AND s.op <> 'D' THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *    -- D inserts a tombstone
+
+        Returns False (no-op) if batch_id was already committed — the
+        exactly-once guarantee under foreachBatch retries.
+
+        Scale: only buckets containing changed keys are read and rewritten;
+        the join inside a bucket set is keys-vs-keys with AQE free to
+        broadcast the (small) change side.
+        """
+        if batch_id in self.committed_batches():
+            return False
+
+        # Schema-evolution gate BEFORE the apply (SURVEY.md §7 step 5).
+        change_user_schema = T.StructType(
+            [
+                f
+                for f in changes.schema.fields
+                if f.name not in (op_column, seq_column, *INTERNAL_COLS)
+            ]
+        )
+        self.evolve_schema(change_user_schema)
+
+        keys = self.key_columns
+        user_cols = [f.name for f in self.schema.fields]
+        payload_cols = [c for c in user_cols if c not in keys]
+
+        src = (
+            apply_cast_plan(
+                changes,
+                T.StructType(
+                    list(self.schema.fields)
+                    + [
+                        T.StructField(op_column, T.StringType(), True),
+                        T.StructField(seq_column, T.LongType(), True),
+                    ]
+                ),
+            )
+            .withColumn("__bucket", bucket_expr(keys, self.num_buckets))
+        )
+
+        # Bucket pruning: which buckets does this batch touch?
+        affected = sorted(
+            r["__bucket"] for r in src.select("__bucket").distinct().collect()
+        )
+        target = self.read_internal(buckets=affected).withColumn(
+            "__bucket", bucket_expr(keys, self.num_buckets)
+        )
+
+        s = src.alias("s")
+        tdf = target.alias("t")
+        joined = tdf.join(s, on=keys, how="full_outer")
+
+        s_seq = F.col(f"s.{seq_column}")
+        t_seq = F.col(f"t.{SEQ_COL}")
+        s_exists = F.col(f"s.{op_column}").isNotNull()
+        t_exists = F.col(f"t.{DELETED_COL}").isNotNull()
+        apply_change = s_exists & (~t_exists | t_seq.isNull() | (s_seq > t_seq))
+        is_delete = F.col(f"s.{op_column}") == "D"
+
+        merged_cols = [
+            *[F.col(k) for k in keys],
+            *[
+                F.when(apply_change & is_delete, F.lit(None).cast(dt))
+                .when(apply_change, F.col(f"s.{c}"))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+                for c, dt in (
+                    (f.name, f.dataType)
+                    for f in self.schema.fields
+                    if f.name in payload_cols
+                )
+            ],
+            F.when(apply_change, s_seq).otherwise(t_seq).alias(SEQ_COL),
+            F.when(apply_change, is_delete)
+            .otherwise(F.coalesce(F.col(f"t.{DELETED_COL}"), F.lit(False)))
+            .alias(DELETED_COL),
+            F.coalesce(F.col(f"t.__bucket"), F.col(f"s.__bucket")).alias("__bucket"),
+        ]
+        merged = joined.select(*merged_cols)
+
+        new_files = self._write_buckets(merged)
+        manifest = json.loads(json.dumps(self.manifest))
+        for b in affected:
+            manifest["buckets"].pop(str(b), None)
+        for b, entries in new_files.items():
+            manifest["buckets"][b] = entries
+        manifest["commits"].append(batch_id)
+        self._commit(manifest)
+        return True
+
+    # -- maintenance ------------------------------------------------------
+
+    def compact(self) -> None:
+        """Rewrite all buckets dropping tombstones (checkpoint-barrier op:
+        safe once no out-of-order events older than any tombstone can
+        arrive, i.e. below the low-watermark delta token)."""
+        live = self.read_internal().where(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        prepared = live.withColumn(
+            "__bucket", bucket_expr(self.key_columns, self.num_buckets)
+        )
+        new_buckets = self._write_buckets(prepared)
+        manifest = json.loads(json.dumps(self.manifest))
+        manifest["buckets"] = new_buckets
+        self._commit(manifest)
+
+    def history(self) -> list[dict]:
+        """Commit history (version, parent, commits count, schema id)."""
+        out = []
+        v = self.version
+        while v is not None:
+            m = self._load_manifest(v)
+            out.append(
+                {
+                    "version": m["version"],
+                    "parent": m["parent"],
+                    "n_commits": len(m["commits"]),
+                    "schema_id": m["current_schema_id"],
+                }
+            )
+            v = m["parent"]
+        return out

@@ -1,0 +1,19 @@
+"""Sources: change-log readers (batch + streaming), query-option pushdown
+surface, deterministic synthetic data generators."""
+
+from sap_spark.sources.datagen import gen_change_events, gen_repos
+from sap_spark.sources.changelog import (
+    read_changelog,
+    read_changelog_stream,
+    ODataQueryOptions,
+    apply_query_options,
+)
+
+__all__ = [
+    "gen_change_events",
+    "gen_repos",
+    "read_changelog",
+    "read_changelog_stream",
+    "ODataQueryOptions",
+    "apply_query_options",
+]

@@ -1,0 +1,136 @@
+"""Change-log source: batch + streaming readers, and the OData-style
+query-option pushdown surface.
+
+The reference's entire relational algebra is forwarding OData query options
+($select/$filter/$top/$skip/$orderby) to the server (SURVEY.md §2.2;
+reference: SapODataConfig.java:117-155, odata/ODataClient.java:80-90).
+Here the "server" is Catalyst: the same options become DataFrame operations,
+and Catalyst pushes filters/projections into the parquet scan (visible as
+PushedFilters / ReadSchema in `.explain("formatted")`), so pushdown is
+preserved — but now distributed over N splits instead of the reference's
+single NoOpSplit (ODataEntityInputFormat.java:33-36).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from urllib.parse import parse_qsl
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Change-event envelope schema (FIXTURES.md §2).
+CHANGE_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("delta_token", T.StringType(), False),
+        T.StructField("event_seq", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("rocancel", T.BooleanType(), False),
+        T.StructField("cancel_seq", T.LongType(), True),
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+
+
+@dataclass
+class ODataQueryOptions:
+    """Parsed OData-style query options.
+
+    Mirrors the reference's pass-through surface (SapODataConfig.getQuery,
+    SapODataConfig.java:117-134: leading '?'s stripped; $select list parsed
+    out at :136-155). $filter/$orderby accept Spark SQL expression syntax
+    (the reference never parses them either — it forwards an opaque string
+    to an engine; our engine is Catalyst).
+    """
+
+    select: list[str] | None = None
+    filter: str | None = None
+    top: int | None = None
+    skip: int | None = None
+    orderby: list[tuple[str, str]] | None = None  # (column, 'asc'|'desc')
+
+    @classmethod
+    def parse(cls, query: str | None) -> "ODataQueryOptions":
+        if not query:
+            return cls()
+        query = query.lstrip("?")  # reference strips leading '?'s
+        opts = cls()
+        for key, value in parse_qsl(query, keep_blank_values=False):
+            key = key.strip()
+            if key == "$select":
+                opts.select = [c.strip() for c in value.split(",") if c.strip()]
+            elif key == "$filter":
+                opts.filter = value
+            elif key == "$top":
+                opts.top = int(value)
+            elif key == "$skip":
+                opts.skip = int(value)
+            elif key == "$orderby":
+                parsed = []
+                for part in value.split(","):
+                    toks = part.strip().split()
+                    if not toks:
+                        continue
+                    direction = toks[1].lower() if len(toks) > 1 else "asc"
+                    parsed.append((toks[0], "desc" if direction == "desc" else "asc"))
+                opts.orderby = parsed or None
+            elif key == "$format":
+                pass  # response-encoding choice; irrelevant for parquet
+        return opts
+
+
+def apply_query_options(df: DataFrame, opts: ODataQueryOptions) -> DataFrame:
+    """Apply OData-style options as DataFrame ops (Catalyst pushes them down).
+
+    Order matches OData evaluation semantics: filter → orderby → skip → top
+    → select.
+    """
+    if opts.filter:
+        df = df.filter(opts.filter)
+    if opts.orderby:
+        df = df.orderBy(
+            *[F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in opts.orderby]
+        )
+    if opts.skip:
+        df = df.offset(opts.skip)
+    if opts.top is not None:
+        df = df.limit(opts.top)
+    if opts.select:
+        missing = [c for c in opts.select if c not in df.columns]
+        if missing:
+            # reference behavior: selected columns must exist in the schema
+            raise ValueError(f"$select references unknown columns: {missing}")
+        df = df.select(*opts.select)
+    return df
+
+
+def read_changelog(
+    spark: SparkSession, path: str, query: str | None = None
+) -> DataFrame:
+    """Batch read of a change-event log with optional OData-style query."""
+    df = spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(path)
+    return apply_query_options(df, ODataQueryOptions.parse(query))
+
+
+def read_changelog_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming read of a change-event log directory.
+
+    Server paging in the reference (V4 @odata.nextLink,
+    OData4Client.java:64-73) maps to micro-batching here: each trigger
+    consumes a bounded set of files; a delta_token-partitioned log yields
+    ~token-aligned batches. The checkpoint (offset log) IS the delta token:
+    a resumable, monotone position in the change stream.
+    """
+    reader = spark.readStream.schema(CHANGE_EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)

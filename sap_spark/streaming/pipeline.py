@@ -1,0 +1,152 @@
+"""The CDC ingest pipeline: change-log tail → fold → exactly-once MERGE.
+
+Architecture (SURVEY.md §3.4, BASELINE.json north_star):
+
+    readStream(change log)                 # delta tokens ≈ micro-batches
+      → foreachBatch:
+          observe lineage (token range, counts)     # no extra pass
+          drop_cancelled → LWW dedup (fold_changes) # operators/dedup.py
+          evolution gate → bucketed COW MERGE       # plans/lake.py
+          commit marker = (pipeline, epoch_id)      # exactly-once
+      → checkpointLocation                          # resumable delta token
+
+Exactly-once: Structured Streaming replays a failed epoch with the same
+``epoch_id`` and the same input slice; ``LakeTable.merge_cdc`` commits the
+``batch_id`` marker atomically with the data, so a replayed epoch is a
+no-op. Together: effectively-once end-to-end.
+
+Resume: the checkpoint's offset log records which log files (= delta
+tokens) are consumed — the delta token IS the resumable checkpoint, as in
+SAP ODP (delta tokens per BASELINE.json; the reference's batch source has
+no resume at all).
+
+Lineage + metrics (north_rule "per-partition lineage offsets and
+throughput metrics"): each epoch appends a JSON line to
+``<table>/_meta/lineage.jsonl`` with the token range, event/key counts and
+timing, computed via ``DataFrame.observe`` during the merge job itself (no
+second pass over the batch).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from sap_spark.config import EngineConfig
+from sap_spark.operators.dedup import fold_changes
+from sap_spark.plans.lake import LakeTable
+from sap_spark.sources.changelog import read_changelog_stream
+
+
+def ingest_batch(
+    events: DataFrame,
+    table: LakeTable,
+    cfg: EngineConfig,
+    batch_id: str,
+    strategy: str = "agg",
+) -> bool:
+    """Apply one batch of raw change events to a LakeTable (idempotent)."""
+    folded = fold_changes(events, cfg, strategy=strategy)
+    return table.merge_cdc(
+        folded, batch_id, op_column=cfg.op_column, seq_column=cfg.order_column
+    )
+
+
+class CdcPipeline:
+    """Streaming CDC ingest of a change-log directory into a LakeTable."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: EngineConfig,
+        table: LakeTable,
+        log_path: str,
+        checkpoint_dir: str,
+        max_files_per_trigger: int | None = None,
+        strategy: str = "agg",
+        pipeline_id: str | None = None,
+    ):
+        cfg.validate()
+        self.spark = spark
+        self.cfg = cfg
+        self.table = table
+        self.log_path = log_path
+        self.checkpoint_dir = checkpoint_dir
+        self.max_files_per_trigger = max_files_per_trigger
+        self.strategy = strategy
+        self.pipeline_id = pipeline_id or f"cdc-{uuid.uuid4().hex[:8]}"
+        self.lineage_path = os.path.join(table.path, "_meta", "lineage.jsonl")
+
+    # -- lineage ---------------------------------------------------------
+
+    def _record_lineage(self, record: dict) -> None:
+        os.makedirs(os.path.dirname(self.lineage_path), exist_ok=True)
+        with open(self.lineage_path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+
+    def lineage(self) -> list[dict]:
+        if not os.path.exists(self.lineage_path):
+            return []
+        with open(self.lineage_path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    # -- the per-epoch apply ----------------------------------------------
+
+    def _process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        cfg = self.cfg
+        t0 = time.monotonic()
+        obs = Observation(f"lineage-{epoch_id}")
+        observed = batch_df.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(cfg.token_column).alias("min_token"),
+            F.max(cfg.token_column).alias("max_token"),
+            F.max(cfg.order_column).alias("max_seq"),
+        )
+        batch_id = f"{self.pipeline_id}-epoch-{epoch_id}"
+        applied = ingest_batch(observed, self.table, cfg, batch_id, self.strategy)
+        elapsed = time.monotonic() - t0
+        metrics = obs.get if applied else {}
+        n = int(metrics.get("n_events") or 0)
+        self._record_lineage(
+            {
+                "pipeline_id": self.pipeline_id,
+                "epoch_id": epoch_id,
+                "batch_id": batch_id,
+                "applied": applied,
+                "n_events": n,
+                "min_token": metrics.get("min_token"),
+                "max_token": metrics.get("max_token"),
+                "max_seq": metrics.get("max_seq"),
+                "elapsed_sec": round(elapsed, 4),
+                "events_per_sec": round(n / elapsed, 1) if elapsed > 0 and n else None,
+                "table_version": self.table.version,
+                "wall_time": time.time(),
+            }
+        )
+
+    # -- run --------------------------------------------------------------
+
+    def run_available_now(self, timeout_sec: float | None = None) -> None:
+        """Consume everything currently in the log, then stop (bounded
+        replay; Trigger.AvailableNow still honors maxFilesPerTrigger by
+        splitting the backlog into multiple epochs)."""
+        stream = read_changelog_stream(
+            self.spark, self.log_path, self.max_files_per_trigger
+        )
+        query = (
+            stream.writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(timeout_sec)
+        if query.isActive:
+            query.stop()
+        if query.exception() is not None:
+            raise query.exception()

@@ -1,0 +1,83 @@
+"""Distributed CDC fold vs the sequential oracle, all strategies."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from sap_spark.config import EngineConfig
+from sap_spark.operators.dedup import drop_cancelled, fold_changes, replay
+from sap_spark.sources.datagen import gen_change_events
+
+from tests.oracle import fold_to_frame, sha256_hex
+
+CFG = EngineConfig().validate()
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return gen_change_events(
+        spark, n_events=5000, n_keys=500, events_per_token=1000
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def oracle_state(events):
+    return fold_to_frame(events.toPandas())
+
+
+def test_drop_cancelled(spark, events):
+    pdf = events.toPandas().drop_duplicates("event_seq")
+    cancelled = set(
+        pdf.loc[pdf.rocancel & pdf.cancel_seq.notna(), "cancel_seq"].astype("int64")
+    )
+    surviving = drop_cancelled(events, CFG)
+    got = set(r["event_seq"] for r in surviving.select("event_seq").distinct().collect())
+    expected = set(
+        pdf.loc[~pdf.rocancel & ~pdf.event_seq.isin(cancelled), "event_seq"]
+    )
+    assert got == expected
+
+
+@pytest.mark.parametrize("strategy", ["agg", "window", "window_salted"])
+def test_replay_matches_sequential_fold(spark, events, oracle_state, strategy):
+    got = (
+        replay(events, CFG, strategy=strategy)
+        .orderBy("repo", "path")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == ["repo", "path", "commit", "lang", "content"]
+    assert len(got) == len(oracle_state)
+    assert got.equals(oracle_state), "final state differs from sequential fold"
+
+
+def test_sha256_invariant(spark, events, oracle_state):
+    """Per-row invariant vs the reference replay: sha256(content) equality
+    (BASELINE.json input_hint)."""
+    got = (
+        replay(events, CFG)
+        .select("repo", "path", F.sha2("content", 256).alias("sha"))
+        .orderBy("repo", "path")
+        .toPandas()
+    )
+    expected = [sha256_hex(c) for c in oracle_state["content"]]
+    assert got["sha"].tolist() == expected
+
+
+def test_fold_changes_keeps_last_delete(spark, events):
+    """Keys whose last surviving event is D appear in fold_changes with op=D
+    but not in replay output."""
+    folded = fold_changes(events, CFG)
+    n_deleted = folded.where(F.col("op") == "D").count()
+    assert n_deleted > 0
+    assert folded.count() - n_deleted == replay(events, CFG).count()
+
+
+def test_strategies_agree(spark, events):
+    outs = [
+        fold_changes(events, CFG, strategy=s)
+        .orderBy("repo", "path")
+        .select("repo", "path", "event_seq", "op", "commit")
+        .collect()
+        for s in ["agg", "window", "window_salted"]
+    ]
+    assert outs[0] == outs[1] == outs[2]
