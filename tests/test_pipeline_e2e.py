@@ -1,0 +1,90 @@
+"""End-to-end: change-log parquet → Structured Streaming CDC pipeline →
+LakeTable; resume from checkpoint; incremental tail; lineage metrics."""
+
+import pyspark.sql.functions as F
+from pyspark.sql import types as T
+
+from sap_spark.config import EngineConfig
+from sap_spark.plans.lake import LakeTable
+from sap_spark.sources.datagen import gen_change_events, write_change_log
+from sap_spark.streaming.pipeline import CdcPipeline
+
+from tests.oracle import fold_to_frame
+
+CFG = EngineConfig().validate()
+
+TARGET_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+
+
+def test_streaming_replay_resume_and_tail(spark, tmpdir_path):
+    events = gen_change_events(
+        spark, n_events=6000, n_keys=500, events_per_token=1000
+    ).cache()
+    first = events.where(F.col("event_seq") < 4000)   # tokens 0-3
+    rest = events.where(F.col("event_seq") >= 4000)   # tokens 4-5 (+dups)
+
+    log_dir = f"{tmpdir_path}/log"
+    write_change_log(first, log_dir)
+
+    table = LakeTable.create(
+        spark, f"{tmpdir_path}/repos", TARGET_SCHEMA,
+        key_columns=["repo", "path"], num_buckets=8,
+    )
+    pipe = CdcPipeline(
+        spark, CFG, table, log_dir,
+        checkpoint_dir=f"{tmpdir_path}/ckpt",
+        max_files_per_trigger=2,       # 2 whole delta tokens per micro-batch
+        pipeline_id="e2e",
+    )
+    pipe.run_available_now(timeout_sec=300)
+    table = LakeTable(spark, table.path)  # re-resolve snapshot pointer
+    got = table.read().orderBy("repo", "path").toPandas().reset_index(drop=True)
+    assert got.equals(fold_to_frame(first.toPandas()))
+
+    # multiple epochs happened (maxFilesPerTrigger honored under AvailableNow)
+    lineage = pipe.lineage()
+    applied = [r for r in lineage if r["applied"]]
+    assert len(applied) >= 2
+    assert sum(r["n_events"] for r in applied) == first.count()
+    # token ranges are contiguous and ordered across epochs
+    assert [r["min_token"] for r in applied] == sorted(r["min_token"] for r in applied)
+
+    # restart with NO new data: checkpoint resume → zero new applies
+    pipe2 = CdcPipeline(
+        spark, CFG, table, log_dir,
+        checkpoint_dir=f"{tmpdir_path}/ckpt", pipeline_id="e2e",
+    )
+    pipe2.run_available_now(timeout_sec=300)
+    table = LakeTable(spark, table.path)
+    assert table.read().orderBy("repo", "path").toPandas().reset_index(
+        drop=True
+    ).equals(fold_to_frame(first.toPandas()))
+
+    # append the tail of the log (new delta tokens) and resume again:
+    # incremental ingest picks up ONLY the new tokens
+    rest.repartition("delta_token").write.mode("append").partitionBy(
+        "delta_token"
+    ).parquet(log_dir)
+    pipe3 = CdcPipeline(
+        spark, CFG, table, log_dir,
+        checkpoint_dir=f"{tmpdir_path}/ckpt", pipeline_id="e2e",
+    )
+    pipe3.run_available_now(timeout_sec=300)
+    table = LakeTable(spark, table.path)
+    got = table.read().orderBy("repo", "path").toPandas().reset_index(drop=True)
+    assert got.equals(fold_to_frame(events.toPandas()))
+
+    # exactly-once under epoch replay: re-running a committed epoch is a no-op
+    version = table.version
+    some_batch = events.where(F.col("delta_token") == "D0000000")
+    pipe3.table = table
+    pipe3._process_batch(some_batch, epoch_id=0)  # same (pipeline, epoch) id
+    assert table.version == version
