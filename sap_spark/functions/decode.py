@@ -1,0 +1,423 @@
+"""Decode kernels: the reference transformer re-expressed vectorized.
+
+The reference converts one OData entity at a time in Java
+(`ODataEntryToRecordTransformer.transform`, /root/reference/src/main/java/
+io/cdap/plugin/sap/transformer/ODataEntryToRecordTransformer.java:73-164).
+Here each per-field kernel (SURVEY.md §2.3 rows T1-T21) is a column
+expression over wire-format values: native `pyspark.sql.functions` where
+possible (JVM, whole-stage codegen), Arrow-batched pandas UDFs only where
+semantics demand Python (strict decimal bounds, ISO-8601 duration /
+offset-preserving rendering) — never per-row Python.
+
+Input convention: the wire value of every property is a string column
+(what an OData JSON/Atom payload carries); ``decode_entity`` maps a whole
+DataFrame of wire strings to the typed schema of an ``EntityType``.
+
+Error parity: invalid values raise UnexpectedFormatError naming the field,
+expected type, and actual value — mirroring ``ensureTypeValid``
+(transformer l.423-436) and the decimal precision/scale checks (l.370-387).
+Errors surface at execution time via ``F.raise_error`` / UDF exceptions.
+"""
+
+from __future__ import annotations
+
+import decimal
+import re
+from datetime import datetime
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sap_spark.schema.edm import (
+    EntityType,
+    PropertyMetadata,
+    STREAM_PROPERTY_STRUCT,
+    edm_to_spark_type,
+)
+
+
+class UnexpectedFormatError(ValueError):
+    """Analog of CDAP's UnexpectedFormatException (transformer l.430-435)."""
+
+
+def _fail(field: str, expected: str, value_col: Column) -> Column:
+    """Column that raises naming field/expected/actual (ensureTypeValid
+    parity: "Field 'x' is expected to be of type 'y'...", l.430-434)."""
+    return F.raise_error(
+        F.concat(
+            F.lit(f"Field '{field}' is expected to be of type '{expected}'. "),
+            F.lit("Unexpected value: '"),
+            value_col,
+            F.lit("'."),
+        )
+    )
+
+
+def _checked(field: str, expected: str, raw: Column, parsed: Column) -> Column:
+    """Null in → null out (T1, l.93-95); parse failure → error (T2)."""
+    return F.when(raw.isNotNull() & parsed.isNull(), _fail(field, expected, raw)).otherwise(
+        parsed
+    )
+
+
+# -- numeric / boolean / string kernels (T3-T7) — native casts --------------
+
+
+def decode_boolean(field: str, raw: Column) -> Column:
+    parsed = F.when(F.lower(raw) == "true", F.lit(True)).when(
+        F.lower(raw) == "false", F.lit(False)
+    )
+    return _checked(field, "boolean", raw, parsed)
+
+
+def decode_int(field: str, raw: Column) -> Column:
+    # Byte/SByte/Int16/Int32 all widen to int32 (reference T3, l.127-129).
+    return _checked(field, "int", raw, raw.try_cast("long").cast("int"))
+
+
+def decode_long(field: str, raw: Column) -> Column:
+    return _checked(field, "long", raw, raw.try_cast("long"))
+
+
+def decode_float(field: str, raw: Column) -> Column:
+    return _checked(field, "float", raw, raw.try_cast("float"))
+
+
+def decode_double(field: str, raw: Column) -> Column:
+    return _checked(field, "double", raw, raw.try_cast("double"))
+
+
+def decode_string(field: str, raw: Column) -> Column:
+    return raw
+
+
+def decode_binary(field: str, raw: Column) -> Column:
+    # wire format: base64 (OData JSON convention)
+    return _checked(field, "bytes", raw, F.unbase64(raw))
+
+
+# -- temporal kernels (T8-T10) ------------------------------------------------
+
+
+def decode_timestamp(field: str, raw: Column) -> Column:
+    """Edm.DateTime/Edm.Date → timestamp micros (T8, l.358-368)."""
+    return _checked(field, "timestamp", raw, F.try_to_timestamp(raw))
+
+
+def decode_time_micros(field: str, raw: Column) -> Column:
+    """Edm.Time/TimeOfDay 'HH:mm:ss[.ffffff]' → micros-of-day long (T9,
+    l.344-356; no Spark TimeType — engine invariant per SURVEY.md §1.2)."""
+    m = F.regexp_extract(raw, r"^(\d{2}):(\d{2}):(\d{2})(?:\.(\d{1,6}))?$", 0)
+    hh = F.regexp_extract(raw, r"^(\d{2})", 1).cast("long")
+    mm = F.regexp_extract(raw, r"^\d{2}:(\d{2})", 1).cast("long")
+    ss = F.regexp_extract(raw, r"^\d{2}:\d{2}:(\d{2})", 1).cast("long")
+    frac = F.rpad(
+        F.regexp_extract(raw, r"\.(\d{1,6})", 1), 6, "0"
+    )
+    micros = (hh * 3600 + mm * 60 + ss) * 1_000_000 + F.coalesce(
+        frac.cast("long"), F.lit(0)
+    )
+    parsed = F.when(
+        (m != "") & (hh < 24) & (mm < 60) & (ss < 60), micros
+    )
+    return _checked(field, "time-micros", raw, parsed)
+
+
+@F.pandas_udf(T.StringType())
+def _render_datetimeoffset(raw: pd.Series) -> pd.Series:
+    """Offset-preserving ISO-8601 render (T10, transformer l.325-331 via
+    Olingo EdmDateTimeOffset): '2019-08-29T14:52:08.155+02:00' — fractional
+    digits trimmed to the value's own precision, offset kept verbatim."""
+
+    def render(v):
+        if v is None:
+            return None
+        s = str(v).strip()
+        m = re.match(
+            r"^(\d{4}-\d{2}-\d{2})[T ](\d{2}:\d{2}:\d{2})(?:\.(\d+))?"
+            r"(Z|[+-]\d{2}:\d{2})$",
+            s,
+        )
+        if not m:
+            raise UnexpectedFormatError(
+                f"Field is expected to be of type 'datetimeoffset'. "
+                f"Unexpected value: '{s}'."
+            )
+        date, tod, frac, off = m.groups()
+        out = f"{date}T{tod}"
+        if frac:
+            frac = frac.rstrip("0")
+            if frac:
+                out += f".{frac}"
+        out += "+00:00" if off == "Z" else off
+        return out
+
+    return raw.map(render)
+
+
+def decode_datetimeoffset(field: str, raw: Column) -> Column:
+    """Edm.DateTimeOffset → string, never timestamp: 'to avoid timezone
+    information loss' (SapODataSource.java:158-160)."""
+    return _render_datetimeoffset(raw)
+
+
+@F.pandas_udf(T.StringType())
+def _render_duration(raw: pd.Series) -> pd.Series:
+    """Edm.Duration seconds → ISO-8601 'P12DT23H59M59.999999999999S'
+    (T11, transformer l.333-342 via Olingo EdmDuration; docs example at
+    docs/SapEcc-batchsource.md:82). Value-derived precision: fractional
+    second digits are kept exactly as given, trailing zeros trimmed."""
+
+    def render(v):
+        if v is None:
+            return None
+        try:
+            d = decimal.Decimal(str(v).strip())
+        except decimal.InvalidOperation as e:
+            raise UnexpectedFormatError(
+                f"Field is expected to be of type 'duration'. "
+                f"Unexpected value: '{v}'."
+            ) from e
+        sign = "-" if d < 0 else ""
+        d = abs(d)
+        days, rem = divmod(d, 86400)
+        hours, rem = divmod(rem, 3600)
+        minutes, secs = divmod(rem, 60)
+        out = f"{sign}P"
+        if days:
+            out += f"{int(days)}D"
+        if hours or minutes or secs or not days:
+            out += "T"
+            if hours:
+                out += f"{int(hours)}H"
+            if minutes:
+                out += f"{int(minutes)}M"
+            if secs or (not hours and not minutes and not days):
+                s = format(secs.normalize(), "f")
+                out += f"{s}S"
+        return out
+
+    return raw.map(render)
+
+
+def decode_duration(field: str, raw: Column) -> Column:
+    return _render_duration(raw)
+
+
+# -- decimal kernel (T12) ------------------------------------------------------
+
+
+def make_decimal_decoder(field: str, precision: int, scale: int):
+    """Strict decimal decode (transformer l.370-421):
+
+    - accepts integral/float/decimal wire strings;
+    - float inputs rounded HALF_EVEN into MathContext(precision) (l.415);
+    - raises if value precision > declared precision or scale > declared
+      scale (l.374-387) — Spark's silent-null cast is NOT acceptable;
+    - result re-scaled to the declared scale (unscaled-bytes emit parity).
+    """
+    out_type = T.DecimalType(precision, scale)
+
+    @F.pandas_udf(out_type)
+    def decode(raw: pd.Series) -> pd.Series:
+        def conv(v):
+            if v is None:
+                return None
+            s = str(v).strip()
+            try:
+                d = decimal.Decimal(s)
+            except decimal.InvalidOperation as e:
+                raise UnexpectedFormatError(
+                    f"Field '{field}' is expected to be of type 'decimal'. "
+                    f"Unexpected value: '{s}'."
+                ) from e
+            if "e" in s.lower() or ("." in s and len(s.split(".")[1]) > scale):
+                # float-ish input: HALF_EVEN round into the declared
+                # precision, like the reference does for Float/Double (l.415)
+                d = d.normalize(decimal.Context(prec=precision, rounding=decimal.ROUND_HALF_EVEN))
+            vscale = max(0, -d.as_tuple().exponent)
+            if vscale > scale:
+                raise UnexpectedFormatError(
+                    f"Field '{field}' has scale '{vscale}' which is not equal "
+                    f"to the schema scale '{scale}'."
+                )
+            digits = len(d.as_tuple().digits) - vscale + scale
+            if digits > precision:
+                raise UnexpectedFormatError(
+                    f"Field '{field}' has precision '{digits}' which is "
+                    f"greater than the schema precision '{precision}'."
+                )
+            return d.quantize(decimal.Decimal(1).scaleb(-scale))
+
+        return raw.map(conv)
+
+    return decode
+
+
+# -- stream property (T13/T14) --------------------------------------------------
+
+
+def build_stream_property(
+    media_etag: Column,
+    media_content_type: Column,
+    media_read_link: Column,
+    media_edit_link: Column,
+) -> Column:
+    """StreamProperty struct (T13, l.166-173); read-link + edit-link merge
+    (T14, odata/ODataEntity.java:70-84) = coalescing both link sources into
+    one struct, which in columnar form is simply passing both columns."""
+    return F.struct(
+        media_etag.alias("mediaEtag"),
+        media_content_type.alias("mediaContentType"),
+        media_read_link.alias("mediaReadLink"),
+        media_edit_link.alias("mediaEditLink"),
+    )
+
+
+# -- geospatial kernels (T15-T20): GeoJSON wire → reference structs ------------
+
+_GEOJSON_SCHEMA = T.StructType(
+    [
+        T.StructField("type", T.StringType()),
+        # deepest nesting: MultiPolygon = array<array<array<array<double>>>>
+        T.StructField("coordinates", T.ArrayType(
+            T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType())))
+        )),
+    ]
+)
+
+
+def _point_from(arr: Column, dimension: str) -> Column:
+    # F.get (not getItem): 2-D points have no z — ANSI mode would raise on
+    # the out-of-bounds index; reference defaults z to 0 for 2-D input.
+    return F.struct(
+        F.lit(dimension).alias("dimension"),
+        F.get(arr, 0).alias("x"),
+        F.get(arr, 1).alias("y"),
+        F.coalesce(F.get(arr, 2), F.lit(0.0)).alias("z"),
+    )
+
+
+def decode_geo_point(field: str, raw: Column, dimension: str = "GEOMETRY") -> Column:
+    """GeoJSON Point → {dimension, x, y, z} (T15, l.241-248)."""
+    g = F.from_json(raw, T.StructType([
+        T.StructField("type", T.StringType()),
+        T.StructField("coordinates", T.ArrayType(T.DoubleType())),
+    ]))
+    return F.when(raw.isNull(), F.lit(None)).otherwise(
+        _point_from(g["coordinates"], dimension)
+    )
+
+
+def _linestring_from(coords: Column, dimension: str, type_name: str) -> Column:
+    return F.struct(
+        F.lit(type_name).alias("type"),
+        F.lit(dimension).alias("dimension"),
+        F.transform(coords, lambda p: _point_from(p, dimension)).alias("coordinates"),
+    )
+
+
+def decode_geo_linestring(
+    field: str, raw: Column, dimension: str = "GEOMETRY", type_name: str = "LineString"
+) -> Column:
+    """GeoJSON LineString/MultiPoint → shared struct; `type` disambiguates
+    (T16, l.250-262 — schema shared by design, comment at l.256)."""
+    g = F.from_json(raw, T.StructType([
+        T.StructField("type", T.StringType()),
+        T.StructField("coordinates", T.ArrayType(T.ArrayType(T.DoubleType()))),
+    ]))
+    return F.when(raw.isNull(), F.lit(None)).otherwise(
+        _linestring_from(g["coordinates"], dimension, type_name)
+    )
+
+
+def decode_geo_polygon(field: str, raw: Column, dimension: str = "GEOMETRY") -> Column:
+    """GeoJSON Polygon → {exterior, interior[], numberOfInteriorRings}
+    (T17, l.264-281: ring 0 = exterior, remaining rings = interior)."""
+    g = F.from_json(raw, T.StructType([
+        T.StructField("type", T.StringType()),
+        T.StructField("coordinates", T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType())))),
+    ]))
+    rings = g["coordinates"]
+    interior = F.slice(rings, 2, F.greatest(F.size(rings) - 1, F.lit(0)))
+    return F.when(raw.isNull(), F.lit(None)).otherwise(
+        F.struct(
+            F.lit("Polygon").alias("type"),
+            F.lit(dimension).alias("dimension"),
+            F.transform(
+                rings.getItem(0), lambda p: _point_from(p, dimension)
+            ).alias("exterior"),
+            F.transform(
+                interior,
+                lambda ring: F.struct(
+                    F.lit("LineString").alias("type"),
+                    F.lit(dimension).alias("dimension"),
+                    F.transform(ring, lambda p: _point_from(p, dimension)).alias(
+                        "coordinates"
+                    ),
+                ),
+            ).alias("interior"),
+            (F.size(rings) - 1).cast("int").alias("numberOfInteriorRings"),
+        )
+    )
+
+
+# -- entity-level decode ----------------------------------------------------------
+
+
+_DECODERS = {
+    "Edm.Boolean": decode_boolean,
+    "Edm.Byte": decode_int,
+    "Edm.SByte": decode_int,
+    "Edm.Int16": decode_int,
+    "Edm.Int32": decode_int,
+    "Edm.Int64": decode_long,
+    "Edm.Single": decode_float,
+    "Edm.Double": decode_double,
+    "Edm.String": decode_string,
+    "Edm.Guid": decode_string,
+    "Edm.Binary": decode_binary,
+    "Edm.DateTime": decode_timestamp,
+    "Edm.Date": decode_timestamp,
+    "Edm.DateTimeOffset": decode_datetimeoffset,
+    "Edm.Time": decode_time_micros,
+    "Edm.TimeOfDay": decode_time_micros,
+    "Edm.Duration": decode_duration,
+}
+
+
+def decode_property(prop: PropertyMetadata, raw: Column) -> Column:
+    """Dispatch one property (extractValue, transformer l.92-164)."""
+    t = prop.edm_type
+    if t in _DECODERS:
+        return _DECODERS[t](prop.name, raw)
+    if t == "Edm.Decimal":
+        p = prop.precision if prop.precision is not None else 38
+        return make_decimal_decoder(prop.name, p, prop.scale or 0)(raw)
+    for prefix in ("Edm.Geography", "Edm.Geometry"):
+        if t.startswith(prefix):
+            dim = "GEOGRAPHY" if prefix == "Edm.Geography" else "GEOMETRY"
+            shape = t[len(prefix):]
+            if shape == "Point":
+                return decode_geo_point(prop.name, raw, dim)
+            if shape == "LineString":
+                return decode_geo_linestring(prop.name, raw, dim, "LineString")
+            if shape == "MultiPoint":
+                return decode_geo_linestring(prop.name, raw, dim, "MultiPoint")
+            if shape == "Polygon":
+                return decode_geo_polygon(prop.name, raw, dim)
+    raise UnexpectedFormatError(f"Unsupported EDM type for decode: {t!r}")
+
+
+def decode_entity(df: DataFrame, entity: EntityType) -> DataFrame:
+    """Decode a DataFrame of wire-string columns into the entity's typed
+    schema — the whole-transformer analog (transform, l.73-83), one
+    vectorized select instead of a per-row loop."""
+    cols = []
+    for prop in entity.properties:
+        raw = F.col(prop.name)
+        cols.append(decode_property(prop, raw).alias(prop.name))
+    return df.select(*cols)

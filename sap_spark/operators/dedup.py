@@ -62,11 +62,13 @@ def _payload_cols(df: DataFrame, cfg: EngineConfig) -> list[str]:
 def drop_cancelled(events: DataFrame, cfg: EngineConfig) -> DataFrame:
     """Remove rocancel events and the events they cancel.
 
-    The cancelled-seq set is tiny relative to the batch (a few % of events),
-    so AQE converts the anti-join to a broadcast anti-join at runtime when
-    it fits — no forced broadcast hint, so a pathological batch with many
-    cancellations still degrades gracefully to a shuffled anti-join instead
-    of OOMing the driver.
+    The cancelled-seq set is a few % of the batch and contains only longs,
+    so it is explicitly broadcast: the anti-join becomes a map-side filter
+    and the (payload-heavy) event stream is never shuffled here. A shuffled
+    anti-join would move every content blob across the wire twice (once for
+    the anti-join, once for the LWW shuffle). At 10^10-event scale the
+    per-batch cancel set stays bounded by the delta-unit size; if a source
+    ever produced oversized cancel sets, drop the hint and AQE falls back.
     """
     rc, cs, seq = cfg.rocancel_column, cfg.cancel_seq_column, cfg.order_column
     if rc not in events.columns:
@@ -76,7 +78,9 @@ def drop_cancelled(events: DataFrame, cfg: EngineConfig) -> DataFrame:
         .select(F.col(cs).alias(seq))
         .distinct()
     )
-    return events.where(~F.col(rc)).join(cancelled, on=seq, how="left_anti")
+    return events.where(~F.col(rc)).join(
+        F.broadcast(cancelled), on=seq, how="left_anti"
+    )
 
 
 def lww_window(

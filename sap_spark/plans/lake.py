@@ -236,9 +236,19 @@ class LakeTable:
 
     # -- write paths ----------------------------------------------------------
 
-    def _write_buckets(self, df: DataFrame) -> dict[str, list[dict]]:
+    def _write_buckets(
+        self, df: DataFrame, n_partitions: int | None = None
+    ) -> dict[str, list[dict]]:
         """Write rows (must carry __bucket) as new immutable files; returns
-        bucket -> file entries under the current schema id."""
+        bucket -> file entries under the current schema id.
+
+        Repartitions on __bucket first: without it every shuffle partition
+        spills a file into every bucket directory (cores × buckets small
+        files per commit, re-read by every later merge — quadratic file
+        growth that inverts core scaling). One task per bucket-cluster
+        writes ~1 file per bucket; at cluster scale bucket count, not core
+        count, governs file count.
+        """
         commit_dir = os.path.join(self.path, "data", uuid.uuid4().hex)
         target = self._schema_with_internal()
         ordered = apply_cast_plan(
@@ -249,6 +259,7 @@ class LakeTable:
                 list(target.fields) + [T.StructField("__bucket", T.IntegerType(), True)]
             ),
         )
+        ordered = ordered.repartition(n_partitions or self.num_buckets, "__bucket")
         ordered.write.partitionBy("__bucket").mode("overwrite").parquet(commit_dir)
         sid = self.manifest["current_schema_id"]
         out: dict[str, list[dict]] = {}
@@ -332,6 +343,9 @@ class LakeTable:
             )
             .withColumn("__bucket", bucket_expr(keys, self.num_buckets))
         )
+        # The folded batch feeds two actions (bucket discovery + the merge
+        # write); persist it so the upstream fold/dedup runs once.
+        src = src.persist()
 
         # Bucket pruning: which buckets does this batch touch?
         affected = sorted(
@@ -373,7 +387,10 @@ class LakeTable:
         ]
         merged = joined.select(*merged_cols)
 
-        new_files = self._write_buckets(merged)
+        try:
+            new_files = self._write_buckets(merged, n_partitions=max(len(affected), 1))
+        finally:
+            src.unpersist()
         manifest = json.loads(json.dumps(self.manifest))
         for b in affected:
             manifest["buckets"].pop(str(b), None)

@@ -172,12 +172,23 @@ def gen_change_events(
     )
 
     # Duplicate deliveries: re-emit ~dup_rate of rows in a later token.
+    # Cancelled events are excluded: SLT redelivery granularity is the whole
+    # delta unit, so a ROCANCEL'd event is only ever re-delivered together
+    # with its canceller — an individually re-delivered net-cancelled event
+    # cannot occur (and would be unresolvable once the cancel's delta unit
+    # was already applied).
     max_token = (n_events - 1) // events_per_token
     u_dup = _u01(F.col("event_seq"), F.lit("dup"))
     bump = F.pmod(F.xxhash64(F.col("event_seq"), F.lit("db"), F.lit(SEED)), F.lit(3)) + 1
     dup_tok = F.least(F.col("_tok") + bump, F.lit(max_token))
+    cancelled = (
+        base.where(F.col("rocancel") & F.col("cancel_seq").isNotNull())
+        .select(F.col("cancel_seq").alias("event_seq"))
+        .distinct()
+    )
     dups = (
         base.where((u_dup < dup_rate) & (~F.col("rocancel")) & (F.col("_tok") < max_token))
+        .join(F.broadcast(cancelled), on="event_seq", how="left_anti")
         .withColumn("_tok", dup_tok)
         .withColumn(
             "delta_token", F.concat(F.lit("D"), F.lpad(F.col("_tok").cast("string"), 7, "0"))

@@ -1,0 +1,167 @@
+"""Text analysis + near-dup + ANN operators."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sap_spark.functions import text as TX
+from sap_spark.functions.similarity import jaccard, minhash_signature, char_shingles
+from sap_spark.operators.textdedup import (
+    ann_brute_force,
+    ann_lsh,
+    dedup_embedding_cosine,
+    dedup_exact,
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+    dedup_simhash,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "into the deep green forest to find some tasty food for its hungry cubs "
+    "while the sun slowly sets behind the tall old mountains in the west"
+)
+NEAR = BASE.replace("tasty food", "fresh food").replace("old mountains", "grey mountains")
+OTHER = (
+    "completely different content about database systems and distributed "
+    "computing with spark clusters running large scale batch jobs over "
+    "columnar storage formats like parquet and orc every single day"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),                       # exact dup of 1
+        (3, NEAR),                       # near dup of 1
+        (4, OTHER),
+        (5, "The  Quick Brown FOX jumps over the lazy dog and then runs far "
+            "away into the deep green forest to find some tasty food for its "
+            "hungry cubs while the sun slowly sets behind the tall old "
+            "mountains in the west!"),   # normalized-exact dup of 1
+        (6, "short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog sat on the mat in the sun",),
+            ("der hund und die katze sind nicht auf der straße mit dem ball",),
+            ("le chat est dans la maison et il ne sort pas pour le moment",),
+            ("",),
+        ],
+        "t string",
+    )
+    rows = df.select(
+        TX.token_count(F.col("t")).alias("n"),
+        TX.lang_id(F.col("t")).alias("lang"),
+        TX.fingerprint(F.col("t")).alias("fp"),
+        F.round(TX.stopword_ratio(F.col("t")), 3).alias("swr"),
+    ).collect()
+    assert rows[0]["n"] == 12 and rows[0]["lang"] == "en" and rows[0]["swr"] > 0.3
+    assert rows[1]["lang"] == "de"
+    assert rows[2]["lang"] == "fr"
+    assert rows[3]["n"] == 0 and rows[3]["lang"] == "und"
+
+
+def test_fingerprint_normalization_invariance(spark):
+    df = spark.createDataFrame(
+        [("Hello,   World!",), ("hello world",)], "t string"
+    )
+    fps = [r["fp"] for r in df.select(TX.fingerprint(F.col("t")).alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_quality_score_ranges(spark):
+    good = " ".join(["the quick brown fox jumps over a lazy dog today"] * 5)
+    bad = "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"
+    df = spark.createDataFrame([(good,), (bad,)], "t string")
+    scores = [r["q"] for r in df.select(TX.quality_score(F.col("t")).alias("q")).collect()]
+    assert scores[0] == 1.0
+    assert scores[1] < 0.3
+
+
+def test_minhash_estimates_jaccard(spark, docs):
+    """MinHash signature agreement ≈ exact Jaccard (±0.15 at 64 hashes)."""
+    sh = docs.select("doc_id", char_shingles(F.col("text")).alias("sh"))
+    sig = sh.withColumn("sig", minhash_signature(F.col("sh"), 64))
+    a = sig.where(F.col("doc_id") == 1).collect()[0]
+    b = sig.where(F.col("doc_id") == 3).collect()[0]
+    exact = len(set(a["sh"]) & set(b["sh"])) / len(set(a["sh"]) | set(b["sh"]))
+    est = sum(x == y for x, y in zip(a["sig"], b["sig"])) / 64
+    assert abs(exact - est) < 0.15
+    assert exact > 0.7  # NEAR really is a near-dup at shingle level
+
+
+def test_dedup_exact(spark, docs):
+    out = dedup_exact(docs, "doc_id", "text").collect()
+    groups = {tuple(r["member_ids"]): r for r in out}
+    assert (1, 2, 5) in groups  # 5 is a normalized-exact dup
+    assert groups[(1, 2, 5)]["keep_id"] == 1
+    assert groups[(1, 2, 5)]["n_copies"] == 3
+
+
+@pytest.mark.parametrize("fn", [dedup_minhash_lsh, dedup_ngram_jaccard])
+def test_near_dedup_groups(spark, docs, fn):
+    got = {r["doc_id"]: r["group_id"] for r in fn(docs, "doc_id", "text", threshold=0.6).collect()}
+    assert got[1] == got[2] == got[3] == got[5] == 1  # near-dup cluster
+    assert got[4] == 4 and got[6] == 6  # unrelated docs stay singletons
+
+
+def test_dedup_simhash(spark, docs):
+    got = {r["doc_id"]: r["group_id"] for r in dedup_simhash(docs, "doc_id", "text", max_hamming=6).collect()}
+    assert got[1] == got[2] == got[5] == 1
+    assert got[4] == 4
+
+
+def test_ann_brute_force_matches_numpy(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"]) for r in rows}
+    q = vecs[0]
+    sims = {
+        i: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        for i, v in vecs.items()
+    }
+    expected = sorted(sims, key=lambda i: (-sims[i], i))[:5]
+    got = [
+        r["vec_id"]
+        for r in ann_brute_force(emb, "vec_id", "embedding", list(q), k=5).collect()
+    ]
+    assert got == expected
+
+
+def test_ann_lsh_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    dim = len(q)
+    exact = set(
+        r["vec_id"]
+        for r in ann_brute_force(emb, "vec_id", "embedding", list(q), k=10).collect()
+    )
+    approx = set(
+        r["vec_id"]
+        for r in ann_lsh(
+            emb, "vec_id", "embedding", list(q), dim, k=10,
+            n_planes=12, max_probe_hamming=6,
+        ).collect()
+    )
+    # these synthetic neighbors are only moderately similar (cos ≈ 0.3 →
+    # expected signature hamming ≈ 4.8/12), so probe radius 6 recovers most;
+    # production tuning matches radius to the similarity regime
+    assert len(exact & approx) >= 5, f"recall too low: {exact & approx}"
+
+
+def test_dedup_embedding_cosine(spark):
+    base = [float(x) for x in np.random.RandomState(7).normal(size=16)]
+    near = [x * 1.001 for x in base]
+    other = [float(x) for x in np.random.RandomState(8).normal(size=16)]
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "id int, v array<double>"
+    )
+    got = {r["id"]: r["group_id"] for r in dedup_embedding_cosine(df, "id", "v", 16, threshold=0.99).collect()}
+    assert got[1] == got[2] == 1
+    assert got[3] == 3
