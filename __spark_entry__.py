@@ -438,6 +438,145 @@ _EMB_COSINE_TOPK_SQL = """
 """
 
 
+def _events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (streaming op_rates shape, batch mode)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+_EVENTS_HOURLY_WINDOW_SQL = """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    ORDER BY window_start, event_type
+"""
+
+
+def _orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (multi-level totals in one pass)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+_ORDERS_ROLLUP_SQL = """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+def _events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot via conditional aggregation (engine-portable pivot form)."""
+    ev = _t(spark, sf_dir, "events")
+    def cnt(t):
+        return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+    return (
+        ev.groupBy("user_id")
+        .agg(cnt("click"), cnt("view"), cnt("purchase"))
+        .orderBy("user_id")
+    )
+
+
+_EVENTS_TYPE_PIVOT_SQL = """
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (non-SQL-expressible operators; exact semantics are
+# pytest-verified — the driver records a weaker rows>0 check)
+# ---------------------------------------------------------------------------
+
+
+def _docs_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + language ID + fingerprint per document."""
+    from sap_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.quality_score(F.col("text")).alias("quality"),
+        TX.lang_id(F.col("text")).alias("lang_pred"),
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+def _docs_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup groups over documents."""
+    from sap_spark.operators.textdedup import dedup_minhash_lsh
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_minhash_lsh(docs, "doc_id", "text", threshold=0.7)
+
+
+def _docs_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sap_spark.operators.textdedup import dedup_simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_simhash(docs, "doc_id", "text", max_hamming=3)
+
+
+def _emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe hyperplane-LSH ANN (approximate top-k)."""
+    from sap_spark.operators.textdedup import ann_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return ann_lsh(
+        emb.where(F.col("vec_id") != 0), "vec_id", "embedding", list(q),
+        dim=len(q), k=10, n_planes=12, max_probe_hamming=6,
+    )
+
+
+def _assets_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: Arrow-batched feature extraction over binary
+    assets (decode stubbed — no codecs in this image; see
+    functions/multimodal.py)."""
+    from sap_spark.functions.multimodal import extract_image_features, gen_assets
+
+    return extract_image_features(gen_assets(spark, 200))
+
+
+def _cdc_token_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-delta-token operational metrics of the synthetic change log."""
+    from sap_spark.sources.datagen import gen_change_events
+    from sap_spark.streaming.aggregates import token_progress
+
+    return token_progress(gen_change_events(spark, n_events=10_000, n_keys=1_000))
+
+
 # ---------------------------------------------------------------------------
 # non-SQL-expressible: full engine replay on the synthetic change log
 # ---------------------------------------------------------------------------
@@ -478,7 +617,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lang_profile": _docs_lang_profile,
         "docs_token_stats": _docs_token_stats,
         "emb_cosine_topk": _emb_cosine_topk,
+        "events_hourly_window": _events_hourly_window,
+        "orders_rollup": _orders_rollup,
+        "events_type_pivot": _events_type_pivot,
+        # rows-only (non-SQL-expressible; pytest-verified semantics)
         "cdc_replay_synthetic": _cdc_replay_synthetic,
+        "docs_quality_lang": _docs_quality_lang,
+        "docs_minhash_dedup": _docs_minhash_dedup,
+        "docs_simhash_dedup": _docs_simhash_dedup,
+        "emb_ann_lsh": _emb_ann_lsh,
+        "assets_image_features": _assets_image_features,
+        "cdc_token_progress": _cdc_token_progress,
     }
 
 
@@ -497,6 +646,12 @@ def oracle_sql() -> dict[str, str]:
         "docs_lang_profile": _DOCS_LANG_PROFILE_SQL,
         "docs_token_stats": _DOCS_TOKEN_STATS_SQL,
         "emb_cosine_topk": _EMB_COSINE_TOPK_SQL,
-        # cdc_replay_synthetic: intentionally no oracle (non-SQL source);
-        # exact-state parity is pytest-verified against the sequential fold.
+        "events_hourly_window": _EVENTS_HOURLY_WINDOW_SQL,
+        "orders_rollup": _ORDERS_ROLLUP_SQL,
+        "events_type_pivot": _EVENTS_TYPE_PIVOT_SQL,
+        # intentionally no oracle for: cdc_replay_synthetic (non-SQL source;
+        # exact-state parity pytest-verified against the sequential fold),
+        # docs_quality_lang / docs_minhash_dedup / docs_simhash_dedup /
+        # emb_ann_lsh / assets_image_features / cdc_token_progress
+        # (hash-seeded / UDF / approx operators — semantics pinned in tests).
     }

