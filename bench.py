@@ -37,6 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "1000000"))
+BENCH_MFT = int(os.environ.get("SPARK_GRAFT_BENCH_MFT", "5"))
 
 # contract queries worth timing at sf (headline operator families)
 BENCH_QUERIES = [
@@ -100,7 +101,7 @@ def bench_cdc_replay(spark, cores: int, n_events: int) -> dict:
         pipe = CdcPipeline(
             spark, cfg, table, f"{workdir}/log",
             checkpoint_dir=f"{workdir}/ckpt",
-            max_files_per_trigger=2,
+            max_files_per_trigger=BENCH_MFT,
             pipeline_id="bench",
         )
         t0 = time.monotonic()

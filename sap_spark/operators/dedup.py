@@ -59,6 +59,25 @@ def _payload_cols(df: DataFrame, cfg: EngineConfig) -> list[str]:
     return [c for c in df.columns if c not in reserved]
 
 
+def salted_repartition(
+    events: DataFrame, cfg: EngineConfig, num_partitions: int | None = None
+) -> DataFrame:
+    """Salted repartition-by-primary-key (north_star machinery).
+
+    Plain `repartition(keys)` sends every event of a hot (repo, path) to
+    ONE partition — a straggler at Zipf skew. Salting by
+    pmod(xxhash64(order_column), salt_partitions) spreads each key over
+    salt_partitions partitions while keeping co-location windows small.
+    Downstream two-level LWW (lww_window salted=True) or hash aggregation
+    remains correct because neither requires all rows of a key in one
+    partition. Use before window-shaped pipelines; the default agg path
+    doesn't need it (map-side combine already defuses skew).
+    """
+    n = num_partitions or events.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    salt = F.pmod(F.xxhash64(F.col(cfg.order_column)), F.lit(cfg.salt_partitions))
+    return events.repartition(int(n), *[F.col(k) for k in cfg.key_columns], salt)
+
+
 def drop_cancelled(events: DataFrame, cfg: EngineConfig) -> DataFrame:
     """Remove rocancel events and the events they cancel.
 

@@ -415,6 +415,44 @@ class LakeTable:
         manifest["buckets"] = new_buckets
         self._commit(manifest)
 
+    def expire_snapshots(self, keep_last: int = 1) -> int:
+        """Delete manifests older than the newest `keep_last` and any data
+        files no longer referenced by a retained manifest (Iceberg
+        `expireSnapshots` analog). Returns the number of data files
+        removed. Time travel to expired versions stops working; the current
+        snapshot is never touched."""
+        keep_versions: list[int] = []
+        v: int | None = self.version
+        while v is not None and len(keep_versions) < keep_last:
+            keep_versions.append(v)
+            v = self._load_manifest(v)["parent"]
+        # every file referenced by a retained manifest survives
+        referenced: set[str] = set()
+        for kv in keep_versions:
+            m = self._load_manifest(kv)
+            for entries in m["buckets"].values():
+                referenced.update(e["path"] for e in entries)
+        removed = 0
+        for f in glob.glob(os.path.join(self.path, "data", "*", "__bucket=*", "*.parquet")):
+            if f not in referenced:
+                os.remove(f)
+                removed += 1
+        # drop expired manifests (keep the retained chain intact)
+        for mf in glob.glob(os.path.join(self._meta_dir, "v*.json")):
+            ver = int(os.path.basename(mf)[1:-5])
+            if ver not in keep_versions:
+                os.remove(mf)
+        # retained chain now ends at the oldest kept version
+        oldest = min(keep_versions)
+        m = self._load_manifest(oldest)
+        if m["parent"] is not None:
+            m["parent"] = None
+            tmp = self._manifest_path(oldest) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(m, f)
+            os.replace(tmp, self._manifest_path(oldest))
+        return removed
+
     def history(self) -> list[dict]:
         """Commit history (version, parent, commits count, schema id)."""
         out = []

@@ -1,0 +1,127 @@
+"""Snapshot expiry, salted repartition, stateful cross-batch dedup."""
+
+import glob
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import types as T
+
+from sap_spark.config import EngineConfig
+from sap_spark.operators.dedup import fold_changes, salted_repartition
+from sap_spark.plans.lake import LakeTable
+from sap_spark.sources.datagen import gen_change_events
+from sap_spark.streaming.pipeline import ingest_batch
+from sap_spark.streaming.stateful import seen_seq_filter
+
+CFG = EngineConfig().validate()
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+
+
+def test_expire_snapshots(spark, tmpdir_path):
+    events = gen_change_events(spark, n_events=2000, n_keys=200, events_per_token=500)
+    table = LakeTable.create(spark, f"{tmpdir_path}/t", SCHEMA, ["repo", "path"], 4)
+    for tok in sorted(r[0] for r in events.select("delta_token").distinct().collect()):
+        ingest_batch(events.where(F.col("delta_token") == tok), table, CFG, f"b-{tok}")
+    before = table.read().orderBy("repo", "path").collect()
+    n_files_before = len(glob.glob(f"{table.path}/data/*/__bucket=*/*.parquet"))
+    removed = table.expire_snapshots(keep_last=1)
+    assert removed > 0
+    n_files_after = len(glob.glob(f"{table.path}/data/*/__bucket=*/*.parquet"))
+    assert n_files_after < n_files_before
+    # reload from disk: current snapshot intact
+    fresh = LakeTable(spark, table.path)
+    assert fresh.read().orderBy("repo", "path").collect() == before
+    # idempotency markers survive expiry (still exactly-once after cleanup)
+    assert f"b-D0000000" in fresh.committed_batches()
+
+
+def test_salted_repartition_spreads_hot_key(spark):
+    events = gen_change_events(spark, n_events=5000, n_keys=300, events_per_token=5000)
+    salted = salted_repartition(events, CFG, num_partitions=8)
+    # the hottest key must span >1 partition
+    dist = (
+        salted.withColumn("pid", F.spark_partition_id())
+        .groupBy("repo", "path")
+        .agg(F.countDistinct("pid").alias("nparts"), F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"))
+        .limit(5)
+        .collect()
+    )
+    assert any(r["nparts"] > 1 for r in dist), dist
+    # fold result unchanged by the salted layout
+    a = fold_changes(events, CFG).orderBy("repo", "path").collect()
+    b = fold_changes(salted, CFG).orderBy("repo", "path").collect()
+    assert a == b
+
+
+def test_seen_seq_filter_stateful(spark, tmpdir_path):
+    """Cross-batch duplicate suppression via applyInPandasWithState."""
+    rows = [
+        ("k1", 1, "a"), ("k1", 2, "b"), ("k2", 5, "c"),
+    ]
+    more = [
+        ("k1", 2, "b-dup"),   # re-delivery of seq 2 → must be dropped
+        ("k1", 3, "d"),       # new → kept
+        ("k2", 4, "late"),    # older than watermark 5 → dropped
+    ]
+    schema = "key string, event_seq long, payload string"
+    src_dir = f"{tmpdir_path}/src"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(src_dir)
+
+    stream = spark.readStream.schema(
+        T.StructType([
+            T.StructField("key", T.StringType()),
+            T.StructField("event_seq", T.LongType()),
+            T.StructField("payload", T.StringType()),
+        ])
+    ).option("maxFilesPerTrigger", "1").parquet(src_dir)
+    out_dir = f"{tmpdir_path}/out"
+    filtered = seen_seq_filter(stream, ["key"])
+
+    def run_once():
+        q = (
+            seen_seq_filter(
+                spark.readStream.schema(filtered.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src_dir),
+                ["key"],
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", f"{tmpdir_path}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got1 = set(
+        map(tuple, spark.read.parquet(out_dir).select("key", "event_seq").collect())
+    )
+    assert got1 == {("k1", 1), ("k1", 2), ("k2", 5)}
+
+    # append second batch file; resume from checkpoint → state remembered
+    spark.createDataFrame(more, schema).coalesce(1).write.mode("append").parquet(src_dir)
+    run_once()
+    got2 = set(
+        map(
+            tuple,
+            spark.read.parquet(out_dir)
+            .select("key", "event_seq", "payload")
+            .collect(),
+        )
+    )
+    assert got2 == {
+        ("k1", 1, "a"), ("k1", 2, "b"), ("k2", 5, "c"),  # from run 1
+        ("k1", 3, "d"),                                  # only new event from run 2
+    }, got2

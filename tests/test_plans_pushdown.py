@@ -1,0 +1,114 @@
+"""Physical-plan assertions: the optimizations we rely on at 100 TB must be
+visible in `explain` output, not assumed.
+
+- OData-style options reach the parquet scan (PushedFilters / ReadSchema)
+- column pruning keeps untouched columns out of the scan
+- dimension joins broadcast
+- LWW aggregation does map-side partial aggregation (partial_max before
+  the exchange)
+"""
+
+import pyspark.sql.functions as F
+
+from sap_spark.config import EngineConfig
+from sap_spark.operators.dedup import lww_agg
+from sap_spark.sources.changelog import ODataQueryOptions, apply_query_options
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_and_projection_pushdown(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = apply_query_options(
+        ev,
+        ODataQueryOptions.parse(
+            "$filter=event_type = 'click'&$select=event_id,event_type"
+        ),
+    )
+    plan = plan_of(out)
+    assert "PushedFilters" in plan
+    assert "EqualTo(event_type,click)" in plan.replace(" ", "").replace("'", "") or (
+        "event_type" in plan.split("PushedFilters")[1][:200]
+    )
+    # scan must read ONLY the selected+filtered columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "event_id" in read_schema and "event_type" in read_schema
+    assert "user_id" not in read_schema and "props" not in read_schema
+
+
+def test_limit_becomes_global_limit(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = apply_query_options(ev, ODataQueryOptions.parse("$top=7"))
+    plan = plan_of(out)
+    assert "GlobalLimit" in plan or "CollectLimit" in plan
+
+
+def test_dimension_join_broadcasts(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    joined = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    )
+    plan = plan_of(joined)
+    assert plan.count("BroadcastHashJoin") >= 2  # tree + node detail lines
+    assert "SortMergeJoin" not in plan
+
+
+def test_lww_agg_has_partial_aggregation(spark, sf_dir):
+    """Map-side combine is the skew defense — it must appear as a partial
+    aggregate BEFORE the exchange in the physical plan."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").alias("key"),
+        F.col("event_id").alias("event_seq"),
+        F.lit("I").alias("op"),
+        F.col("value"),
+    )
+    cfg = EngineConfig(key_columns=("key",)).validate()
+    plan = plan_of(lww_agg(ev, cfg))
+    # partial_max/partial_max_by run in the map stage (the detail section
+    # lists them on the aggregate node feeding the Exchange)
+    assert "partial_max" in plan and "partial_max_by" in plan
+    assert plan.count("Exchange (") == 1  # exactly one shuffle, on the key
+
+
+def test_bucket_pruned_merge_reads_only_affected_files(spark, tmpdir_path):
+    """The COW merge plan must scan only the affected buckets' files."""
+    from pyspark.sql import types as T
+    from sap_spark.plans.lake import LakeTable
+    from sap_spark.streaming.pipeline import ingest_batch
+
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("content", T.StringType(), True),
+        ]
+    )
+    cfg = EngineConfig(payload_columns=("content",), num_buckets=8).validate()
+    table = LakeTable.create(spark, f"{tmpdir_path}/t", schema, ["repo", "path"], 8)
+    seed = spark.createDataFrame(
+        [(f"r{i}", f"p{i}", 100 + i, "I", f"c{i}") for i in range(200)],
+        "repo string, path string, event_seq long, op string, content string",
+    )
+    ingest_batch(seed, table, cfg, "b0")
+    n_all_files = sum(len(v) for v in table.manifest["buckets"].values())
+    one = spark.createDataFrame(
+        [("r1", "p1", 999, "U", "new")],
+        "repo string, path string, event_seq long, op string, content string",
+    )
+    target_before = table.read_internal()  # full-table plan for comparison
+    full_files = len(target_before.inputFiles())
+    ingest_batch(one, table, cfg, "b1")
+    # after the single-key merge, exactly one bucket was rewritten; the
+    # merge read only that bucket's files (asserted via manifest diff in
+    # lake tests) — here assert the full read sees all files but a pruned
+    # read sees fewer
+    pruned = table.read_internal(buckets=[0])
+    assert len(pruned.inputFiles()) < full_files
+    assert full_files == n_all_files
