@@ -365,6 +365,165 @@ def decode_geo_polygon(field: str, raw: Column, dimension: str = "GEOMETRY") -> 
     )
 
 
+def _polygon_from(rings: Column, dimension: str) -> Column:
+    interior = F.slice(rings, 2, F.greatest(F.size(rings) - 1, F.lit(0)))
+    return F.struct(
+        F.lit("Polygon").alias("type"),
+        F.lit(dimension).alias("dimension"),
+        F.transform(rings.getItem(0), lambda p: _point_from(p, dimension)).alias(
+            "exterior"
+        ),
+        F.transform(
+            interior,
+            lambda ring: F.struct(
+                F.lit("LineString").alias("type"),
+                F.lit(dimension).alias("dimension"),
+                F.transform(ring, lambda p: _point_from(p, dimension)).alias(
+                    "coordinates"
+                ),
+            ),
+        ).alias("interior"),
+        (F.size(rings) - 1).cast("int").alias("numberOfInteriorRings"),
+    )
+
+
+def decode_geo_multipolygon(
+    field: str, raw: Column, dimension: str = "GEOMETRY"
+) -> Column:
+    """GeoJSON MultiPolygon → {type, dimension, coordinates: array<polygon>}
+    (T18, transformer l.304-323)."""
+    g = F.from_json(raw, T.StructType([
+        T.StructField("type", T.StringType()),
+        T.StructField("coordinates", T.ArrayType(
+            T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType())))
+        )),
+    ]))
+    return F.when(raw.isNull(), F.lit(None)).otherwise(
+        F.struct(
+            F.lit("MultiPolygon").alias("type"),
+            F.lit(dimension).alias("dimension"),
+            F.transform(
+                g["coordinates"], lambda rings: _polygon_from(rings, dimension)
+            ).alias("coordinates"),
+        )
+    )
+
+
+def decode_geo_multilinestring(
+    field: str, raw: Column, dimension: str = "GEOMETRY"
+) -> Column:
+    """GeoJSON MultiLineString → {type, dimension, coordinates:
+    array<linestring>} (T18, transformer l.283-303)."""
+    g = F.from_json(raw, T.StructType([
+        T.StructField("type", T.StringType()),
+        T.StructField("coordinates", T.ArrayType(
+            T.ArrayType(T.ArrayType(T.DoubleType()))
+        )),
+    ]))
+    return F.when(raw.isNull(), F.lit(None)).otherwise(
+        F.struct(
+            F.lit("MultiLineString").alias("type"),
+            F.lit(dimension).alias("dimension"),
+            F.transform(
+                g["coordinates"],
+                lambda coords: _linestring_from(coords, dimension, "LineString"),
+            ).alias("coordinates"),
+        )
+    )
+
+
+def decode_geo_collection(
+    field: str, raw: Column, dimension: str = "GEOMETRY"
+) -> Column:
+    """GeoJSON GeometryCollection → 6 typed arrays (T19, transformer
+    l.199-239: a heterogeneous collection is partitioned into points[],
+    lineStrings[], polygons[], multiPoints[], multiLineStrings[],
+    multiPolygons[]; type tag = 'GeometryCollection'). Nested collections
+    are unsupported — same limitation as the reference (l.197-199).
+
+    Heterogeneous members can't share one from_json schema, so this uses
+    Spark 4 VARIANT: parse once, filter members by type, extract each
+    shape's coordinates at its own depth — all JVM-side."""
+    geoms = F.try_variant_get(F.parse_json(raw), "$.geometries", "array<variant>")
+
+    def members(kind):
+        return F.filter(
+            geoms,
+            lambda m: F.try_variant_get(m, "$.type", "string") == kind,
+        )
+
+    def coords(m, typ):
+        return F.try_variant_get(m, "$.coordinates", typ)
+
+    A1 = "array<double>"
+    A2 = "array<array<double>>"
+    A3 = "array<array<array<double>>>"
+    A4 = "array<array<array<array<double>>>>"
+
+    return F.when(raw.isNull(), F.lit(None)).otherwise(
+        F.struct(
+            F.lit("GeometryCollection").alias("type"),
+            F.lit(dimension).alias("dimension"),
+            F.transform(
+                members("Point"), lambda m: _point_from(coords(m, A1), dimension)
+            ).alias("points"),
+            F.transform(
+                members("LineString"),
+                lambda m: _linestring_from(coords(m, A2), dimension, "LineString"),
+            ).alias("lineStrings"),
+            F.transform(
+                members("Polygon"),
+                lambda m: _polygon_from(coords(m, A3), dimension),
+            ).alias("polygons"),
+            F.transform(
+                members("MultiPoint"),
+                lambda m: _linestring_from(coords(m, A2), dimension, "MultiPoint"),
+            ).alias("multiPoints"),
+            F.transform(
+                members("MultiLineString"),
+                lambda m: F.struct(
+                    F.lit("MultiLineString").alias("type"),
+                    F.lit(dimension).alias("dimension"),
+                    F.transform(
+                        coords(m, A3),
+                        lambda c: _linestring_from(c, dimension, "LineString"),
+                    ).alias("coordinates"),
+                ),
+            ).alias("multiLineStrings"),
+            F.transform(
+                members("MultiPolygon"),
+                lambda m: F.struct(
+                    F.lit("MultiPolygon").alias("type"),
+                    F.lit(dimension).alias("dimension"),
+                    F.transform(
+                        coords(m, A4), lambda rings: _polygon_from(rings, dimension)
+                    ).alias("coordinates"),
+                ),
+            ).alias("multiPolygons"),
+        )
+    )
+
+
+def decode_collection(field: str, raw: Column, element_edm_type: str) -> Column:
+    """V4 collection property (T21, odata/ODataEntity.java:91-93): JSON
+    array of primitive wire values → typed Spark array. Complex element
+    types are rejected, matching 'Complex types are not supported'
+    (ODataEntity.java:100-102)."""
+    elem = {
+        "Edm.String": T.StringType(),
+        "Edm.Int32": T.IntegerType(),
+        "Edm.Int64": T.LongType(),
+        "Edm.Double": T.DoubleType(),
+        "Edm.Boolean": T.BooleanType(),
+    }.get(element_edm_type)
+    if elem is None:
+        raise UnexpectedFormatError(
+            f"Collection element type not supported: {element_edm_type!r} "
+            "(complex types are not supported)"
+        )
+    return F.from_json(raw, T.ArrayType(elem))
+
+
 # -- entity-level decode ----------------------------------------------------------
 
 
@@ -409,6 +568,12 @@ def decode_property(prop: PropertyMetadata, raw: Column) -> Column:
                 return decode_geo_linestring(prop.name, raw, dim, "MultiPoint")
             if shape == "Polygon":
                 return decode_geo_polygon(prop.name, raw, dim)
+            if shape == "MultiLineString":
+                return decode_geo_multilinestring(prop.name, raw, dim)
+            if shape == "MultiPolygon":
+                return decode_geo_multipolygon(prop.name, raw, dim)
+            if shape == "Collection":
+                return decode_geo_collection(prop.name, raw, dim)
     raise UnexpectedFormatError(f"Unsupported EDM type for decode: {t!r}")
 
 

@@ -117,6 +117,55 @@ def read_changelog(
     return apply_query_options(df, ODataQueryOptions.parse(query))
 
 
+def parse_schema(schema_str: str) -> T.StructType:
+    """User-provided schema parse (C2, SapODataConfig.getParsedSchema,
+    SapODataConfig.java:179-186): accepts a StructType JSON document or a
+    DDL string; validates against the engine's allowed-type set."""
+    from sap_spark.schema.compat import validate_schema_types
+
+    try:
+        if schema_str.lstrip().startswith("{"):
+            import json
+
+            schema = T.StructType.fromJson(json.loads(schema_str))
+        else:
+            parsed = T._parse_datatype_string(schema_str)
+            if not isinstance(parsed, T.StructType):
+                raise ValueError("DDL must describe a struct")
+            schema = parsed
+    except Exception as e:  # noqa: BLE001
+        # reference message: "Unable to parse output schema"
+        raise ValueError(f"Unable to parse output schema: {e}") from e
+    validate_schema_types(schema)
+    return schema
+
+
+def preflight(spark: SparkSession, path: str) -> dict:
+    """Connection-validation probe (S8, SapODataSource.java:66-74,91-99):
+    can the source be reached and does it look like a change log? Runs a
+    metadata-only check (schema + file listing via limit(0)) — no data
+    scan — and returns what a FailureCollector would report."""
+    import os
+
+    result = {"path": path, "ok": False, "errors": [], "columns": []}
+    if not os.path.exists(path):
+        result["errors"].append(f"source path does not exist: {path}")
+        return result
+    try:
+        probe = spark.read.parquet(path).limit(0)
+        result["columns"] = probe.columns
+        missing = [
+            c for c in ("delta_token", "event_seq", "op") if c not in probe.columns
+        ]
+        if missing:
+            result["errors"].append(f"missing change-log columns: {missing}")
+        else:
+            result["ok"] = True
+    except Exception as e:  # noqa: BLE001
+        result["errors"].append(str(e))
+    return result
+
+
 def read_changelog_stream(
     spark: SparkSession,
     path: str,

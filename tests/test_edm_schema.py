@@ -203,3 +203,18 @@ def test_apply_cast_plan(spark):
     ]
     row = out.collect()[0]
     assert row["x"] == 1 and row["z"] is None
+
+
+def test_parse_schema_and_preflight(spark, sf_dir):
+    from sap_spark.sources.changelog import parse_schema, preflight
+
+    s = parse_schema("a int, b string")
+    assert s.simpleString() == "struct<a:int,b:string>"
+    assert parse_schema(s.json()) == s
+    with pytest.raises(SchemaCompatError):
+        parse_schema("a map<string,string>")  # allow-list rejects map
+    with pytest.raises(ValueError, match="Unable to parse output schema"):
+        parse_schema("not a schema{{{")
+    ok = preflight(spark, f"{sf_dir}/events.parquet")
+    assert not ok["ok"] and "missing change-log columns" in ok["errors"][0]
+    assert preflight(spark, "/nonexistent")["errors"]
