@@ -81,7 +81,7 @@ def _cdc_lww_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload_columns=("event_type", "value", "ts"),
     ).validate()
     log = _events_as_changelog(spark, sf_dir)
-    out = replay(log, cfg, strategy="agg")
+    out = replay(log, cfg, strategy="fetch")
     return out.select("key", "event_type", F.round("value", 6).alias("value"), "ts")
 
 

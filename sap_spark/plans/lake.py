@@ -44,6 +44,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -290,12 +291,28 @@ class LakeTable:
             manifest["commits"].append(batch_id)
         self._commit(manifest)
 
+    def affected_buckets(self, events: DataFrame) -> list[int]:
+        """Bucket ids touched by a batch of (raw or folded) change events.
+
+        Runs a column-pruned scan: only the key columns are read (parquet
+        never materializes the payload), the distinct set is ≤ num_buckets
+        ints, and map-side partial aggregation keeps the shuffle tiny. Used
+        to prune the MERGE to touched buckets without materializing the
+        folded batch twice.
+        """
+        b = bucket_expr(self.key_columns, self.num_buckets)
+        return sorted(
+            r["__bucket"]
+            for r in events.select(b.alias("__bucket")).distinct().collect()
+        )
+
     def merge_cdc(
         self,
         changes: DataFrame,
         batch_id: str,
         op_column: str = "op",
         seq_column: str = "event_seq",
+        affected_buckets: list[int] | None = None,
     ) -> bool:
         """Apply a folded CDC batch (≤1 row per key, from fold_changes).
 
@@ -315,6 +332,11 @@ class LakeTable:
         """
         if batch_id in self.committed_batches():
             return False
+        # Per-phase wall timings for observability (north_rule metrics);
+        # read by the pipeline into the lineage log after each merge.
+        phases: dict[str, float] = {}
+        self.last_merge_metrics = phases
+        t_start = time.monotonic()
 
         # Schema-evolution gate BEFORE the apply (SURVEY.md §7 step 5).
         change_user_schema = T.StructType(
@@ -343,14 +365,21 @@ class LakeTable:
             )
             .withColumn("__bucket", bucket_expr(keys, self.num_buckets))
         )
-        # The folded batch feeds two actions (bucket discovery + the merge
-        # write); persist it so the upstream fold/dedup runs once.
-        src = src.persist()
-
-        # Bucket pruning: which buckets does this batch touch?
-        affected = sorted(
-            r["__bucket"] for r in src.select("__bucket").distinct().collect()
-        )
+        # Bucket pruning: which buckets does this batch touch? When the
+        # caller already knows (a cheap key-pruned scan of the raw events,
+        # see affected_buckets), the folded plan stays single-pass — no
+        # persist of a payload-heavy intermediate, no cache/GC pressure.
+        # Fallback: persist the folded batch and discover from it.
+        persisted = None
+        if affected_buckets is not None:
+            affected = sorted(affected_buckets)
+        else:
+            src = persisted = src.persist()
+            affected = sorted(
+                r["__bucket"] for r in src.select("__bucket").distinct().collect()
+            )
+        phases["fold_and_discover_sec"] = round(time.monotonic() - t_start, 4)
+        t_phase = time.monotonic()
         target = self.read_internal(buckets=affected).withColumn(
             "__bucket", bucket_expr(keys, self.num_buckets)
         )
@@ -390,7 +419,10 @@ class LakeTable:
         try:
             new_files = self._write_buckets(merged, n_partitions=max(len(affected), 1))
         finally:
-            src.unpersist()
+            if persisted is not None:
+                persisted.unpersist()
+        phases["merge_write_sec"] = round(time.monotonic() - t_phase, 4)
+        t_phase = time.monotonic()
         manifest = json.loads(json.dumps(self.manifest))
         for b in affected:
             manifest["buckets"].pop(str(b), None)
@@ -398,6 +430,8 @@ class LakeTable:
             manifest["buckets"][b] = entries
         manifest["commits"].append(batch_id)
         self._commit(manifest)
+        phases["commit_sec"] = round(time.monotonic() - t_phase, 4)
+        phases["n_affected_buckets"] = len(affected)
         return True
 
     # -- maintenance ------------------------------------------------------

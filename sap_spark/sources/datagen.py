@@ -198,7 +198,12 @@ def gen_change_events(
     return base.unionByName(dups).drop("_tok")
 
 
-def write_change_log(df: DataFrame, path: str, token_aligned: bool = True) -> None:
+def write_change_log(
+    df: DataFrame,
+    path: str,
+    token_aligned: bool = True,
+    files_per_token: int = 1,
+) -> None:
     """Materialize a change log as parquet, partitioned by delta_token so a
     file/streaming source consumes tokens as resumable micro-batch units.
 
@@ -206,9 +211,30 @@ def write_change_log(df: DataFrame, path: str, token_aligned: bool = True) -> No
     lands in exactly one task → one data file per token directory. Streaming
     with maxFilesPerTrigger=k then consumes k *whole* delta tokens per
     micro-batch, which keeps ROCANCEL cancellation scope (one delta unit)
-    inside one batch. At cluster scale a delta unit is bounded by the
-    source's transaction size, so one file per unit is the natural layout.
+    inside one batch.
+
+    files_per_token>1 splits each token directory into that many data files
+    (salted on event_seq). CAUTION: maxFilesPerTrigger slices the stream by
+    *files*, so multi-file tokens let a micro-batch split a delta unit,
+    breaking ROCANCEL cancellation scope (the cancel and its target can land
+    in different epochs). Keep the default unless the consumer ingests whole
+    directories.
+
+    Scan parallelism does NOT require many files: the log is written with
+    small parquet row groups (block.size=8m), so one token file splits into
+    many input tasks under spark.sql.files.maxPartitionBytes — one file per
+    delta unit stays the layout AND the replay scan parallelizes to any
+    core count.
     """
-    if token_aligned:
+    if token_aligned and files_per_token <= 1:
         df = df.repartition("delta_token")
-    df.write.mode("overwrite").partitionBy("delta_token").parquet(path)
+    elif files_per_token > 1:
+        # Partition on the salt alone: the layout is a pure function of
+        # (data, files_per_token), never of cores.
+        df = df.repartition(files_per_token, F.xxhash64("event_seq"))
+    (
+        df.write.mode("overwrite")
+        .option("parquet.block.size", str(8 * 1024 * 1024))
+        .partitionBy("delta_token")
+        .parquet(path)
+    )

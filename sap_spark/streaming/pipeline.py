@@ -48,12 +48,24 @@ def ingest_batch(
     table: LakeTable,
     cfg: EngineConfig,
     batch_id: str,
-    strategy: str = "agg",
+    strategy: str = "fetch",
 ) -> bool:
-    """Apply one batch of raw change events to a LakeTable (idempotent)."""
+    """Apply one batch of raw change events to a LakeTable (idempotent).
+
+    Bucket discovery runs on the *raw* events (column-pruned to the keys —
+    payload never read), which may over-approximate if cancellation erases
+    every event of a bucket; a superset only rewrites an unchanged bucket,
+    never corrupts. This keeps the folded plan single-pass inside the MERGE
+    (no persist of payload-heavy intermediates).
+    """
     folded = fold_changes(events, cfg, strategy=strategy)
+    affected = table.affected_buckets(events.select(*cfg.key_columns))
     return table.merge_cdc(
-        folded, batch_id, op_column=cfg.op_column, seq_column=cfg.order_column
+        folded,
+        batch_id,
+        op_column=cfg.op_column,
+        seq_column=cfg.order_column,
+        affected_buckets=affected,
     )
 
 
@@ -68,7 +80,7 @@ class CdcPipeline:
         log_path: str,
         checkpoint_dir: str,
         max_files_per_trigger: int | None = None,
-        strategy: str = "agg",
+        strategy: str = "fetch",
         pipeline_id: str | None = None,
     ):
         cfg.validate()
@@ -155,6 +167,7 @@ class CdcPipeline:
                 "max_token": metrics.get("max_token"),
                 "max_seq": metrics.get("max_seq"),
                 "elapsed_sec": round(elapsed, 4),
+                "merge_phases": getattr(self.table, "last_merge_metrics", None),
                 "events_per_sec": round(n / elapsed, 1) if elapsed > 0 and n else None,
                 "table_version": self.table.version,
                 "wall_time": time.time(),
