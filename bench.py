@@ -286,9 +286,9 @@ Full per-query timings (local[{n_hi}]): {json.dumps(r_hi['queries'])}
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
-    ap.add_argument("--events", type=int, default=N_EVENTS)
+    ap.add_argument("--events", type=int, default=None)
     ap.add_argument("--scaling", action="store_true")
-    ap.add_argument("--pair", default=os.environ.get("SPARK_GRAFT_SCALING_PAIR", "8,32"),
+    ap.add_argument("--pair", default=os.environ.get("SPARK_GRAFT_SCALING_PAIR", "2,8"),
                     help="N,4N core counts for --scaling")
     ap.add_argument("--cdc-only", action="store_true")
     ap.add_argument("--log", default=None, help="prebuilt change-log dir for the timed replay")
@@ -296,6 +296,11 @@ def main() -> None:
     ap.add_argument("--prepare-logs", default=None, metavar="DIR",
                     help="generate DIR/log (--events) and DIR/warmup (--events/20), then exit")
     args = ap.parse_args()
+    # scaling needs a job big enough that the parallel fraction dominates
+    # per-epoch fixed costs (streaming trigger, planning, broadcast builds)
+    scaling_default = int(os.environ.get("SPARK_GRAFT_SCALING_EVENTS", "8000000"))
+    if args.events is None:
+        args.events = scaling_default if args.scaling else N_EVENTS
     if args.prepare_logs:
         from sap_spark.config import get_spark
 

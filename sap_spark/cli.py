@@ -1,0 +1,154 @@
+"""spark-submit entry point for the CDC ingest job (north_rule: "the job
+ships via spark-submit --py-files").
+
+Cluster usage::
+
+    python -m sap_spark.cli package --out /tmp/sap_spark.zip
+    spark-submit --master <cluster> --py-files /tmp/sap_spark.zip \
+        jobs/cdc_ingest.py --log s3://bucket/changelog \
+        --table s3://bucket/warehouse/repos --checkpoint s3://bucket/ckpt
+
+(``jobs/cdc_ingest.py`` simply calls :func:`main`; running
+``python -m sap_spark.cli ingest ...`` locally is equivalent.)
+
+The job is fully resumable: re-running with the same --checkpoint resumes
+from the last committed delta token, and replayed epochs are no-ops via the
+LakeTable batch-id commit markers (exactly-once).
+
+Design notes for cluster scale:
+
+- the master is never set here — ``spark-submit --master`` / cluster
+  configuration wins (``tuned_builder(master=None)``);
+- ``--shuffle-partitions`` should be sized to ~2-3x total executor cores;
+- ``--buckets`` is a property of the *table layout* (co-located merges),
+  not of the compute size: pick it for target file sizes (~payload GB /
+  256 MB), independent of the executor count.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import zipfile
+
+from pyspark.sql import types as T
+
+
+def package_pyfiles(out_zip: str) -> str:
+    """Zip the sap_spark package for ``spark-submit --py-files``."""
+    pkg_root = os.path.dirname(os.path.abspath(__file__))
+    parent = os.path.dirname(pkg_root)
+    with zipfile.ZipFile(out_zip, "w", zipfile.ZIP_DEFLATED) as zf:
+        for dirpath, _dirnames, filenames in os.walk(pkg_root):
+            if "__pycache__" in dirpath:
+                continue
+            for fn in sorted(filenames):
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    zf.write(full, os.path.relpath(full, parent))
+    return out_zip
+
+
+def _default_schema() -> T.StructType:
+    """The BASELINE.json input_hint target schema."""
+    return T.StructType(
+        [
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("commit", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("content", T.StringType(), True),
+        ]
+    )
+
+
+def run_ingest(args, spark=None) -> dict:
+    """Create-if-missing the target table, replay the change log into it,
+    return the lineage summary."""
+    from sap_spark.config import EngineConfig, tuned_builder
+    from sap_spark.plans.lake import LakeTable
+    from sap_spark.streaming.pipeline import CdcPipeline
+
+    own_session = False
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        # getOrCreate may hand back a pre-existing session (tests, notebook
+        # embedding) — only stop a session this call actually created
+        own_session = SparkSession.getActiveSession() is None
+        spark = tuned_builder(
+            app_name="sap_spark-cdc-ingest",
+            master=args.master,
+            shuffle_partitions=args.shuffle_partitions,
+        ).getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+
+    keys = args.keys.split(",")
+    cfg = EngineConfig(
+        key_columns=tuple(keys),
+        num_buckets=args.buckets,
+    ).validate()
+    schema = (
+        T.StructType.fromDDL(args.schema) if args.schema else _default_schema()
+    )
+    table = LakeTable.create(
+        spark, args.table, schema, key_columns=keys,
+        num_buckets=args.buckets, if_not_exists=True,
+    )
+    pipe = CdcPipeline(
+        spark, cfg, table, args.log,
+        checkpoint_dir=args.checkpoint,
+        max_files_per_trigger=args.max_files_per_trigger,
+        strategy=args.strategy,
+        pipeline_id=args.pipeline_id,
+    )
+    pipe.run_available_now(timeout_sec=args.timeout)
+    lineage = pipe.lineage()
+    applied = [r for r in lineage if r.get("applied")]
+    summary = {
+        "epochs_applied": len(applied),
+        "events": sum(r.get("n_events") or 0 for r in applied),
+        "table_version": LakeTable(spark, args.table).version,
+    }
+    if own_session:
+        spark.stop()
+    return summary
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(prog="sap_spark.cli")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("package", help="zip sap_spark for --py-files")
+    p.add_argument("--out", default="sap_spark.zip")
+
+    i = sub.add_parser("ingest", help="replay a change log into a LakeTable")
+    i.add_argument("--log", required=True, help="change-log directory (parquet, delta_token-partitioned)")
+    i.add_argument("--table", required=True, help="LakeTable directory")
+    i.add_argument("--checkpoint", required=True, help="streaming checkpoint dir")
+    i.add_argument("--keys", default="repo,path", help="comma-separated primary key")
+    i.add_argument("--schema", default=None, help="target DDL (default: input_hint repos schema)")
+    i.add_argument("--buckets", type=int, default=32)
+    i.add_argument("--strategy", default="fetch",
+                   choices=["fetch", "agg", "window", "window_salted"])
+    i.add_argument("--max-files-per-trigger", type=int, default=None)
+    i.add_argument("--pipeline-id", default=None)
+    i.add_argument("--timeout", type=float, default=None)
+    i.add_argument("--master", default=None,
+                   help="only for local runs; leave unset under spark-submit")
+    i.add_argument("--shuffle-partitions", type=int, default=None)
+
+    args = ap.parse_args(argv)
+    if args.cmd == "package":
+        out = package_pyfiles(args.out)
+        print(out)
+    else:
+        summary = run_ingest(args)
+        import json
+
+        print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

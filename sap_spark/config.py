@@ -77,28 +77,23 @@ class EngineConfig:
         return self
 
 
-def get_spark(
+def tuned_builder(
     app_name: str = "sap_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
-) -> SparkSession:
-    """Build (or reuse) a SparkSession tuned for this engine.
+):
+    """SparkSession.Builder with the engine's tuned configs.
 
-    Local-mode defaults come from the sandbox (local[$SPARK_GRAFT_CPUS]); on a
-    real cluster the same code runs unchanged under spark-submit, where
-    ``master`` is supplied externally.
+    ``master=None`` leaves the master unset so ``spark-submit --master``
+    (cluster mode) wins; local entry points pass one explicitly.
     """
-    if master is None:
-        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
-        master = f"local[{cpus}]"
     if shuffle_partitions is None:
         cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
         shuffle_partitions = int(cpus_env) if cpus_env and cpus_env.isdigit() else 32
 
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -114,8 +109,28 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
+    if master is not None:
+        builder = builder.master(master)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    spark = builder.getOrCreate()
+    return builder
+
+
+def get_spark(
+    app_name: str = "sap_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    Local-mode defaults come from the sandbox (local[$SPARK_GRAFT_CPUS]); on a
+    real cluster use ``tuned_builder`` (or the CLI, sap_spark/cli.py) under
+    spark-submit, where the master is supplied externally.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    spark = tuned_builder(app_name, master, shuffle_partitions, extra_conf).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

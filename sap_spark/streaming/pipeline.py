@@ -82,7 +82,15 @@ class CdcPipeline:
         max_files_per_trigger: int | None = None,
         strategy: str = "fetch",
         pipeline_id: str | None = None,
+        transform=None,
     ):
+        """``transform``: optional DataFrame → DataFrame decode stage applied
+        to each micro-batch before fold/merge — the slot for the SAP-style
+        field-decode kernels (functions/decode.py ``decode_entity`` /
+        per-field kernels, vectorized expressions or Arrow pandas UDFs; see
+        north_star). It must preserve the envelope columns (key, op, seq,
+        token, rocancel) and runs inside the same per-epoch job — no extra
+        pass over the batch."""
         cfg.validate()
         self.spark = spark
         self.cfg = cfg
@@ -91,6 +99,7 @@ class CdcPipeline:
         self.checkpoint_dir = checkpoint_dir
         self.max_files_per_trigger = max_files_per_trigger
         self.strategy = strategy
+        self.transform = transform
         self.pipeline_id = pipeline_id or f"cdc-{uuid.uuid4().hex[:8]}"
         self.lineage_path = os.path.join(table.path, "_meta", "lineage.jsonl")
 
@@ -142,6 +151,8 @@ class CdcPipeline:
     def _process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         cfg = self.cfg
         batch_df = self._reroot(batch_df)
+        if self.transform is not None:
+            batch_df = self.transform(batch_df)
         t0 = time.monotonic()
         obs = Observation(f"lineage-{epoch_id}")
         observed = batch_df.observe(

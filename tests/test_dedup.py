@@ -37,7 +37,7 @@ def test_drop_cancelled(spark, events):
     assert got == expected
 
 
-@pytest.mark.parametrize("strategy", ["agg", "window", "window_salted"])
+@pytest.mark.parametrize("strategy", ["fetch", "agg", "window", "window_salted"])
 def test_replay_matches_sequential_fold(spark, events, oracle_state, strategy):
     got = (
         replay(events, CFG, strategy=strategy)
@@ -78,6 +78,34 @@ def test_strategies_agree(spark, events):
         .orderBy("repo", "path")
         .select("repo", "path", "event_seq", "op", "commit")
         .collect()
-        for s in ["agg", "window", "window_salted"]
+        for s in ["fetch", "agg", "window", "window_salted"]
     ]
-    assert outs[0] == outs[1] == outs[2]
+    assert outs[0] == outs[1] == outs[2] == outs[3]
+
+
+def test_fetch_unique_per_key_with_duplicate_deliveries(spark, events):
+    """Duplicate deliveries (same event_seq, later token) must yield exactly
+    one winner row per key in the fetch path — the join on
+    (key, seq, token) with max(struct(seq, token)) picks one delivery."""
+    folded = fold_changes(events, CFG, strategy="fetch")
+    dup_keys = folded.groupBy("repo", "path").count().where(F.col("count") > 1)
+    assert dup_keys.count() == 0
+
+
+def test_fetch_without_token_column_falls_back(spark, events):
+    """Without a delivery id (no delta_token column) the fetch strategy must
+    fall back to the single-pass agg and still match it."""
+    no_tok = events.drop("delta_token")
+    got = (
+        fold_changes(no_tok, CFG, strategy="fetch")
+        .orderBy("repo", "path")
+        .select("repo", "path", "event_seq", "op", "commit")
+        .collect()
+    )
+    want = (
+        fold_changes(no_tok, CFG, strategy="agg")
+        .orderBy("repo", "path")
+        .select("repo", "path", "event_seq", "op", "commit")
+        .collect()
+    )
+    assert got == want

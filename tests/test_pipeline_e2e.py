@@ -88,3 +88,37 @@ def test_streaming_replay_resume_and_tail(spark, tmpdir_path):
     pipe3.table = table
     pipe3._process_batch(some_batch, epoch_id=0)  # same (pipeline, epoch) id
     assert table.version == version
+
+
+def test_pipeline_decode_transform_stage(spark, tmpdir_path):
+    """The per-batch decode hook (north_star "vectorized field decoding"):
+    a transform built from the decode kernels runs inside each epoch and
+    its effect lands in the final table."""
+    from sap_spark.functions.decode import decode_string
+
+    events = gen_change_events(spark, n_events=2000, n_keys=200, events_per_token=500)
+    log_dir = f"{tmpdir_path}/log"
+    write_change_log(events, log_dir)
+
+    table = LakeTable.create(
+        spark, f"{tmpdir_path}/repos", TARGET_SCHEMA,
+        key_columns=["repo", "path"], num_buckets=8,
+    )
+
+    def decode_stage(df):
+        # type-asserted decode (kernel T7) + SAP-style mapping: lang code
+        # normalized upper-case, envelope columns untouched
+        return df.withColumn("lang", F.upper(decode_string("lang", F.col("lang"))))
+
+    pipe = CdcPipeline(
+        spark, CFG, table, log_dir,
+        checkpoint_dir=f"{tmpdir_path}/ckpt",
+        max_files_per_trigger=2,
+        transform=decode_stage,
+        pipeline_id="decode-test",
+    )
+    pipe.run_available_now(timeout_sec=600)
+
+    final = LakeTable(spark, table.path).read()
+    langs = [r["lang"] for r in final.select("lang").distinct().collect()]
+    assert langs and all(v == v.upper() for v in langs if v is not None)
