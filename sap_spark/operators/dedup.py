@@ -195,20 +195,38 @@ def lww_fetch(events: DataFrame, cfg: EngineConfig) -> DataFrame:
     ``cfg.broadcast_winners`` off and AQE plans a shuffled join of the
     slim winner relation instead.
     """
+    if cfg.token_column not in events.columns:
+        # no delivery id available → single-pass agg stays exact
+        return lww_agg(drop_cancelled(events, cfg), cfg)
+    return fetch_winner_payloads(events, lww_winners(events, cfg), cfg)
+
+
+def lww_winners(events: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Phase A of the fetch fold: (key…, event_seq, delta_token) of each
+    key's winning delivery. Payload columns are never referenced, so the
+    scan prunes them. The result is O(distinct keys) of ~100 B rows —
+    callers may persist it to reuse for bucket discovery + the fetch join."""
     keys = list(cfg.key_columns)
     seq, tok = cfg.order_column, cfg.token_column
     survivors = drop_cancelled(events, cfg)
-    if tok not in events.columns:
-        # no delivery id available → single-pass agg stays exact
-        return lww_agg(survivors, cfg)
-    win = (
+    return (
         survivors.groupBy(*keys)
         .agg(F.max(F.struct(F.col(seq), F.col(tok))).alias("__w"))
         .select(*keys, F.col(f"__w.{seq}").alias(seq), F.col(f"__w.{tok}").alias(tok))
     )
+
+
+def fetch_winner_payloads(
+    events: DataFrame, winners: DataFrame, cfg: EngineConfig
+) -> DataFrame:
+    """Phase B of the fetch fold: materialize exactly the winning deliveries
+    (payload included) via a map-side hash probe of the winner set."""
+    keys = list(cfg.key_columns)
+    seq, tok = cfg.order_column, cfg.token_column
     if getattr(cfg, "broadcast_winners", True):
-        win = F.broadcast(win)
-    return survivors.join(win, on=[*keys, seq, tok], how="inner").drop(tok)
+        winners = F.broadcast(winners)
+    survivors = drop_cancelled(events, cfg)
+    return survivors.join(winners, on=[*keys, seq, tok], how="inner").drop(tok)
 
 
 def fold_changes(

@@ -52,21 +52,46 @@ def ingest_batch(
 ) -> bool:
     """Apply one batch of raw change events to a LakeTable (idempotent).
 
-    Bucket discovery runs on the *raw* events (column-pruned to the keys —
-    payload never read), which may over-approximate if cancellation erases
-    every event of a bucket; a superset only rewrites an unchanged bucket,
-    never corrupts. This keeps the folded plan single-pass inside the MERGE
-    (no persist of payload-heavy intermediates).
+    Fetch strategy (default): the winner set (key, seq, token — O(keys) of
+    ~100 B rows) is computed once from a payload-pruned scan and persisted;
+    bucket discovery reads it (exact affected set, one tiny job) and the
+    fetch join broadcasts it — the payload-heavy fold stays single-pass
+    inside the MERGE write job.
+
+    Other strategies: bucket discovery falls back to a key-pruned scan of
+    the raw events; a superset (keys fully cancelled in-batch) only
+    rewrites an unchanged bucket, never corrupts.
     """
-    folded = fold_changes(events, cfg, strategy=strategy)
-    affected = table.affected_buckets(events.select(*cfg.key_columns))
-    return table.merge_cdc(
-        folded,
-        batch_id,
-        op_column=cfg.op_column,
-        seq_column=cfg.order_column,
-        affected_buckets=affected,
+    from sap_spark.operators.dedup import (
+        _payload_cols,
+        fetch_winner_payloads,
+        lww_winners,
     )
+
+    winners = None
+    if strategy == "fetch" and cfg.token_column in events.columns:
+        winners = lww_winners(events, cfg).persist()
+        affected = table.affected_buckets(winners.select(*cfg.key_columns))
+        folded = fetch_winner_payloads(events, winners, cfg)
+        keep = [
+            *cfg.key_columns, cfg.order_column, cfg.op_column,
+            *_payload_cols(events, cfg),
+        ]
+        folded = folded.select(*[c for c in keep if c in folded.columns])
+    else:
+        folded = fold_changes(events, cfg, strategy=strategy)
+        affected = table.affected_buckets(events.select(*cfg.key_columns))
+    try:
+        return table.merge_cdc(
+            folded,
+            batch_id,
+            op_column=cfg.op_column,
+            seq_column=cfg.order_column,
+            affected_buckets=affected,
+        )
+    finally:
+        if winners is not None:
+            winners.unpersist()
 
 
 class CdcPipeline:

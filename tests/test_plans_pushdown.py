@@ -112,3 +112,72 @@ def test_bucket_pruned_merge_reads_only_affected_files(spark, tmpdir_path):
     pruned = table.read_internal(buckets=[0])
     assert len(pruned.inputFiles()) < full_files
     assert full_files == n_all_files
+
+
+def test_lww_fetch_prunes_payload_and_broadcasts(spark, tmpdir_path):
+    """The default fetch fold must (a) never read payload columns in the
+    winner-selection branch — visible as a second scan whose ReadSchema
+    excludes content — and (b) join the winner set back with a broadcast
+    hash join, never a shuffle of the payload side."""
+    from sap_spark.operators.dedup import lww_fetch
+    from sap_spark.sources.datagen import gen_change_events, write_change_log
+
+    events = gen_change_events(spark, n_events=2000, n_keys=200, events_per_token=500)
+    write_change_log(events, f"{tmpdir_path}/log")
+    log = spark.read.parquet(f"{tmpdir_path}/log")
+
+    cfg = EngineConfig().validate()
+    plan = plan_of(lww_fetch(log, cfg))
+
+    assert "BroadcastHashJoin" in plan
+    # one scan per branch: the winner branch must NOT read content/commit
+    read_schemas = [s.splitlines()[0] for s in plan.split("ReadSchema:")[1:]]
+    assert any("content" not in rs and "commit" not in rs for rs in read_schemas), (
+        "winner-selection branch reads payload columns:\n" + "\n".join(read_schemas)
+    )
+    # and the winner aggregation still does map-side partial aggregation
+    assert "partial_max" in plan
+
+
+def test_merge_join_is_hash_not_sort(spark, tmpdir_path):
+    """The CDC merge join must be a shuffled-hash (or broadcast) join —
+    sort-merge would pay two payload-sized sorts per epoch."""
+    from pyspark.sql import types as T
+    from sap_spark.plans.lake import LakeTable, bucket_expr
+    from sap_spark.schema.compat import apply_cast_plan
+    from sap_spark.streaming.pipeline import ingest_batch
+
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("content", T.StringType(), True),
+        ]
+    )
+    cfg = EngineConfig(payload_columns=("content",), num_buckets=4).validate()
+    table = LakeTable.create(spark, f"{tmpdir_path}/t2", schema, ["repo", "path"], 4)
+    seed = spark.createDataFrame(
+        [(f"r{i}", f"p{i}", 100 + i, "I", f"c{i}") for i in range(300)],
+        "repo string, path string, event_seq long, op string, content string",
+    )
+    ingest_batch(seed, table, cfg, "b0")
+
+    # build the same full-outer merge shape the engine runs
+    src = (
+        apply_cast_plan(
+            seed,
+            T.StructType(
+                list(schema.fields)
+                + [
+                    T.StructField("op", T.StringType(), True),
+                    T.StructField("event_seq", T.LongType(), True),
+                ]
+            ),
+        ).withColumn("__bucket", bucket_expr(["repo", "path"], 4))
+    )
+    target = table.read_internal().withColumn(
+        "__bucket", bucket_expr(["repo", "path"], 4)
+    )
+    joined = target.alias("t").join(src.alias("s"), on=["repo", "path"], how="full_outer")
+    plan = plan_of(joined)
+    assert "SortMergeJoin" not in plan, plan.split("== Physical Plan ==")[-1][:500]
