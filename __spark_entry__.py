@@ -513,6 +513,99 @@ _EVENTS_TYPE_PIVOT_SQL = """
 """
 
 
+def _nations_customers_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation (EXCEPT): nation keys that have customers but no
+    suppliers (SURVEY.md §2.5 set ops / idempotency re-check primitive)."""
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    return (
+        customer.select(F.col("c_nationkey").alias("nationkey"))
+        .exceptAll(supplier.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+        .orderBy("nationkey")
+    )
+
+
+_NATIONS_CUSTOMERS_ONLY_SQL = """
+    SELECT DISTINCT nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT ALL
+        SELECT s_nationkey AS nationkey FROM supplier
+    )
+    ORDER BY nationkey
+"""
+
+
+def _lineitem_decimal_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal fidelity (kernel T12): exact DECIMAL(18,2) arithmetic — cast,
+    multiply, sum — no float drift permitted between engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    # round() in the double domain first: both engines then cast a value
+    # that is far from any .xx5 tie, so the double→decimal rounding-mode
+    # difference (Spark HALF_UP vs DuckDB HALF_EVEN) can never bite
+    price = F.round(F.col("l_extendedprice"), 2).cast("decimal(18,2)")
+    disc = F.round(F.col("l_discount"), 2).cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            # decimal-exact sums; emitted as double for the comparator
+            # (13 significant digits — exact in float64)
+            F.sum(price).cast("decimal(38,2)").cast("double").alias("sum_price"),
+            F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc))
+            .cast("decimal(38,4)")
+            .cast("double")
+            .alias("sum_disc_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_LINEITEM_DECIMAL_TOTALS_SQL = """
+    SELECT l_returnflag,
+           CAST(CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price,
+           CAST(CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(round(l_discount, 2) AS DECIMAL(18,2))))
+                AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+
+def _events_time_micros(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-of-day kernel (T9): micros-of-day as long — the engine's
+    representation for Edm.Time (no Spark TimeType; SURVEY.md §1.2)."""
+    ev = _t(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ; session TZ is pinned UTC, so the cast is lossless
+    ts = F.col("ts").cast("timestamp")
+    micros = F.unix_micros(ts) - F.unix_micros(F.date_trunc("day", ts))
+    return ev.select("event_id", micros.alias("time_micros")).orderBy("event_id")
+
+
+_EVENTS_TIME_MICROS_SQL = """
+    SELECT event_id,
+           epoch_us(ts) - epoch_us(date_trunc('day', ts)) AS time_micros
+    FROM events
+    ORDER BY event_id
+"""
+
+
+def _docs_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The content-sha256 invariant (BASELINE.json input_hint) as an
+    oracle-checked kernel: sha2(text, 256) per document."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.sha2("text", 256).alias("content_sha")).orderBy(
+        "doc_id"
+    )
+
+
+_DOCS_SHA256_SQL = """
+    SELECT doc_id, sha256(text) AS content_sha
+    FROM documents
+    ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible operators; exact semantics are
 # pytest-verified — the driver records a weaker rows>0 check)
@@ -620,6 +713,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_window": _events_hourly_window,
         "orders_rollup": _orders_rollup,
         "events_type_pivot": _events_type_pivot,
+        "nations_customers_only": _nations_customers_only,
+        "lineitem_decimal_totals": _lineitem_decimal_totals,
+        "events_time_micros": _events_time_micros,
+        "docs_sha256": _docs_sha256,
         # rows-only (non-SQL-expressible; pytest-verified semantics)
         "cdc_replay_synthetic": _cdc_replay_synthetic,
         "docs_quality_lang": _docs_quality_lang,
@@ -649,6 +746,10 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_window": _EVENTS_HOURLY_WINDOW_SQL,
         "orders_rollup": _ORDERS_ROLLUP_SQL,
         "events_type_pivot": _EVENTS_TYPE_PIVOT_SQL,
+        "nations_customers_only": _NATIONS_CUSTOMERS_ONLY_SQL,
+        "lineitem_decimal_totals": _LINEITEM_DECIMAL_TOTALS_SQL,
+        "events_time_micros": _EVENTS_TIME_MICROS_SQL,
+        "docs_sha256": _DOCS_SHA256_SQL,
         # intentionally no oracle for: cdc_replay_synthetic (non-SQL source;
         # exact-state parity pytest-verified against the sequential fold),
         # docs_quality_lang / docs_minhash_dedup / docs_simhash_dedup /
