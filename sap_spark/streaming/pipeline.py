@@ -108,6 +108,7 @@ class CdcPipeline:
         strategy: str = "fetch",
         pipeline_id: str | None = None,
         transform=None,
+        enforce_token_atomicity: bool = True,
     ):
         """``transform``: optional DataFrame → DataFrame decode stage applied
         to each micro-batch before fold/merge — the slot for the SAP-style
@@ -115,7 +116,21 @@ class CdcPipeline:
         per-field kernels, vectorized expressions or Arrow pandas UDFs; see
         north_star). It must preserve the envelope columns (key, op, seq,
         token, rocancel) and runs inside the same per-epoch job — no extra
-        pass over the batch."""
+        pass over the batch.
+
+        ``enforce_token_atomicity``: a delta token is one source transaction
+        — the ROCANCEL cancellation scope. The file source slices batches by
+        *file count*, so a multi-file token can straddle two epochs, placing
+        a cancel and its target in different folds (observed: silently wrong
+        final state). With enforcement on, an epoch applies only tokens
+        whose on-disk file set is fully delivered; files of still-partial
+        tokens are deferred (by path — no data is spilled) and applied by a
+        later epoch once the token completes. Deferred-state files live
+        under the checkpoint dir keyed by epoch id, so retries replay
+        deterministically. Tokens applied out of order remain correct via
+        the event_seq version gate. Costs one driver-side listing of the
+        batch's token directories per epoch; disabled automatically for
+        non-file sources or non-local paths that can't be listed."""
         cfg.validate()
         self.spark = spark
         self.cfg = cfg
@@ -125,8 +140,10 @@ class CdcPipeline:
         self.max_files_per_trigger = max_files_per_trigger
         self.strategy = strategy
         self.transform = transform
+        self.enforce_token_atomicity = enforce_token_atomicity
         self.pipeline_id = pipeline_id or f"cdc-{uuid.uuid4().hex[:8]}"
         self.lineage_path = os.path.join(table.path, "_meta", "lineage.jsonl")
+        self._deferred_dir = os.path.join(checkpoint_dir, "sap_spark_deferred")
 
     # -- lineage ---------------------------------------------------------
 
@@ -143,39 +160,168 @@ class CdcPipeline:
 
     # -- the per-epoch apply ----------------------------------------------
 
-    def _reroot(self, batch_df: DataFrame) -> DataFrame:
-        """Rebase the micro-batch onto a fresh batch scan of its exact files.
+    def _batch_files(self, epoch_id: int) -> list[str] | None:
+        """The exact file set of this epoch, from the checkpoint's source
+        log (``<ckpt>/sources/0/<epoch>``) — the pinned offset record the
+        stream replays on retry. (``batch_df.inputFiles()`` is not reliable
+        for foreachBatch frames.) None for non-file sources."""
+        src = os.path.join(self.checkpoint_dir, "sources", "0", str(epoch_id))
+        if not os.path.exists(src):
+            return None
+        files = []
+        with open(src) as f:
+            for line in f:
+                line = line.strip()
+                if line.startswith("{"):
+                    files.append(json.loads(line)["path"])
+        return files or None
 
-        A foreachBatch DataFrame carries streaming lineage, which disables
-        AQE on every derived job — measured 3-6x slower epochs (bad join
-        strategies, no partition coalescing) on identical data. The offset
-        log has already pinned the file set, so re-reading those files as a
-        plain batch source is semantically identical (same rows on retry)
-        while restoring the adaptive planner. basePath keeps the
-        delta_token partition column. Non-file sources fall back unchanged.
+    # -- delta-unit (token) atomicity -------------------------------------
 
-        Note: the file source hands out whole files (= whole delta tokens)
-        but not necessarily in token order. The merge is event_seq-
-        version-gated and delete-tombstoned, so applying delta units out of
-        order still converges to the exact sequential-fold state — stronger
-        than the SLT contract, and it removes any ordering coordination at
-        scale.
-        """
-        try:
-            files = batch_df.inputFiles()
-        except Exception:  # noqa: BLE001 - non-file source
-            return batch_df
-        if not files:
-            return batch_df
-        return (
-            self.spark.read.option("basePath", self.log_path)
-            .schema(batch_df.schema)
-            .parquet(*files)
-        )
+    @staticmethod
+    def _local_path(uri: str) -> str | None:
+        """Local filesystem path for a file: URI; None for other schemes
+        (object stores can't be listed with os.listdir — enforcement then
+        relies on the source's own batching)."""
+        if "://" not in uri and ":" not in uri.split("/", 1)[0]:
+            return uri
+        from urllib.parse import urlparse
+
+        parsed = urlparse(uri)
+        if parsed.scheme in ("", "file"):
+            return parsed.path
+        return None
+
+    def _load_deferred(self, epoch_id: int) -> set[str]:
+        """Deferred file set left by the most recent epoch before this one
+        (ids ≥ epoch_id are ignored so a retried epoch re-reads the same
+        state its first attempt saw)."""
+        if not os.path.isdir(self._deferred_dir):
+            return set()
+        best = -1
+        for fn in os.listdir(self._deferred_dir):
+            if fn.endswith(".json"):
+                eid = int(fn[:-5])
+                if eid < epoch_id:
+                    best = max(best, eid)
+        if best < 0:
+            return set()
+        with open(os.path.join(self._deferred_dir, f"{best:012d}.json")) as f:
+            return set(json.load(f)["files"])
+
+    def _save_deferred(self, epoch_id: int, files: list[str]) -> None:
+        os.makedirs(self._deferred_dir, exist_ok=True)
+        target = os.path.join(self._deferred_dir, f"{epoch_id:012d}.json")
+        tmp = target + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"epoch_id": epoch_id, "files": sorted(files)}, f)
+        os.replace(tmp, target)
+        # prune old state (retries only ever look backwards one step)
+        for fn in os.listdir(self._deferred_dir):
+            if fn.endswith(".json") and int(fn[:-5]) < epoch_id - 2:
+                os.remove(os.path.join(self._deferred_dir, fn))
+
+    def _seen_before(self, epoch_id: int) -> set[str]:
+        """Every file the source delivered in epochs before this one, from
+        the checkpoint source log (handles .compact entries, which keep the
+        original batchId per line)."""
+        src_dir = os.path.join(self.checkpoint_dir, "sources", "0")
+        seen: set[str] = set()
+        if not os.path.isdir(src_dir):
+            return seen
+        for fn in os.listdir(src_dir):
+            if fn.startswith("."):
+                continue
+            with open(os.path.join(src_dir, fn)) as f:
+                for line in f:
+                    line = line.strip()
+                    if line.startswith("{"):
+                        e = json.loads(line)
+                        if e.get("batchId", 1 << 62) < epoch_id:
+                            p = self._local_path(e["path"])
+                            if p:
+                                seen.add(p)
+        return seen
+
+    def _split_complete_tokens(
+        self, files: list[str], epoch_id: int
+    ) -> tuple[list[str], list[str]]:
+        """(files of fully-delivered tokens, files to defer).
+
+        Carried-over deferred files join this epoch's files before the
+        completeness check, so a token finishing across k epochs is applied
+        exactly once, whole, by the epoch that sees its last file. A token
+        is complete when every file in its directory is either in hand or
+        was already applied by an earlier epoch (an appended log can add
+        files to a token dir whose earlier files were long applied —
+        completeness must not wait on those)."""
+        deferred_prev = self._load_deferred(epoch_id)
+        have = set(files) | deferred_prev
+        applied_before = self._seen_before(epoch_id) - deferred_prev
+        by_dir: dict[str, set[str]] = {}
+        for f in have:
+            by_dir.setdefault(os.path.dirname(f), set()).add(f)
+        complete: list[str] = []
+        deferred: list[str] = []
+        for tok_dir, fs in by_dir.items():
+            on_disk = {
+                os.path.join(tok_dir, fn)
+                for fn in os.listdir(tok_dir)
+                if fn.endswith(".parquet")
+            }
+            if on_disk <= (fs | applied_before):
+                complete.extend(sorted(fs))
+            else:
+                deferred.extend(sorted(fs))
+        return complete, deferred
 
     def _process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        """Apply one epoch. The micro-batch is re-rooted onto a fresh batch
+        scan of its exact files (from the checkpoint source log): a
+        foreachBatch DataFrame carries streaming lineage, which disables AQE
+        on every derived job; re-reading the pinned file set as a plain
+        batch source is identical on retry while restoring the adaptive
+        planner. Token atomicity (see __init__) filters the file set to
+        fully-delivered delta tokens first. The file source hands out whole
+        files but not necessarily in token order — the merge is event_seq-
+        version-gated and delete-tombstoned, so out-of-order delta units
+        still converge to the exact sequential-fold state."""
         cfg = self.cfg
-        batch_df = self._reroot(batch_df)
+        files = self._batch_files(epoch_id)
+        local = (
+            [self._local_path(f) for f in files] if files is not None else None
+        )
+        n_deferred = 0
+        if local and all(p is not None for p in local):
+            if self.enforce_token_atomicity:
+                complete, deferred = self._split_complete_tokens(local, epoch_id)
+                self._save_deferred(epoch_id, deferred)
+                n_deferred = len(deferred)
+                if not complete:
+                    self._record_lineage(
+                        {
+                            "pipeline_id": self.pipeline_id,
+                            "epoch_id": epoch_id,
+                            "applied": False,
+                            "deferred_files": n_deferred,
+                            "wall_time": time.time(),
+                        }
+                    )
+                    return
+            else:
+                complete = local
+            batch_df = (
+                self.spark.read.option("basePath", self.log_path)
+                .schema(batch_df.schema)
+                .parquet(*complete)
+            )
+        elif files is not None:
+            # non-local scheme: re-root on the original URIs, no atomicity
+            batch_df = (
+                self.spark.read.option("basePath", self.log_path)
+                .schema(batch_df.schema)
+                .parquet(*files)
+            )
         if self.transform is not None:
             batch_df = self.transform(batch_df)
         t0 = time.monotonic()
@@ -203,6 +349,7 @@ class CdcPipeline:
                 "max_token": metrics.get("max_token"),
                 "max_seq": metrics.get("max_seq"),
                 "elapsed_sec": round(elapsed, 4),
+                "deferred_files": n_deferred,
                 "merge_phases": getattr(self.table, "last_merge_metrics", None),
                 "events_per_sec": round(n / elapsed, 1) if elapsed > 0 and n else None,
                 "table_version": self.table.version,

@@ -122,3 +122,41 @@ def test_pipeline_decode_transform_stage(spark, tmpdir_path):
     final = LakeTable(spark, table.path).read()
     langs = [r["lang"] for r in final.select("lang").distinct().collect()]
     assert langs and all(v == v.upper() for v in langs if v is not None)
+
+
+def test_token_atomicity_under_file_split_batches(spark, tmpdir_path):
+    """A multi-file delta token straddling micro-batches must still be
+    applied atomically (ROCANCEL scope = whole token). mft=3 over
+    4-file tokens guarantees most epochs cut tokens mid-way; the deferral
+    logic must hold partial tokens back and the final state must equal the
+    sequential-fold oracle."""
+    events = gen_change_events(
+        spark, n_events=6000, n_keys=500, events_per_token=1000
+    ).cache()
+    oracle = fold_to_frame(events.toPandas())
+
+    log_dir = f"{tmpdir_path}/log"
+    write_change_log(events, log_dir, files_per_token=4)
+
+    table = LakeTable.create(
+        spark, f"{tmpdir_path}/repos", TARGET_SCHEMA,
+        key_columns=["repo", "path"], num_buckets=8,
+    )
+    pipe = CdcPipeline(
+        spark, CFG, table, log_dir,
+        checkpoint_dir=f"{tmpdir_path}/ckpt",
+        max_files_per_trigger=3,
+        pipeline_id="atomicity-test",
+    )
+    pipe.run_available_now(timeout_sec=600)
+
+    lineage = pipe.lineage()
+    assert any(r.get("deferred_files") for r in lineage), (
+        "test setup never split a token across epochs"
+    )
+    got = (
+        LakeTable(spark, table.path).read()
+        .orderBy("repo", "path").toPandas().reset_index(drop=True)
+    )
+    assert len(got) == len(oracle)
+    assert got.equals(oracle), "split-token batching corrupted the fold"
