@@ -221,6 +221,23 @@ class CdcPipeline:
             if fn.endswith(".json") and int(fn[:-5]) < epoch_id - 2:
                 os.remove(os.path.join(self._deferred_dir, fn))
 
+    def deferred_files(self) -> list[str]:
+        """Files of still-incomplete delta tokens after the last epoch
+        (operational visibility: non-empty after run_available_now means the
+        log ends with a partially-delivered token — the next run applies it
+        once its remaining files arrive)."""
+        if not os.path.isdir(self._deferred_dir):
+            return []
+        ids = sorted(
+            int(fn[:-5])
+            for fn in os.listdir(self._deferred_dir)
+            if fn.endswith(".json")
+        )
+        if not ids:
+            return []
+        with open(os.path.join(self._deferred_dir, f"{ids[-1]:012d}.json")) as f:
+            return json.load(f)["files"]
+
     def _seen_before(self, epoch_id: int) -> set[str]:
         """Every file the source delivered in epochs before this one, from
         the checkpoint source log (handles .compact entries, which keep the

@@ -154,6 +154,7 @@ def test_token_atomicity_under_file_split_batches(spark, tmpdir_path):
     assert any(r.get("deferred_files") for r in lineage), (
         "test setup never split a token across epochs"
     )
+    assert pipe.deferred_files() == [], "complete log left deferred tokens"
     got = (
         LakeTable(spark, table.path).read()
         .orderBy("repo", "path").toPandas().reset_index(drop=True)
