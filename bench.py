@@ -19,7 +19,7 @@ Scaling evidence (north_rule, sandbox substitute for N vs 4N executors):
         prints both throughputs + efficiency, and rewrites BENCH/BASELINE.md.
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_EVENTS (default 1000000).
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_EVENTS (default 4000000).
 """
 
 from __future__ import annotations
@@ -36,7 +36,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "1000000"))
+N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "4000000"))
 # tokens consumed per micro-batch. FILES_PER_TOKEN stays 1: a delta token
 # (= ROCANCEL cancellation scope) must never be split across micro-batches,
 # and maxFilesPerTrigger slices by file. Scan parallelism comes from small
@@ -68,14 +68,15 @@ def prepare_log(spark, n_events: int, path: str) -> None:
     identical input."""
     from sap_spark.sources.datagen import gen_change_events, write_change_log
 
-    # keys capped at 500k: a CDC target table has a bounded key set while
-    # the change log grows without bound (10^10 events over ~10^8 keys is
-    # ~100 events/key at design scale; this keeps the same update:key ratio
-    # regime and a winner set whose broadcast stays dimension-sized)
+    # ~80 events/key (capped): a CDC target table has a bounded key set
+    # while the change log grows without bound — 10^10 events over ~10^8
+    # keys is ~100 events/key at design scale; matching that ratio keeps
+    # the winner set dimension-sized (broadcastable) as it would be per
+    # micro-batch in production
     log = gen_change_events(
         spark,
         n_events=n_events,
-        n_keys=min(max(n_events // 10, 1000), 500_000),
+        n_keys=min(max(n_events // 80, 1000), 500_000),
         events_per_token=max(n_events // 10, 1),
         num_partitions=64,
     )
@@ -160,6 +161,10 @@ def run_bench(
         # scan tasks (default 128m would give one task per token)
         extra_conf={
             "spark.sql.files.maxPartitionBytes": "2m",
+            # snappy for the replay's table writes: ~3x cheaper compression
+            # CPU than zstd at ~1.3x size — the merge write is in the
+            # bandwidth-bound hot path (input logs stay zstd)
+            "spark.sql.parquet.compression.codec": "snappy",
             # task-time accounting (core-utilization evidence for scaling)
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file://{evdir}",
@@ -237,7 +242,7 @@ def _task_run_seconds(evdir: str, since_ms: float) -> float:
     return total_ms / 1000.0
 
 
-def run_scaling(n_events: int, sf_dir: str, pair: tuple[int, int] = (8, 32)) -> dict:
+def run_scaling(n_events: int, sf_dir: str, pair: tuple[int, int] = (1, 4)) -> dict:
     """local[N] vs local[4N] on byte-identical input → efficiency.
 
     The change log is generated ONCE (layout a function of n_events only)
@@ -371,7 +376,7 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--events", type=int, default=None)
     ap.add_argument("--scaling", action="store_true")
-    ap.add_argument("--pair", default=os.environ.get("SPARK_GRAFT_SCALING_PAIR", "2,8"),
+    ap.add_argument("--pair", default=os.environ.get("SPARK_GRAFT_SCALING_PAIR", "1,4"),
                     help="N,4N core counts for --scaling")
     ap.add_argument("--cdc-only", action="store_true")
     ap.add_argument("--log", default=None, help="prebuilt change-log dir for the timed replay")

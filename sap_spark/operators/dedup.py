@@ -84,7 +84,24 @@ def salted_repartition(
     return events.repartition(int(n), *[F.col(k) for k in cfg.key_columns], salt)
 
 
-def drop_cancelled(events: DataFrame, cfg: EngineConfig) -> DataFrame:
+def cancelled_seqs(events: DataFrame, cfg: EngineConfig) -> DataFrame | None:
+    """The distinct event_seq set cancelled in this batch (None when the
+    batch carries no rocancel column). Column-pruned scan; callers running
+    several passes over the same batch should persist it so the scan runs
+    once (see streaming/pipeline.ingest_batch)."""
+    rc, cs, seq = cfg.rocancel_column, cfg.cancel_seq_column, cfg.order_column
+    if rc not in events.columns:
+        return None
+    return (
+        events.where(F.col(rc) & F.col(cs).isNotNull())
+        .select(F.col(cs).alias(seq))
+        .distinct()
+    )
+
+
+def drop_cancelled(
+    events: DataFrame, cfg: EngineConfig, cancelled: DataFrame | None = None
+) -> DataFrame:
     """Remove rocancel events and the events they cancel.
 
     The cancelled-seq set is a few % of the batch and contains only longs,
@@ -95,14 +112,11 @@ def drop_cancelled(events: DataFrame, cfg: EngineConfig) -> DataFrame:
     per-batch cancel set stays bounded by the delta-unit size; if a source
     ever produced oversized cancel sets, drop the hint and AQE falls back.
     """
-    rc, cs, seq = cfg.rocancel_column, cfg.cancel_seq_column, cfg.order_column
+    rc, seq = cfg.rocancel_column, cfg.order_column
     if rc not in events.columns:
         return events
-    cancelled = (
-        events.where(F.col(rc) & F.col(cs).isNotNull())
-        .select(F.col(cs).alias(seq))
-        .distinct()
-    )
+    if cancelled is None:
+        cancelled = cancelled_seqs(events, cfg)
     return events.where(~F.col(rc)).join(
         F.broadcast(cancelled), on=seq, how="left_anti"
     )
@@ -201,14 +215,16 @@ def lww_fetch(events: DataFrame, cfg: EngineConfig) -> DataFrame:
     return fetch_winner_payloads(events, lww_winners(events, cfg), cfg)
 
 
-def lww_winners(events: DataFrame, cfg: EngineConfig) -> DataFrame:
+def lww_winners(
+    events: DataFrame, cfg: EngineConfig, cancelled: DataFrame | None = None
+) -> DataFrame:
     """Phase A of the fetch fold: (key…, event_seq, delta_token) of each
     key's winning delivery. Payload columns are never referenced, so the
     scan prunes them. The result is O(distinct keys) of ~100 B rows —
     callers may persist it to reuse for bucket discovery + the fetch join."""
     keys = list(cfg.key_columns)
     seq, tok = cfg.order_column, cfg.token_column
-    survivors = drop_cancelled(events, cfg)
+    survivors = drop_cancelled(events, cfg, cancelled=cancelled)
     return (
         survivors.groupBy(*keys)
         .agg(F.max(F.struct(F.col(seq), F.col(tok))).alias("__w"))
@@ -217,7 +233,10 @@ def lww_winners(events: DataFrame, cfg: EngineConfig) -> DataFrame:
 
 
 def fetch_winner_payloads(
-    events: DataFrame, winners: DataFrame, cfg: EngineConfig
+    events: DataFrame,
+    winners: DataFrame,
+    cfg: EngineConfig,
+    cancelled: DataFrame | None = None,
 ) -> DataFrame:
     """Phase B of the fetch fold: materialize exactly the winning deliveries
     (payload included) via a map-side hash probe of the winner set."""
@@ -225,7 +244,7 @@ def fetch_winner_payloads(
     seq, tok = cfg.order_column, cfg.token_column
     if getattr(cfg, "broadcast_winners", True):
         winners = F.broadcast(winners)
-    survivors = drop_cancelled(events, cfg)
+    survivors = drop_cancelled(events, cfg, cancelled=cancelled)
     return survivors.join(winners, on=[*keys, seq, tok], how="inner").drop(tok)
 
 

@@ -64,15 +64,21 @@ def ingest_batch(
     """
     from sap_spark.operators.dedup import (
         _payload_cols,
+        cancelled_seqs,
         fetch_winner_payloads,
         lww_winners,
     )
 
-    winners = None
+    winners = cancelled = None
     if strategy == "fetch" and cfg.token_column in events.columns:
-        winners = lww_winners(events, cfg).persist()
+        # the cancel set feeds both fold phases — persist so its pruned
+        # scan of the batch runs once, not once per phase
+        cancelled = cancelled_seqs(events, cfg)
+        if cancelled is not None:
+            cancelled = cancelled.persist()
+        winners = lww_winners(events, cfg, cancelled=cancelled).persist()
         affected = table.affected_buckets(winners.select(*cfg.key_columns))
-        folded = fetch_winner_payloads(events, winners, cfg)
+        folded = fetch_winner_payloads(events, winners, cfg, cancelled=cancelled)
         keep = [
             *cfg.key_columns, cfg.order_column, cfg.op_column,
             *_payload_cols(events, cfg),
@@ -92,6 +98,8 @@ def ingest_batch(
     finally:
         if winners is not None:
             winners.unpersist()
+        if cancelled is not None:
+            cancelled.unpersist()
 
 
 class CdcPipeline:

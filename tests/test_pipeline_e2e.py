@@ -161,3 +161,41 @@ def test_token_atomicity_under_file_split_batches(spark, tmpdir_path):
     )
     assert len(got) == len(oracle)
     assert got.equals(oracle), "split-token batching corrupted the fold"
+
+
+def test_epoch_retry_is_noop(spark, tmpdir_path):
+    """Injected foreachBatch retry (SURVEY.md §7 hard parts): re-running an
+    already-committed epoch — same epoch_id, same pinned file set — must not
+    change the table (exactly-once under crash-replay)."""
+    events = gen_change_events(spark, n_events=2000, n_keys=200, events_per_token=500)
+    log_dir = f"{tmpdir_path}/log"
+    write_change_log(events, log_dir)
+
+    table = LakeTable.create(
+        spark, f"{tmpdir_path}/repos", TARGET_SCHEMA,
+        key_columns=["repo", "path"], num_buckets=8,
+    )
+    pipe = CdcPipeline(
+        spark, CFG, table, log_dir,
+        checkpoint_dir=f"{tmpdir_path}/ckpt",
+        max_files_per_trigger=2,
+        pipeline_id="retry-test",
+    )
+    pipe.run_available_now(timeout_sec=600)
+
+    table = LakeTable(spark, table.path)
+    v_before = table.version
+    state_before = table.read().orderBy("repo", "path").toPandas()
+
+    # simulate the streaming engine re-invoking an old epoch after a crash:
+    # same epoch_id, and the batch content is re-derived from the pinned
+    # checkpoint source log regardless of the frame passed in
+    dummy = spark.read.schema(events.schema).parquet(log_dir).limit(0)
+    pipe._process_batch(dummy, 0)
+
+    table = LakeTable(spark, table.path)
+    assert table.version == v_before
+    state_after = table.read().orderBy("repo", "path").toPandas()
+    assert state_after.equals(state_before)
+    retried = [r for r in pipe.lineage() if r["epoch_id"] == 0]
+    assert retried[-1]["applied"] is False
