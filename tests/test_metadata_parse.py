@@ -106,3 +106,29 @@ def test_select_pruned_inference():
 def test_unknown_resource_path():
     with pytest.raises(MetadataError, match="not found"):
         resolve_entity_type(EDMX_V2, "Orders")
+
+
+def test_metadata_to_decode_end_to_end(spark):
+    """Full reference lifecycle analog (SURVEY.md §3): $metadata scan →
+    schema inference → vectorized decode of wire values — what
+    configurePipeline + the transformer do, as one composition."""
+    from sap_spark.functions.decode import decode_entity
+
+    product = resolve_entity_type(EDMX_V2, "Products")
+    raw = spark.createDataFrame(
+        [
+            ("0c8df3eb-0000-0000-0000-000000000001", "Notebook", 7,
+             "1299.500", "2019-08-29T14:52:08"),
+            ("0c8df3eb-0000-0000-0000-000000000002", None, 0,
+             "0.001", None),
+        ],
+        "Id string, Name string, Quantity int, Price string, Created string",
+    )
+    out = decode_entity(raw, product)
+    fields = {f.name: f.dataType for f in out.schema.fields}
+    assert fields["Price"] == T.DecimalType(16, 3)
+    assert fields["Created"] == T.TimestampType()
+    rows = out.orderBy("Id").collect()
+    assert str(rows[0]["Price"]) == "1299.500"
+    assert rows[0]["Quantity"] == 7
+    assert rows[1]["Name"] is None
