@@ -239,13 +239,22 @@ def fetch_winner_payloads(
     cancelled: DataFrame | None = None,
 ) -> DataFrame:
     """Phase B of the fetch fold: materialize exactly the winning deliveries
-    (payload included) via a map-side hash probe of the winner set."""
+    (payload included) via a map-side hash probe of the winner set.
+
+    A duplicate delivery of the winning event *inside one token* (same key,
+    seq, token twice — nothing upstream enforces within-token uniqueness)
+    would fan the probe out to >1 row per key, violating merge_cdc's ≤1-row
+    contract. The trailing dropDuplicates(keys) collapses that: it hash-
+    partitions by the keys the downstream MERGE joins on anyway, so the
+    exchange is shared, and map-side partial aggregation means the common
+    (no-duplicate) case ships the same bytes as before."""
     keys = list(cfg.key_columns)
     seq, tok = cfg.order_column, cfg.token_column
     if getattr(cfg, "broadcast_winners", True):
         winners = F.broadcast(winners)
     survivors = drop_cancelled(events, cfg, cancelled=cancelled)
-    return survivors.join(winners, on=[*keys, seq, tok], how="inner").drop(tok)
+    fetched = survivors.join(winners, on=[*keys, seq, tok], how="inner").drop(tok)
+    return fetched.dropDuplicates(keys)
 
 
 def fold_changes(

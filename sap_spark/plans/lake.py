@@ -330,6 +330,9 @@ class LakeTable:
         the join inside a bucket set is keys-vs-keys with AQE free to
         broadcast the (small) change side.
         """
+        # Reset BEFORE the no-op check: a replayed epoch must not report the
+        # previous merge's phase timings in its lineage record.
+        self.last_merge_metrics = None
         if batch_id in self.committed_batches():
             return False
         # Per-phase wall timings for observability (north_rule metrics);

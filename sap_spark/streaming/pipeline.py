@@ -29,10 +29,10 @@ second pass over the batch).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
-import uuid
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
@@ -149,7 +149,15 @@ class CdcPipeline:
         self.strategy = strategy
         self.transform = transform
         self.enforce_token_atomicity = enforce_token_atomicity
-        self.pipeline_id = pipeline_id or f"cdc-{uuid.uuid4().hex[:8]}"
+        # Default pipeline id is derived from the checkpoint path, NOT a
+        # fresh uuid: batch ids must be stable across process restarts so a
+        # crash-retried epoch on a resumed run hits its commit marker (a
+        # random id would re-merge the epoch — correct via the event_seq
+        # gate, but a needless bucket rewrite and a broken exactly-once
+        # observability story).
+        self.pipeline_id = pipeline_id or "cdc-" + hashlib.sha256(
+            os.path.abspath(checkpoint_dir).encode()
+        ).hexdigest()[:12]
         self.lineage_path = os.path.join(table.path, "_meta", "lineage.jsonl")
         self._deferred_dir = os.path.join(checkpoint_dir, "sap_spark_deferred")
 
@@ -160,11 +168,18 @@ class CdcPipeline:
         with open(self.lineage_path, "a") as f:
             f.write(json.dumps(record) + "\n")
 
-    def lineage(self) -> list[dict]:
+    def lineage(self, all_pipelines: bool = False) -> list[dict]:
+        """This pipeline's lineage records. The table-wide lineage.jsonl
+        accumulates rows from prior runs and other pipelines; by default
+        only this pipeline's records are returned so summaries (epochs
+        applied, event counts) are per-run truthful."""
         if not os.path.exists(self.lineage_path):
             return []
         with open(self.lineage_path) as f:
-            return [json.loads(line) for line in f if line.strip()]
+            records = [json.loads(line) for line in f if line.strip()]
+        if all_pipelines:
+            return records
+        return [r for r in records if r.get("pipeline_id") == self.pipeline_id]
 
     # -- the per-epoch apply ----------------------------------------------
 
@@ -172,16 +187,29 @@ class CdcPipeline:
         """The exact file set of this epoch, from the checkpoint's source
         log (``<ckpt>/sources/0/<epoch>``) — the pinned offset record the
         stream replays on retry. (``batch_df.inputFiles()`` is not reliable
-        for foreachBatch frames.) None for non-file sources."""
+        for foreachBatch frames.) None for non-file sources.
+
+        Every ``compactInterval``-th batch (default 10) is written as
+        ``<epoch>.compact`` holding ALL entries so far, each line keeping
+        its original ``batchId`` — without the fallback below, compaction
+        epochs would silently skip both the AQE re-root and token-atomicity
+        enforcement (a delta token split at epoch 9/19/… would be applied
+        partially, losing ROCANCEL cancellation scope)."""
         src = os.path.join(self.checkpoint_dir, "sources", "0", str(epoch_id))
-        if not os.path.exists(src):
+        if os.path.exists(src):
+            log_path, is_compact = src, False
+        elif os.path.exists(src + ".compact"):
+            log_path, is_compact = src + ".compact", True
+        else:
             return None
         files = []
-        with open(src) as f:
+        with open(log_path) as f:
             for line in f:
                 line = line.strip()
                 if line.startswith("{"):
-                    files.append(json.loads(line)["path"])
+                    entry = json.loads(line)
+                    if not is_compact or entry.get("batchId") == epoch_id:
+                        files.append(entry["path"])
         return files or None
 
     # -- delta-unit (token) atomicity -------------------------------------

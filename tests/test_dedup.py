@@ -92,6 +92,32 @@ def test_fetch_unique_per_key_with_duplicate_deliveries(spark, events):
     assert dup_keys.count() == 0
 
 
+def test_fetch_unique_with_within_token_duplicate(spark, events):
+    """A duplicate delivery of the winning event INSIDE one token (same key,
+    seq, token delivered twice) must still yield ≤1 row per key — the fetch
+    join alone would fan out; the guard collapses it."""
+    winners_sample = (
+        fold_changes(events, CFG, strategy="fetch").limit(5).drop("op", "event_seq")
+    )
+    # re-inject an exact duplicate row of 5 winning deliveries
+    dup_rows = events.join(
+        winners_sample.select("repo", "path"), on=["repo", "path"], how="left_semi"
+    )
+    poisoned = events.unionByName(dup_rows)
+    folded = fold_changes(poisoned, CFG, strategy="fetch")
+    over = folded.groupBy("repo", "path").count().where(F.col("count") > 1)
+    assert over.count() == 0
+    # and the fold result is unchanged vs the clean log
+    clean = (
+        fold_changes(events, CFG, strategy="fetch")
+        .orderBy("repo", "path").select("repo", "path", "event_seq", "op").collect()
+    )
+    got = (
+        folded.orderBy("repo", "path").select("repo", "path", "event_seq", "op").collect()
+    )
+    assert got == clean
+
+
 def test_fetch_without_token_column_falls_back(spark, events):
     """Without a delivery id (no delta_token column) the fetch strategy must
     fall back to the single-pass agg and still match it."""

@@ -163,6 +163,55 @@ def test_token_atomicity_under_file_split_batches(spark, tmpdir_path):
     assert got.equals(oracle), "split-token batching corrupted the fold"
 
 
+def test_token_atomicity_across_compact_boundary(spark, tmpdir_path):
+    """Every compactInterval-th (default 10) checkpoint source-log entry is
+    written as ``<epoch>.compact`` instead of ``<epoch>``. _batch_files must
+    fall back to the compact file (filtering by batchId), or those epochs
+    silently skip token-atomicity enforcement and AQE re-rooting. 12 tokens
+    × 4 files at maxFilesPerTrigger=3 → 16 epochs, crossing the compact
+    write at epoch 9 with tokens split mid-way throughout."""
+    events = gen_change_events(
+        spark, n_events=6000, n_keys=500, events_per_token=500
+    ).cache()
+    oracle = fold_to_frame(events.toPandas())
+
+    log_dir = f"{tmpdir_path}/log"
+    write_change_log(events, log_dir, files_per_token=4)
+
+    table = LakeTable.create(
+        spark, f"{tmpdir_path}/repos", TARGET_SCHEMA,
+        key_columns=["repo", "path"], num_buckets=8,
+    )
+    pipe = CdcPipeline(
+        spark, CFG, table, log_dir,
+        checkpoint_dir=f"{tmpdir_path}/ckpt",
+        max_files_per_trigger=3,
+        pipeline_id="compact-test",
+    )
+    pipe.run_available_now(timeout_sec=600)
+
+    import os
+
+    src_dir = f"{tmpdir_path}/ckpt/sources/0"
+    compacts = [f for f in os.listdir(src_dir) if f.endswith(".compact")]
+    assert compacts, "test never crossed the source-log compact interval"
+    # the compact epoch itself must have resolved its file set (pinned files
+    # recorded per-batchId inside the compact file)
+    compact_epoch = int(compacts[0].split(".")[0])
+    assert pipe._batch_files(compact_epoch), "compact epoch file set unresolved"
+    applied = [r for r in pipe.lineage() if r["applied"]]
+    assert len(applied) > compact_epoch, "run ended before the compact epoch"
+    assert any(r.get("deferred_files") for r in pipe.lineage()), (
+        "test setup never split a token across epochs"
+    )
+    assert pipe.deferred_files() == []
+    got = (
+        LakeTable(spark, table.path).read()
+        .orderBy("repo", "path").toPandas().reset_index(drop=True)
+    )
+    assert got.equals(oracle), "compact-boundary epoch corrupted the fold"
+
+
 def test_epoch_retry_is_noop(spark, tmpdir_path):
     """Injected foreachBatch retry (SURVEY.md §7 hard parts): re-running an
     already-committed epoch — same epoch_id, same pinned file set — must not
