@@ -62,14 +62,29 @@ def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
 
     array<long> of length num_hashes; E[fraction of equal positions] =
     Jaccard(a, b). Empty shingle sets get a sentinel signature of
-    Long.MaxValue (never collides with real text).
+    Long.MaxValue (never collides with real text; at corpus scale callers
+    must still exclude empty docs from banding — see operators/textdedup).
+
+    Shape note: this is ONE ``aggregate`` over the shingle array (fold of
+    per-shingle 64-hash rows with elementwise min), not a 64-seed outer
+    loop re-reading the shingles. The distinction matters because Catalyst
+    inlines a single-reference projected column into its consumer
+    (CollapseProject): with the seed-outer form, a pipeline that projects
+    ``char_shingles(text)`` straight into the signature evaluates the
+    whole shingle build once *per seed* per row after inlining — observed
+    as a 64× blowup that turned a seconds-long stage into minutes. Here
+    the shingle expression sits in the aggregate's input slot and is
+    evaluated once per row under any inlining.
     """
-    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
-    return F.transform(
-        seeds,
-        lambda seed: F.coalesce(
-            F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, seed))),
-            F.lit(2**63 - 1),
+    init = F.array_repeat(F.lit(2**63 - 1).cast("long"), num_hashes)
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return F.aggregate(
+        shingles,
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(seeds, lambda i: F.xxhash64(s, i)),
+            lambda a, b: F.least(a, b),
         ),
     )
 
@@ -157,14 +172,19 @@ def simhash_chunks(fp: Column, n_chunks: int = 4) -> Column:
     )
 
 
+def dot(x: Column, y: Column) -> Column:
+    """Dot product of two float arrays (zip_with + left-fold, JVM)."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
 def cosine_sim(a: Column, b: Column) -> Column:
-    """Cosine similarity of two float arrays (zip_with + left-fold, JVM)."""
+    """Cosine similarity of two float arrays (zip_with + left-fold, JVM).
 
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
-        )
-
+    Note for join verifies: this recomputes both self-dots per call — when
+    a vector appears in many pairs, precompute sqrt(dot(v, v)) per side
+    before the join (see operators/textdedup.dedup_embedding_cosine)."""
     denom = F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))
     return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from sap_spark.functions.similarity import (
     char_shingles,
     cosine_sim,
+    dot as _dot,
     hamming64,
     hyperplane_signature,
     jaccard,
@@ -50,42 +51,122 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str, normalized: bool = Tr
     )
 
 
-def _resolve_groups(pairs: DataFrame, all_ids: DataFrame, id_col: str) -> DataFrame:
+def _resolve_groups(
+    pairs: DataFrame, all_ids: DataFrame, id_col: str, max_rounds: int = 16
+) -> DataFrame:
     """Min-id connected components over an undirected pair list.
 
     pairs: (a, b) candidate-verified duplicate pairs. Returns
     (id, group_id) for every id in all_ids (singletons map to themselves).
-    Iterates min-neighbor propagation until no label changes (bounded loop;
-    dup clusters are small so this converges in a few rounds).
+
+    Scale shape: each round is (neighbor-min propagation) + (one pointer
+    jump, i.e. group_id := group_id_of(group_id)), so the label horizon
+    doubles per round — a chain of diameter d converges in O(log d) rounds,
+    not O(d). Every round ends in ``localCheckpoint(eager=True)``: the
+    logical plan is truncated to the materialized RDD, so round k never
+    re-executes rounds 1..k-1 (the unpersisted-lineage loop was O(k²)
+    recompute with a 16-deep plan) and plan depth stays constant no matter
+    how many rounds run. Convergence is detected from a flag computed in
+    the same pass — no extra comparison join.
     """
-    edges = pairs.select("a", "b").union(pairs.select(F.col("b"), F.col("a"))).distinct()
-    labels = all_ids.select(F.col(id_col).alias("a"), F.col(id_col).alias("group_id"))
-    for _ in range(16):  # log2 bound on cluster diameter; real clusters are stars
+    edges = (
+        pairs.select("a", "b")
+        .union(pairs.select(F.col("b"), F.col("a")))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused every round; scan once
+    )
+    labels = all_ids.select(
+        F.col(id_col).alias("a"), F.col(id_col).alias("group_id")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
         neighbor_min = (
             edges.join(labels, on="a")
             .groupBy(F.col("b").alias("a"))
             .agg(F.min("group_id").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(neighbor_min, on="a", how="left")
-            .select(
-                "a",
-                F.least(F.col("group_id"), F.coalesce("nbr_min", "group_id")).alias(
-                    "group_id"
-                ),
-            )
+        stepped = labels.join(neighbor_min, on="a", how="left").select(
+            "a",
+            F.col("group_id").alias("__old"),
+            F.least(F.col("group_id"), F.coalesce("nbr_min", "group_id")).alias(
+                "group_id"
+            ),
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="a")
-            .where(F.col("n.group_id") != F.col("o.group_id"))
-            .limit(1)
-            .count()
+        # pointer jump: follow the label one hop (group_id := its group_id)
+        mapping = labels.select(
+            F.col("a").alias("group_id"), F.col("group_id").alias("__g2")
         )
-        labels = new_labels
+        jumped = stepped.join(mapping, on="group_id", how="left").select(
+            "a",
+            F.least(F.col("group_id"), F.coalesce("__g2", "group_id")).alias("group_id"),
+            (F.col("group_id") != F.col("__old"))
+            | (F.coalesce(F.col("__g2"), F.col("group_id")) < F.col("group_id")),
+        )
+        new_labels = jumped.toDF("a", "group_id", "__chg").localCheckpoint(eager=True)
+        changed = new_labels.where(F.col("__chg")).limit(1).count()
+        labels = new_labels.drop("__chg")
         if changed == 0:
             break
     return labels.select(F.col("a").alias(id_col), "group_id")
+
+
+def _minhash_verified_pairs(
+    base: DataFrame,
+    id_col: str,
+    threshold: float,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """Shared MinHash-LSH candidate pipeline over ``base`` = (id, __sh).
+
+    Scale shape (the two properties that survive a 100× corpus):
+
+    - **Empty shingle sets never enter banding.** An empty set gets the
+      sentinel signature, identical in every band — millions of boilerplate
+      /empty web docs would form one O(n²) bucket. They can never verify
+      (Jaccard vs anything is 0.0), so they are filtered before the
+      explode; they still appear downstream as singletons via all_ids.
+    - **The band join ships ids only.** ``banded`` carries (id, band, hash)
+      ≈ 20 B/row through the 16-way explode and the self-join shuffle; the
+      shingle arrays (≈ the corpus itself) cross a shuffle exactly once,
+      joined back onto the *distinct candidate pairs* for the exact-Jaccard
+      verify. The old plan shipped the full shingle set through the band
+      explode twice — O(bands × corpus bytes) over the wire.
+    """
+    rows_per_band = num_hashes // bands
+    nonempty = base.where(F.size("__sh") > 0)
+    banded = (
+        nonempty.withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
+        .select(
+            id_col,
+            F.explode(lsh_bands(F.col("__sig"), bands, rows_per_band)).alias("__b"),
+        )
+        .select(
+            id_col,
+            F.col("__b.band").alias("band"),
+            F.col("__b.band_hash").alias("bh"),
+        )
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    shingles = nonempty.select(F.col(id_col).alias("__sid"), "__sh")
+    verified = (
+        cand.join(shingles.withColumnRenamed("__sh", "sh_a"), cand.a == F.col("__sid"))
+        .drop("__sid")
+        .join(shingles.withColumnRenamed("__sh", "sh_b"), cand.b == F.col("__sid"))
+        .drop("__sid")
+        .where(jaccard(F.col("sh_a"), F.col("sh_b")) >= threshold)
+        .select("a", "b")
+    )
+    return verified
 
 
 def dedup_minhash_lsh(
@@ -99,42 +180,17 @@ def dedup_minhash_lsh(
 ) -> DataFrame:
     """MinHash + LSH near-dup detection.
 
-    shingle → minhash signature → band → bucket self-join → exact-Jaccard
-    verify (on the true shingle sets) → min-id group resolution.
+    shingle → minhash signature → band → bucket self-join (ids only) →
+    exact-Jaccard verify (true shingle sets joined back onto candidate
+    pairs) → min-id group resolution.
     Returns (id, group_id); rows with group_id != id are near-duplicates of
     the group representative. 16 bands × 4 rows gives the S-curve knee near
     s ≈ (1/b)^(1/r) ≈ 0.5; the exact-Jaccard verify enforces `threshold`.
     """
-    rows_per_band = num_hashes // bands
     base = df.select(
-        F.col(id_col),
-        char_shingles(F.col(text_col), shingle_k).alias("__sh"),
-    ).withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
-
-    banded = base.select(
-        id_col,
-        "__sh",
-        F.explode(lsh_bands(F.col("__sig"), bands, rows_per_band)).alias("__b"),
-    ).select(id_col, "__sh", F.col("__b.band").alias("band"), F.col("__b.band_hash").alias("bh"))
-
-    left = banded.alias("l")
-    right = banded.alias("r")
-    candidates = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bh") == F.col("r.bh"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("a"),
-            F.col(f"r.{id_col}").alias("b"),
-            F.col("l.__sh").alias("sh_a"),
-            F.col("r.__sh").alias("sh_b"),
-        )
-        .dropDuplicates(["a", "b"])
+        F.col(id_col), char_shingles(F.col(text_col), shingle_k).alias("__sh")
     )
-    verified = candidates.where(jaccard(F.col("sh_a"), F.col("sh_b")) >= threshold)
+    verified = _minhash_verified_pairs(base, id_col, threshold, num_hashes, bands)
     return _resolve_groups(verified, df.select(id_col), id_col)
 
 
@@ -150,32 +206,10 @@ def dedup_ngram_jaccard(
     """Word-n-gram Jaccard dedup: same LSH pipeline over word n-grams
     instead of character shingles (catches paraphrase-level copies where
     char shingles are too strict)."""
-    rows_per_band = num_hashes // bands
     base = df.select(
         F.col(id_col), word_ngrams(F.col(text_col), ngram_n).alias("__sh")
-    ).withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
-    banded = base.select(
-        id_col,
-        "__sh",
-        F.explode(lsh_bands(F.col("__sig"), bands, rows_per_band)).alias("__b"),
-    ).select(id_col, "__sh", F.col("__b.band").alias("band"), F.col("__b.band_hash").alias("bh"))
-    l, r = banded.alias("l"), banded.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bh") == F.col("r.bh"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("a"),
-            F.col(f"r.{id_col}").alias("b"),
-            F.col("l.__sh").alias("sh_a"),
-            F.col("r.__sh").alias("sh_b"),
-        )
-        .dropDuplicates(["a", "b"])
     )
-    verified = cand.where(jaccard(F.col("sh_a"), F.col("sh_b")) >= threshold)
+    verified = _minhash_verified_pairs(base, id_col, threshold, num_hashes, bands)
     return _resolve_groups(verified, df.select(id_col), id_col)
 
 
@@ -235,9 +269,13 @@ def dedup_embedding_cosine(
     candidates (collision prob = (1 - angle/π)^n_planes); exact cosine ≥
     threshold verifies. Returns (id, group_id).
     """
+    # Norms are computed once per vector BEFORE the self-join: inside the
+    # verify each vector participates in ~bucket_size pairs, and cosine_sim
+    # would redo the self-dot (dim multiply-adds) per pair per side.
     base = df.select(
         F.col(id_col),
         F.col(vec_col).alias("__v"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("__n"),
         hyperplane_signature(F.col(vec_col), dim, n_planes).alias("__sig"),
     )
     l, r = base.alias("l"), base.alias("r")
@@ -250,8 +288,12 @@ def dedup_embedding_cosine(
         F.col(f"r.{id_col}").alias("b"),
         F.col("l.__v").alias("va"),
         F.col("r.__v").alias("vb"),
+        (F.col("l.__n") * F.col("r.__n")).alias("__nn"),
     )
-    verified = cand.where(cosine_sim(F.col("va"), F.col("vb")) >= threshold)
+    cos = F.when(
+        F.col("__nn") > 0, _dot(F.col("va"), F.col("vb")) / F.col("__nn")
+    ).otherwise(F.lit(0.0))
+    verified = cand.where(cos >= threshold)
     return _resolve_groups(verified, df.select(id_col), id_col)
 
 
@@ -270,6 +312,25 @@ def ann_brute_force(
     )
 
 
+def build_ann_index(
+    df: DataFrame, id_col: str, vec_col: str, dim: int, n_planes: int = 12
+) -> DataFrame:
+    """ANN index-build step: the signature table (id, __v, __sig).
+
+    This is the expensive pass — n_planes × dim multiply-adds per vector —
+    and it must run ONCE, not per query: persist the result (or write it as
+    a parquet/Lake table partitioned by __sig) and hand it to ``ann_lsh``.
+    Probes then filter/equi-join on ``__sig`` without touching the raw
+    vectors of non-candidate rows; with the index written sorted/bucketed
+    by __sig, signature predicates push into the scan.
+    """
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        hyperplane_signature(F.col(vec_col), dim, n_planes).alias("__sig"),
+    )
+
+
 def ann_lsh(
     df: DataFrame,
     id_col: str,
@@ -279,17 +340,26 @@ def ann_lsh(
     k: int = 10,
     n_planes: int = 12,
     max_probe_hamming: int = 2,
+    index: DataFrame | None = None,
 ) -> DataFrame:
-    """LSH-bucketed ANN (the scale path): score only vectors whose
-    hyperplane signature is within `max_probe_hamming` bits of the query's
-    (multi-probe). Returns approximate top-k; recall rises with probes.
-    At 100 TB the bucket join prunes ~(1 - coverage) of the corpus scan.
+    """LSH ANN: score only vectors whose hyperplane signature is within
+    ``max_probe_hamming`` bits of the query's (multi-probe). Approximate
+    top-k; recall rises with probes.
+
+    Pass ``index`` (from :func:`build_ann_index`, persisted or re-read from
+    its materialized form) for the scale path: the probe is then a filter
+    on a precomputed signature column — no per-query signature recompute
+    over the corpus. Without ``index`` this degrades honestly to one-shot
+    mode: signatures are computed in the same scan as the probe, which
+    prunes the *cosine work* (only ~coverage of rows are scored) but still
+    reads every row — fine for a single ad-hoc query, wrong for a query
+    workload.
     """
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    sigs = df.select(
-        F.col(id_col),
-        F.col(vec_col).alias("__v"),
-        hyperplane_signature(F.col(vec_col), dim, n_planes).alias("__sig"),
+    sigs = (
+        index
+        if index is not None
+        else build_ann_index(df, id_col, vec_col, dim, n_planes)
     )
     qsig = hyperplane_signature(q, dim, n_planes)
     probed = sigs.where(

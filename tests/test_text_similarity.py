@@ -7,8 +7,10 @@ from pyspark.sql import functions as F
 from sap_spark.functions import text as TX
 from sap_spark.functions.similarity import jaccard, minhash_signature, char_shingles
 from sap_spark.operators.textdedup import (
+    _resolve_groups,
     ann_brute_force,
     ann_lsh,
+    build_ann_index,
     dedup_embedding_cosine,
     dedup_exact,
     dedup_minhash_lsh,
@@ -153,6 +155,86 @@ def test_ann_lsh_recall(spark, sf_dir):
     # expected signature hamming ≈ 4.8/12), so probe radius 6 recovers most;
     # production tuning matches radius to the similarity regime
     assert len(exact & approx) >= 5, f"recall too low: {exact & approx}"
+
+
+def test_resolve_groups_chain_converges_with_bounded_plan(spark):
+    """A 1000-link chained-dup cluster (diameter ≫ 16): pointer jumping
+    must converge it within the round cap (plain neighbor-min propagation
+    needs diameter rounds and would return wrong labels), and the per-round
+    localCheckpoint must keep the final plan depth constant — no 16-deep
+    join lineage."""
+    n = 1000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a int, b int"
+    )
+    all_ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id int")
+    labels = _resolve_groups(pairs, all_ids, "doc_id")
+    got = {r["doc_id"]: r["group_id"] for r in labels.collect()}
+    assert all(g == 0 for g in got.values()), "chain did not fully converge"
+    plan_lines = labels._jdf.queryExecution().optimizedPlan().treeString().count("\n")
+    assert plan_lines < 12, f"plan not truncated by checkpointing: {plan_lines} lines"
+
+
+def test_resolve_groups_two_components_and_singletons(spark):
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (20, 21)], "a int, b int"
+    )
+    all_ids = spark.createDataFrame(
+        [(i,) for i in (10, 11, 12, 20, 21, 30)], "doc_id int"
+    )
+    got = {r["doc_id"]: r["group_id"] for r in _resolve_groups(pairs, all_ids, "doc_id").collect()}
+    assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30}
+
+
+def test_minhash_empty_docs_stay_singletons(spark):
+    """Docs whose normalized text is empty must not collide in a sentinel
+    band bucket (quadratic at web scale) — they are excluded from banding
+    and come back as singletons."""
+    rows = [(1, BASE), (2, BASE), (3, ""), (4, "???"), (5, "   "), (6, "!!!")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r["group_id"] for r in dedup_minhash_lsh(df, "doc_id", "text", threshold=0.6).collect()}
+    assert got[1] == got[2] == 1
+    assert got[3] == 3 and got[4] == 4 and got[5] == 5 and got[6] == 6
+
+
+def test_minhash_band_join_ships_ids_only(spark, docs):
+    """Plan regression: the band self-join must not carry the shingle
+    arrays — __sh may appear only in the verify join back onto candidate
+    pairs. Assert no Exchange in the plan ships an __sh column alongside
+    band/bh (i.e. banding selected ids only)."""
+    from sap_spark.operators.textdedup import _minhash_verified_pairs
+
+    base = docs.select(F.col("doc_id"), char_shingles(F.col("text")).alias("__sh"))
+    verified = _minhash_verified_pairs(base, "doc_id", 0.6, 64, 16)
+    plan = verified._jdf.queryExecution().optimizedPlan().treeString()
+    for line in plan.splitlines():
+        if "band_hash" in line.lower() or ("band" in line and "Project" in line):
+            assert "__sh" not in line, f"shingles ride the band pipeline: {line}"
+
+
+def test_ann_lsh_prebuilt_index_matches_oneshot(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    dim = len(q)
+    index = build_ann_index(emb, "vec_id", "embedding", dim, n_planes=12).persist()
+    try:
+        with_index = [
+            (r["vec_id"], round(r["cosine"], 9))
+            for r in ann_lsh(
+                emb, "vec_id", "embedding", list(q), dim, k=10,
+                n_planes=12, max_probe_hamming=6, index=index,
+            ).collect()
+        ]
+        oneshot = [
+            (r["vec_id"], round(r["cosine"], 9))
+            for r in ann_lsh(
+                emb, "vec_id", "embedding", list(q), dim, k=10,
+                n_planes=12, max_probe_hamming=6,
+            ).collect()
+        ]
+        assert with_index == oneshot
+    finally:
+        index.unpersist()
 
 
 def test_dedup_embedding_cosine(spark):
