@@ -691,6 +691,168 @@ def _cdc_replay_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# wire-format read path + decode kernels (oracle-checked against literal
+# golden values; Spark computes through the real parsers/kernels, DuckDB
+# states the expected outputs)
+# ---------------------------------------------------------------------------
+
+_ODATA2_FIXTURES = "/root/reference/src/test/resources/odata2"
+
+
+def _odata2_feed_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/T-kernel wire path: parse the reference's V2 Atom-XML golden feed
+    (byte-identical to what its WireMock ETL test serves) and decode every
+    scalar kernel; binary checked via sha256."""
+    from sap_spark.functions.decode import decode_entity
+    from sap_spark.schema.metadata import resolve_entity_type
+    from sap_spark.sources.odata_feed import parse_feed
+
+    with open(f"{_ODATA2_FIXTURES}/metadata.xml") as f:
+        entity = resolve_entity_type(f.read(), "AllDataTypes")
+    with open(f"{_ODATA2_FIXTURES}/AllDataTypes.xml") as f:
+        wire = parse_feed(spark, f.read(), entity, "2.0")
+    d = decode_entity(wire, entity)
+    return d.select(
+        F.col("Id").alias("id"),
+        F.col("Boolean").alias("bool_v"),
+        F.col("Byte").alias("byte_v"),
+        F.col("Int16").alias("i16"),
+        F.col("Int32").alias("i32"),
+        F.col("Int64").alias("i64"),
+        F.col("SByte").alias("sbyte_v"),
+        F.col("String").alias("str_v"),
+        F.col("Guid").alias("guid"),
+        F.col("Decimal").cast("double").alias("dec_v"),
+        F.col("Single").cast("double").alias("single_v"),
+        F.col("Double").alias("double_v"),
+        F.col("Time").alias("time_micros"),
+        F.col("DateTime").alias("dt"),
+        F.col("DateTimeOffset").alias("dto"),
+        F.sha2(F.col("Binary"), 256).alias("binary_sha"),
+    )
+
+
+_ODATA2_FEED_DECODE_SQL = """
+    SELECT ('50000000' || i) AS id, true AS bool_v, 127 AS byte_v,
+           32767 AS i16, 2147483647 AS i32, 9223372036854775807 AS i64,
+           -128 AS sbyte_v, 'Some string' AS str_v,
+           '484f2eb4-f60d-4652-8673-6517d7c64d0e' AS guid,
+           123.456 AS dec_v,
+           CAST(CAST('3.4028234663852886e+38' AS REAL) AS DOUBLE) AS single_v,
+           1.7976931348623157e308 AS double_v,
+           40259000000 AS time_micros,
+           TIMESTAMP '1984-12-08 01:01:01' AS dt,
+           '2002-10-10T17:00:01+01:00' AS dto,
+           '7700820f75719b5f9e25c7d4f3468752ec6a909b5e6f0455eb31a3a645e21757'
+               AS binary_sha
+    FROM (VALUES (0), (1), (2)) t(i)
+"""
+
+
+def _decode_duration_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11: ISO-8601 duration render from both wire forms (seconds decimal
+    and duration literal), value-derived precision, trailing zeros trimmed."""
+    from sap_spark.functions.decode import decode_duration
+
+    rows = [
+        (1, "0"), (2, "0.5"), (3, "59.999"), (4, "60"), (5, "3600"),
+        (6, "86400"), (7, "90061.5"), (8, "-90061.5"), (9, "1.500"),
+        (10, "1123199.999999999999"), (11, "P12DT23H59M59.999999999999S"),
+        (12, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, wire string")
+    return df.select("id", decode_duration("wire", F.col("wire")).alias("iso"))
+
+
+_DECODE_DURATION_SQL = """
+    SELECT * FROM (VALUES
+        (1, 'PT0S'), (2, 'PT0.5S'), (3, 'PT59.999S'), (4, 'PT1M'),
+        (5, 'PT1H'), (6, 'P1D'), (7, 'P1DT1H1M1.5S'), (8, '-P1DT1H1M1.5S'),
+        (9, 'PT1.5S'), (10, 'P12DT23H59M59.999999999999S'),
+        (11, 'P12DT23H59M59.999999999999S'), (12, NULL)
+    ) t(id, iso)
+"""
+
+
+def _decode_datetimeoffset_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10: offset-preserving ISO-8601 render (never a timestamp — 'to
+    avoid timezone information loss'); Z → +00:00, fraction trimmed to the
+    value's own precision."""
+    from sap_spark.functions.decode import decode_datetimeoffset
+
+    rows = [
+        (1, "2002-10-10T17:00:01+01:00"),
+        (2, "2019-08-29T14:52:08.155+02:00"),
+        (3, "2010-12-13T00:00:00Z"),
+        (4, "2019-01-01T00:00:00.120Z"),
+        (5, "1984-12-08 01:01:01-05:30"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, wire string")
+    return df.select("id", decode_datetimeoffset("wire", F.col("wire")).alias("dto"))
+
+
+_DECODE_DTO_SQL = """
+    SELECT * FROM (VALUES
+        (1, '2002-10-10T17:00:01+01:00'),
+        (2, '2019-08-29T14:52:08.155+02:00'),
+        (3, '2010-12-13T00:00:00+00:00'),
+        (4, '2019-01-01T00:00:00.12+00:00'),
+        (5, '1984-12-08T01:01:01-05:30'),
+        (6, NULL)
+    ) t(id, dto)
+"""
+
+
+def _decode_decimal_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12: strict decimal(6,2) — exact-scale values pass through; longer
+    mantissas round HALF_EVEN into the declared precision (1234.565 → .56,
+    1234.575 → .58: ties to even, not up)."""
+    from sap_spark.functions.decode import make_decimal_decoder
+
+    rows = [
+        (1, "123.45"), (2, "-0.01"), (3, "9999.99"), (4, "0"),
+        (5, "1234.565"), (6, "1234.575"), (7, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, wire string")
+    dec = make_decimal_decoder("wire", 6, 2)
+    return df.select("id", dec(F.col("wire")).cast("double").alias("dec_v"))
+
+
+_DECODE_DECIMAL_SQL = """
+    SELECT * FROM (VALUES
+        (1, 123.45), (2, -0.01), (3, 9999.99), (4, 0.0),
+        (5, 1234.56), (6, 1234.58), (7, NULL)
+    ) t(id, dec_v)
+"""
+
+
+def _decode_timestamp_t8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8: wire datetime strings → timestamp micros (Edm.DateTime/Edm.Date
+    both land on TimestampType — the deliberate not-a-DateType quirk)."""
+    from sap_spark.functions.decode import decode_timestamp
+
+    rows = [
+        (1, "1984-12-08T01:01:01"),
+        (2, "2012-12-03"),
+        (3, "2002-10-10 17:00:01.123456"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, wire string")
+    return df.select("id", decode_timestamp("wire", F.col("wire")).alias("ts_v"))
+
+
+_DECODE_TIMESTAMP_SQL = """
+    SELECT * FROM (VALUES
+        (1, TIMESTAMP '1984-12-08 01:01:01'),
+        (2, TIMESTAMP '2012-12-03 00:00:00'),
+        (3, TIMESTAMP '2002-10-10 17:00:01.123456'),
+        (4, NULL)
+    ) t(id, ts_v)
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
@@ -717,6 +879,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_decimal_totals": _lineitem_decimal_totals,
         "events_time_micros": _events_time_micros,
         "docs_sha256": _docs_sha256,
+        "odata2_feed_decode": _odata2_feed_decode,
+        "decode_duration_iso": _decode_duration_iso,
+        "decode_datetimeoffset_render": _decode_datetimeoffset_render,
+        "decode_decimal_strict": _decode_decimal_strict,
+        "decode_timestamp_t8": _decode_timestamp_t8,
         # rows-only (non-SQL-expressible; pytest-verified semantics)
         "cdc_replay_synthetic": _cdc_replay_synthetic,
         "docs_quality_lang": _docs_quality_lang,
@@ -750,6 +917,11 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_decimal_totals": _LINEITEM_DECIMAL_TOTALS_SQL,
         "events_time_micros": _EVENTS_TIME_MICROS_SQL,
         "docs_sha256": _DOCS_SHA256_SQL,
+        "odata2_feed_decode": _ODATA2_FEED_DECODE_SQL,
+        "decode_duration_iso": _DECODE_DURATION_SQL,
+        "decode_datetimeoffset_render": _DECODE_DTO_SQL,
+        "decode_decimal_strict": _DECODE_DECIMAL_SQL,
+        "decode_timestamp_t8": _DECODE_TIMESTAMP_SQL,
         # intentionally no oracle for: cdc_replay_synthetic (non-SQL source;
         # exact-state parity pytest-verified against the sequential fold),
         # docs_quality_lang / docs_minhash_dedup / docs_simhash_dedup /

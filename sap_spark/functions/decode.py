@@ -108,8 +108,13 @@ def decode_timestamp(field: str, raw: Column) -> Column:
 
 
 def decode_time_micros(field: str, raw: Column) -> Column:
-    """Edm.Time/TimeOfDay 'HH:mm:ss[.ffffff]' → micros-of-day long (T9,
-    l.344-356; no Spark TimeType — engine invariant per SURVEY.md §1.2)."""
+    """Edm.Time/TimeOfDay → micros-of-day long (T9, l.344-356; no Spark
+    TimeType — engine invariant per SURVEY.md §1.2).
+
+    Two wire forms, both native regexp kernels: 'HH:mm:ss[.ffffff]' (the
+    V4 TimeOfDay literal) and the V2 Edm.Time duration literal
+    'PT11H10M59S' (what a V2 service puts on the wire — see the reference
+    fixture odata2/AllDataTypes.xml `<d:Time>PT11H10M59S</d:Time>`)."""
     m = F.regexp_extract(raw, r"^(\d{2}):(\d{2}):(\d{2})(?:\.(\d{1,6}))?$", 0)
     hh = F.regexp_extract(raw, r"^(\d{2})", 1).cast("long")
     mm = F.regexp_extract(raw, r"^\d{2}:(\d{2})", 1).cast("long")
@@ -120,10 +125,21 @@ def decode_time_micros(field: str, raw: Column) -> Column:
     micros = (hh * 3600 + mm * 60 + ss) * 1_000_000 + F.coalesce(
         frac.cast("long"), F.lit(0)
     )
-    parsed = F.when(
-        (m != "") & (hh < 24) & (mm < 60) & (ss < 60), micros
+    clock = F.when((m != "") & (hh < 24) & (mm < 60) & (ss < 60), micros)
+
+    pt = r"^PT(?:(\d+)H)?(?:(\d+)M)?(?:(\d+)(?:\.(\d{1,6}))?S)?$"
+    is_pt = F.regexp_extract(raw, pt, 0) != ""
+    pt_h = F.coalesce(F.regexp_extract(raw, pt, 1).try_cast("long"), F.lit(0))
+    pt_m = F.coalesce(F.regexp_extract(raw, pt, 2).try_cast("long"), F.lit(0))
+    pt_s = F.coalesce(F.regexp_extract(raw, pt, 3).try_cast("long"), F.lit(0))
+    pt_f = F.coalesce(
+        F.rpad(F.regexp_extract(raw, pt, 4), 6, "0").try_cast("long"), F.lit(0)
     )
-    return _checked(field, "time-micros", raw, parsed)
+    duration = F.when(
+        is_pt & (raw != "PT") & (pt_h < 24) & (pt_m < 60) & (pt_s < 60),
+        (pt_h * 3600 + pt_m * 60 + pt_s) * 1_000_000 + pt_f,
+    )
+    return _checked(field, "time-micros", raw, F.coalesce(clock, duration))
 
 
 @F.pandas_udf(T.StringType())
@@ -166,21 +182,46 @@ def decode_datetimeoffset(field: str, raw: Column) -> Column:
 
 @F.pandas_udf(T.StringType())
 def _render_duration(raw: pd.Series) -> pd.Series:
-    """Edm.Duration seconds → ISO-8601 'P12DT23H59M59.999999999999S'
-    (T11, transformer l.333-342 via Olingo EdmDuration; docs example at
+    """Edm.Duration → ISO-8601 'P12DT23H59M59.999999999999S' (T11,
+    transformer l.333-342 via Olingo EdmDuration; docs example at
     docs/SapEcc-batchsource.md:82). Value-derived precision: fractional
-    second digits are kept exactly as given, trailing zeros trimmed."""
+    second digits are kept exactly as given, trailing zeros trimmed.
+
+    Wire forms: a seconds decimal (what Olingo's deserializer hands the
+    transformer) or the ISO-8601 duration literal itself (what the V4 JSON
+    document carries — see odata4/AllDataTypes.json "Duration"); the
+    literal is parsed to seconds and re-rendered canonically."""
+
+    iso = re.compile(
+        r"^(-)?P(?:(\d+)D)?(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?$"
+    )
+
+    def to_seconds(s: str):
+        m = iso.match(s)
+        if not m or s in ("P", "-P"):
+            return None
+        sign, days, hours, minutes, secs = m.groups()
+        total = (
+            decimal.Decimal(days or 0) * 86400
+            + decimal.Decimal(hours or 0) * 3600
+            + decimal.Decimal(minutes or 0) * 60
+            + decimal.Decimal(secs or 0)
+        )
+        return -total if sign else total
 
     def render(v):
         if v is None:
             return None
-        try:
-            d = decimal.Decimal(str(v).strip())
-        except decimal.InvalidOperation as e:
-            raise UnexpectedFormatError(
-                f"Field is expected to be of type 'duration'. "
-                f"Unexpected value: '{v}'."
-            ) from e
+        s = str(v).strip()
+        d = to_seconds(s) if s[:1] in "P-" else None
+        if d is None:
+            try:
+                d = decimal.Decimal(s)
+            except decimal.InvalidOperation as e:
+                raise UnexpectedFormatError(
+                    f"Field is expected to be of type 'duration'. "
+                    f"Unexpected value: '{v}'."
+                ) from e
         sign = "-" if d < 0 else ""
         d = abs(d)
         days, rem = divmod(d, 86400)
@@ -504,6 +545,31 @@ def decode_geo_collection(
     )
 
 
+def decode_enum(field: str, raw: Column, members: dict[str, int]) -> Column:
+    """V4 enum property (T21 completion, odata/ODataEntity.java:97-99):
+    the reference extracts ``ClientEnumValue.getValue()`` — the member-name
+    string. Wire forms accepted: a member name, a comma-joined flags
+    combination ('Red,Blue'), or the underlying numeric value (mapped back
+    to its member name). Unknown members raise, matching the reference's
+    unsupported-value error path (ODataEntity.java:104-105)."""
+    by_value = {}
+    for name, value in members.items():
+        by_value.setdefault(str(value), name)
+    value_map = F.create_map(
+        *[F.lit(x) for kv in by_value.items() for x in kv]
+    )
+    names_arr = F.array(*[F.lit(n) for n in members])
+    parts = F.split(raw, ",")
+    all_members = F.forall(
+        parts, lambda p: F.array_contains(names_arr, F.trim(p))
+    )
+    parsed = (
+        F.when(all_members, F.concat_ws(",", F.transform(parts, F.trim)))
+        .when(value_map[raw].isNotNull(), value_map[raw])
+    )
+    return _checked(field, "enum", raw, parsed)
+
+
 def decode_collection(field: str, raw: Column, element_edm_type: str) -> Column:
     """V4 collection property (T21, odata/ODataEntity.java:91-93): JSON
     array of primitive wire values → typed Spark array. Complex element
@@ -551,6 +617,8 @@ _DECODERS = {
 def decode_property(prop: PropertyMetadata, raw: Column) -> Column:
     """Dispatch one property (extractValue, transformer l.92-164)."""
     t = prop.edm_type
+    if getattr(prop, "enum_members", None) is not None:
+        return decode_enum(prop.name, raw, prop.enum_members)
     if t in _DECODERS:
         return _DECODERS[t](prop.name, raw)
     if t == "Edm.Decimal":
@@ -580,9 +648,32 @@ def decode_property(prop: PropertyMetadata, raw: Column) -> Column:
 def decode_entity(df: DataFrame, entity: EntityType) -> DataFrame:
     """Decode a DataFrame of wire-string columns into the entity's typed
     schema — the whole-transformer analog (transform, l.73-83), one
-    vectorized select instead of a per-row loop."""
+    vectorized select instead of a per-row loop.
+
+    Stream properties: the feed parser (sources/odata_feed.py) merges V4
+    read/edit media links by property name into four wire columns
+    ``P__mediaEtag`` … ``P__mediaEditLink`` (T14, ODataEntity.java:70-84);
+    here they fold into the StreamProperty struct (T13). A stream property
+    with none of its media columns present decodes to a null struct."""
     cols = []
     for prop in entity.properties:
+        if prop.edm_type == "Edm.Stream":
+            media = [f"{prop.name}__{s}" for s in (
+                "mediaEtag", "mediaContentType", "mediaReadLink", "mediaEditLink"
+            )]
+            parts = [
+                F.col(c) if c in df.columns else F.lit(None).cast("string")
+                for c in media
+            ]
+            struct = build_stream_property(*parts)
+            cols.append(
+                F.when(
+                    F.coalesce(*parts).isNull(), F.lit(None).cast(STREAM_PROPERTY_STRUCT)
+                )
+                .otherwise(struct)
+                .alias(prop.name)
+            )
+            continue
         raw = F.col(prop.name)
         cols.append(decode_property(prop, raw).alias(prop.name))
     return df.select(*cols)

@@ -115,13 +115,20 @@ STREAM_PROPERTY_STRUCT = T.StructType(
 
 @dataclass
 class PropertyMetadata:
-    """Column metadata (odata/PropertyMetadata.java:27-76)."""
+    """Column metadata (odata/PropertyMetadata.java:27-76).
+
+    ``enum_members``: member-name → underlying value for V4 enum-typed
+    properties (parsed from the EDMX ``<EnumType>`` declaration). The
+    reference extracts an enum as its member-name string
+    (``ClientEnumValue.getValue()``, odata/ODataEntity.java:97-99), so an
+    enum property maps to StringType."""
 
     name: str
     edm_type: str  # e.g. "Edm.Int32"
     nullable: bool = True
     precision: int | None = None
     scale: int | None = None
+    enum_members: dict[str, int] | None = None
 
 
 @dataclass
@@ -211,7 +218,11 @@ def entity_type_to_struct(entity: EntityType) -> T.StructType:
     return T.StructType(
         [
             T.StructField(
-                p.name, edm_to_spark_type(p.edm_type, p.precision, p.scale), p.nullable
+                p.name,
+                T.StringType()
+                if p.enum_members is not None
+                else edm_to_spark_type(p.edm_type, p.precision, p.scale),
+                p.nullable,
             )
             for p in entity.properties
         ]

@@ -63,11 +63,15 @@ def _parse_bool(value: str | None, default: bool) -> bool:
     return value.strip().lower() == "true"
 
 
-def _parse_property(el: ET.Element) -> PropertyMetadata:
+def _parse_property(
+    el: ET.Element, enums: dict[str, dict[str, int]] | None = None
+) -> PropertyMetadata:
     name = el.attrib["Name"]
     edm_type = el.attrib.get("Type", "Edm.String")
     precision = el.attrib.get("Precision")
     scale = el.attrib.get("Scale")
+    # enum-typed property: Type="Namespace.Color" referencing an <EnumType>
+    members = (enums or {}).get(edm_type.rsplit(".", 1)[-1])
     return PropertyMetadata(
         name=name,
         edm_type=edm_type,
@@ -75,7 +79,28 @@ def _parse_property(el: ET.Element) -> PropertyMetadata:
         nullable=_parse_bool(el.attrib.get("Nullable"), True),
         precision=int(precision) if precision and precision.isdigit() else None,
         scale=int(scale) if scale and scale.isdigit() else None,
+        enum_members=members,
     )
+
+
+def _parse_enum_types(root: ET.Element) -> dict[str, dict[str, int]]:
+    """<EnumType Name=..><Member Name=.. Value=../></EnumType> → member
+    maps (V4 CSDL §10; members without explicit Value get 0,1,2,…)."""
+    enums: dict[str, dict[str, int]] = {}
+    for el in root.iter():
+        if _localname(el.tag) != "EnumType":
+            continue
+        members: dict[str, int] = {}
+        auto = 0
+        for m in el:
+            if _localname(m.tag) != "Member":
+                continue
+            v = m.attrib.get("Value")
+            value = int(v) if v is not None and v.lstrip("-").isdigit() else auto
+            members[m.attrib["Name"]] = value
+            auto = value + 1
+        enums[el.attrib["Name"]] = members
+    return enums
 
 
 def parse_edmx(edmx_xml: str) -> dict[str, EntityType]:
@@ -90,13 +115,14 @@ def parse_edmx(edmx_xml: str) -> dict[str, EntityType]:
     sniff_version(edmx_xml)  # validates the envelope
     root = ET.fromstring(edmx_xml)
 
+    enums = _parse_enum_types(root)
     entity_types: dict[str, EntityType] = {}
     set_bindings: dict[str, str] = {}  # entity-set name -> type name (no ns)
     for el in root.iter():
         tag = _localname(el.tag)
         if tag == "EntityType":
             props = [
-                _parse_property(p)
+                _parse_property(p, enums)
                 for p in el
                 if _localname(p.tag) == "Property"
             ]

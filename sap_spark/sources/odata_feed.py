@@ -1,0 +1,300 @@
+"""OData wire-format feed parsing: response documents → wire-string rows.
+
+The reference's core read path turns an HTTP response document into rows:
+V2 via Olingo `EntityProvider.readFeed` over Atom-XML or JSON
+(odata/odata2/OData2Client.java:94) and V4 via a lazy
+`ClientEntitySetIterator` over JSON pages (odata/odata4/OData4Client.java:71).
+This module is that path re-expressed for Spark:
+
+- the unit of parallelism is the **feed document** (one server page). A
+  corpus of staged pages is a DataFrame with one payload string per row;
+  ``parse_feed_documents`` fans the parse out across executors with
+  ``mapInPandas`` (Arrow batches of documents in, Arrow batches of entity
+  rows out — one Python parse per *document*, never per row/field), so a
+  million staged pages parse with full cluster parallelism where the
+  reference parsed one feed on one thread.
+- output is one **wire-string column per property** — exactly the input
+  convention of ``functions/decode.decode_entity``, which then runs the
+  typed decode as native/vectorized column kernels. Parsing (this module)
+  and decoding (decode.py) stay separate so the decode hot path keeps
+  whole-stage codegen.
+
+Formats, matching what the reference's clients actually emit/consume:
+
+- **V2 Atom-XML** (``<feed><entry><content><m:properties><d:Prop>``),
+  the `$format=xml` / default path of `SapOData2SourceETLTest`;
+- **V2 JSON** (``{"d": {"results": [...]}}``), the `$format=json` path;
+- **V4 JSON** (``{"value": [...]}`` with ``@odata.*`` annotations), the
+  Olingo V4 client's wire format.
+
+V4 Atom (GML geospatial payloads) is not implemented — the reference's V4
+client requests JSON; fixtures exist but exercise the same value space.
+
+Wire-value conventions produced (consumed by decode.py):
+
+- scalars: the lexical form from the document (JSON numbers keep their
+  source text via ``parse_float/parse_int`` hooks; booleans → "true"/"false");
+- V2 ``/Date(millis[+offset])/`` JSON datetimes are normalized to ISO-8601
+  so the timestamp kernel (T8) parses them;
+- geospatial objects: re-serialized GeoJSON text (geo kernels T15-T20);
+- collections: JSON array text (T21);
+- enums: the member-name string (Olingo ``ClientEnumValue.getValue()``
+  parity, odata/ODataEntity.java:97-99);
+- stream properties: the V4 ``P@odata.media{Etag,ContentType,ReadLink,
+  EditLink}`` annotations are merged **by property name** into four
+  columns ``P__mediaEtag`` … ``P__mediaEditLink`` (the read-link/edit-link
+  merge of odata/ODataEntity.java:70-84, T14); ``decode_entity`` folds
+  them into the StreamProperty struct (T13).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import xml.etree.ElementTree as ET
+from typing import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from sap_spark.schema.edm import EntityType
+
+# Atom/OData XML namespaces (V2).
+_NS_ATOM = "http://www.w3.org/2005/Atom"
+_NS_M = "http://schemas.microsoft.com/ado/2007/08/dataservices/metadata"
+_NS_D = "http://schemas.microsoft.com/ado/2007/08/dataservices"
+
+_V2_DATE_RE = re.compile(r"^/Date\((-?\d+)([+-]\d{1,4})?\)/$")
+
+STREAM_SUFFIXES = ("mediaEtag", "mediaContentType", "mediaReadLink", "mediaEditLink")
+
+
+class FeedParseError(ValueError):
+    """Malformed feed document."""
+
+
+def detect_format(payload: str) -> str:
+    """'json' or 'atom-xml' — the $format dispatch (P6)."""
+    head = payload.lstrip()[:1]
+    if head == "{":
+        return "json"
+    if head == "<":
+        return "atom-xml"
+    raise FeedParseError(f"unrecognized feed payload (starts {payload[:20]!r})")
+
+
+def stream_columns(name: str) -> list[str]:
+    """The four wire columns a stream property expands to."""
+    return [f"{name}__{s}" for s in STREAM_SUFFIXES]
+
+
+def wire_schema(entity: EntityType) -> T.StructType:
+    """Schema of the wire-string frame for an entity type: one string
+    column per property; stream properties expand to their four media
+    columns."""
+    fields: list[T.StructField] = []
+    for p in entity.properties:
+        if p.edm_type == "Edm.Stream":
+            fields.extend(
+                T.StructField(c, T.StringType(), True) for c in stream_columns(p.name)
+            )
+        else:
+            fields.append(T.StructField(p.name, T.StringType(), True))
+    return T.StructType(fields)
+
+
+# -- scalar-to-wire normalization -------------------------------------------
+
+
+def _wire_str(value) -> str | None:
+    """JSON value → wire string (lexical form preserved for numbers via the
+    _RawNum parse hooks; bool → OData lowercase literals; objects/arrays →
+    their JSON text for the geo/collection kernels)."""
+    if value is None:
+        return None
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, _RawNum):
+        return value.raw
+    if isinstance(value, (dict, list)):
+        return json.dumps(value, default=_json_default)
+    s = str(value)
+    m = _V2_DATE_RE.match(s)
+    if m:
+        return _v2_epoch_to_iso(int(m.group(1)), m.group(2))
+    return s
+
+
+class _RawNum:
+    """Number wrapper keeping the document's lexical form (so e.g. a
+    Double survives as its source text instead of a repr round-trip)."""
+
+    __slots__ = ("raw",)
+
+    def __init__(self, raw: str):
+        self.raw = raw
+
+    def __repr__(self):  # pragma: no cover - debugging aid
+        return self.raw
+
+
+def _json_default(o):
+    if isinstance(o, _RawNum):
+        return json.RawJSON(o.raw) if hasattr(json, "RawJSON") else float(o.raw)
+    raise TypeError(o)
+
+
+def _loads_preserving(payload: str):
+    """json.loads with numeric lexical forms preserved as _RawNum."""
+    return json.loads(payload, parse_float=_RawNum, parse_int=_RawNum)
+
+
+def _v2_epoch_to_iso(millis: int, offset_minutes: str | None) -> str:
+    """V2 JSON '/Date(millis[+offset])/' → ISO-8601 (offset applied, kept)."""
+    from datetime import datetime, timedelta, timezone
+
+    tz = timezone.utc
+    if offset_minutes:
+        tz = timezone(timedelta(minutes=int(offset_minutes)))
+    dt = datetime.fromtimestamp(millis / 1000.0, tz=tz)
+    iso = dt.strftime("%Y-%m-%dT%H:%M:%S")
+    if millis % 1000:
+        iso += f".{millis % 1000:03d}"
+    if offset_minutes:
+        iso += dt.strftime("%z")
+        iso = iso[:-2] + ":" + iso[-2:]
+    return iso
+
+
+# -- per-document parsers ---------------------------------------------------
+
+
+def _parse_v2_json(payload: str) -> list[dict[str, str | None]]:
+    doc = _loads_preserving(payload)
+    d = doc.get("d", doc)
+    results = d.get("results", d if isinstance(d, list) else [d])
+    out = []
+    for row in results:
+        if not isinstance(row, dict):
+            raise FeedParseError("V2 JSON feed entry is not an object")
+        out.append(
+            {k: _wire_str(v) for k, v in row.items() if k != "__metadata"}
+        )
+    return out
+
+
+def _parse_v4_json(payload: str) -> list[dict[str, str | None]]:
+    doc = _loads_preserving(payload)
+    rows = doc.get("value")
+    if rows is None:
+        rows = [doc]  # single-entity response
+    out = []
+    for row in rows:
+        entry: dict[str, str | None] = {}
+        for k, v in row.items():
+            if k.startswith("@"):
+                continue  # document-level control info (@odata.context, …)
+            if "@" in k:
+                # property annotation: media links merge by property name
+                # (the T14 read/edit-link merge), type annotations dropped
+                name, anno = k.split("@", 1)
+                if anno.startswith("odata.media"):
+                    entry[f"{name}__{anno[len('odata.'):]}"] = _wire_str(v)
+                continue
+            entry[k] = _wire_str(v)
+        out.append(entry)
+    return out
+
+
+def _parse_v2_atom(payload: str) -> list[dict[str, str | None]]:
+    try:
+        root = ET.fromstring(payload)
+    except ET.ParseError as e:
+        raise FeedParseError(f"unparseable Atom feed: {e}") from e
+    entries = root.findall(f"{{{_NS_ATOM}}}entry")
+    if not entries and root.tag == f"{{{_NS_ATOM}}}entry":
+        entries = [root]  # single-entry response
+    out = []
+    for entry in entries:
+        props = entry.find(
+            f"{{{_NS_ATOM}}}content/{{{_NS_M}}}properties"
+        )
+        if props is None:  # media entries keep properties outside content
+            props = entry.find(f"{{{_NS_M}}}properties")
+        if props is None:
+            raise FeedParseError("Atom entry without m:properties content")
+        row: dict[str, str | None] = {}
+        for el in props:
+            name = el.tag.rsplit("}", 1)[-1]
+            if el.attrib.get(f"{{{_NS_M}}}null", "").lower() == "true":
+                row[name] = None
+            else:
+                row[name] = (el.text or "").strip() or None
+        out.append(row)
+    return out
+
+
+def parse_document(payload: str, version: str | None = None) -> list[dict]:
+    """One feed document → list of wire-string dicts (driver-side helper;
+    the distributed path is :func:`parse_feed_documents`)."""
+    fmt = detect_format(payload)
+    if fmt == "atom-xml":
+        return _parse_v2_atom(payload)
+    doc_version = version
+    if doc_version is None:
+        head = payload[:2048]
+        doc_version = "2.0" if '"d"' in head and '"results"' in head else "4.0"
+    if doc_version.startswith("2"):
+        return _parse_v2_json(payload)
+    return _parse_v4_json(payload)
+
+
+# -- distributed parse ------------------------------------------------------
+
+
+def parse_feed_documents(
+    docs: DataFrame,
+    entity: EntityType,
+    version: str | None = None,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """DataFrame of feed documents → DataFrame of wire-string columns.
+
+    Each input row carries one response document (one server page staged to
+    storage); ``mapInPandas`` parses each Arrow batch of documents into
+    entity rows with one string column per property (stream properties →
+    four media columns). Feed pages are the parallel unit: repartition the
+    staged-page frame to spread documents across executors. Feed
+    properties absent from the entity type are dropped (schema is the
+    contract, as in the reference transformer); entity properties absent
+    from a document yield null (T1).
+    """
+    out_schema = wire_schema(entity)
+    names = [f.name for f in out_schema.fields]
+
+    def parse_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows: list[dict] = []
+            for payload in batch[payload_col]:
+                if payload is None:
+                    continue
+                rows.extend(parse_document(payload, version))
+            yield pd.DataFrame(
+                {n: [r.get(n) for r in rows] for n in names}, dtype=object
+            )
+
+    return docs.mapInPandas(parse_batches, schema=out_schema)
+
+
+def parse_feed(
+    spark: SparkSession,
+    payload: str,
+    entity: EntityType,
+    version: str | None = None,
+) -> DataFrame:
+    """Single-document convenience: one response document → wire-string
+    DataFrame (the shape `EntityProvider.readFeed` returns, distributed)."""
+    docs = spark.createDataFrame([(payload,)], "payload string")
+    return parse_feed_documents(docs, entity, version)
