@@ -109,9 +109,19 @@ def bench_cdc_replay(spark, cores: int, n_events: int, log_path: str | None = No
                 T.StructField("content", T.StringType(), True),
             ]
         )
-        # bucket count is a property of the table layout, not of the compute
-        # size — keep it fixed so both scaling runs merge the same layout
-        num_buckets = 32
+        # Bucket count from the documented sizing rule (payload/256MB,
+        # plans/lake.derive_num_buckets) with a floor of 32 — the max core
+        # count any scaling run uses — so merge-write parallelism never
+        # caps below the compute and BOTH scaling runs merge the identical
+        # layout (the floor, not the run's own core count, decides).
+        from sap_spark.plans.lake import derive_num_buckets
+
+        log_bytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(log_path)
+            for f in fs
+        )
+        num_buckets = derive_num_buckets(log_bytes, min_buckets=32)
         cfg = EngineConfig(num_buckets=num_buckets).validate()
         table = LakeTable.create(
             spark, f"{workdir}/repos", schema,
@@ -123,9 +133,11 @@ def bench_cdc_replay(spark, cores: int, n_events: int, log_path: str | None = No
             max_files_per_trigger=BENCH_MFT * FILES_PER_TOKEN,
             pipeline_id="bench",
         )
+        window_start_ms = time.time() * 1000
         t0 = time.monotonic()
         pipe.run_available_now(timeout_sec=3600)
         elapsed = time.monotonic() - t0
+        window_end_ms = time.time() * 1000
         final_rows = LakeTable(spark, table.path).read().count()
         assert final_rows > 0
         return {
@@ -133,6 +145,10 @@ def bench_cdc_replay(spark, cores: int, n_events: int, log_path: str | None = No
             "events": n_rows,
             "events_per_sec": round(n_rows / elapsed, 1),
             "final_rows": final_rows,
+            # exact wall window of the replay (epoch ms) — the task-time
+            # accounting filter, so utilization evidence counts replay
+            # tasks only (not warmup / row-count scans / later queries)
+            "window_ms": (window_start_ms, window_end_ms),
         }
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
@@ -174,31 +190,44 @@ def run_bench(
     )
     queries: dict[str, float] = {}
 
-    # Untimed warmup replay: JIT-compiles the whole code path (codegen,
-    # parquet, shuffle) so the timed run measures steady-state throughput,
-    # not JVM warmup — runs are ~1 min, warmup would otherwise dominate.
-    bench_cdc_replay(
-        spark, cores, max(n_events // 20, 10_000), log_path=warmup_log
-    )
+    try:
+        # Untimed warmup replay: JIT-compiles the whole code path (codegen,
+        # parquet, shuffle) so the timed run measures steady-state
+        # throughput, not JVM warmup — runs are ~1 min, warmup would
+        # otherwise dominate.
+        bench_cdc_replay(
+            spark, cores, max(n_events // 20, 10_000), log_path=warmup_log
+        )
 
-    wall_t0_ms = time.time() * 1000
-    cdc = bench_cdc_replay(spark, cores, n_events, log_path=log)
-    queries["cdc_replay"] = cdc["sec"]
-    time.sleep(2)  # let the event-log writer flush the last task events
-    task_sec = _task_run_seconds(evdir, since_ms=wall_t0_ms)
-    cdc["task_run_sec"] = round(task_sec, 1)
-    cdc["core_busy_fraction"] = (
-        round(task_sec / (cdc["sec"] * cores), 3) if cdc["sec"] else None
-    )
+        cdc = bench_cdc_replay(spark, cores, n_events, log_path=log)
+        queries["cdc_replay"] = cdc["sec"]
 
-    if not cdc_only:
-        qmap = contract.queries()
-        for name in BENCH_QUERIES:
-            fn = qmap[name]
-            fn(spark, sf_dir).count()  # warm (plan + file listing)
-            t0 = time.monotonic()
-            _force(fn(spark, sf_dir))
-            queries[name] = round(time.monotonic() - t0, 3)
+        if not cdc_only:
+            qmap = contract.queries()
+            for name in BENCH_QUERIES:
+                fn = qmap[name]
+                fn(spark, sf_dir).count()  # warm (plan + file listing)
+                t0 = time.monotonic()
+                _force(fn(spark, sf_dir))
+                queries[name] = round(time.monotonic() - t0, 3)
+
+        # Stop the session BEFORE parsing the event log: stop() closes the
+        # EventLoggingListener's buffered writer, the only guaranteed flush
+        # of the final task events (a fixed sleep is not).
+        spark.stop()
+        task_sec = _task_run_seconds(evdir, window_ms=cdc["window_ms"])
+        cdc["task_run_sec"] = round(task_sec, 1)
+        fraction = task_sec / (cdc["sec"] * cores) if cdc["sec"] else None
+        # task-seconds can never exceed wall x cores; anything above (mod
+        # clock skew) means the filter caught foreign tasks — report no
+        # evidence rather than an impossible number
+        if fraction is not None and fraction > 1.05:
+            fraction = None
+        cdc["core_busy_fraction"] = (
+            round(min(fraction, 1.0), 3) if fraction is not None else None
+        )
+    finally:
+        shutil.rmtree(evdir, ignore_errors=True)
 
     total = round(sum(queries.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -217,12 +246,17 @@ def run_bench(
     }
 
 
-def _task_run_seconds(evdir: str, since_ms: float) -> float:
-    """Sum executor task run time (ms→s) for tasks finishing after since_ms,
-    from the uncompressed Spark event log — the engine-level utilization
-    evidence: busy_fraction = task_run_sec / (wall * cores)."""
+def _task_run_seconds(evdir: str, window_ms: tuple[float, float]) -> float:
+    """Sum executor task run time (ms→s) for tasks launched AND finished
+    inside the replay's wall window, from the Spark event log — the
+    engine-level utilization evidence: busy_fraction = task_run_sec /
+    (wall * cores). The two-sided window is what makes the number
+    physically valid (≤ 1.0): a since-only filter also caught the
+    row-count scans and late-flushed warmup tasks around the replay."""
     import glob as _glob
 
+    since_ms, until_ms = window_ms
+    slack = 500  # listener-bus timestamp skew
     total_ms = 0
     for path in _glob.glob(os.path.join(evdir, "*")):
         if not os.path.isfile(path):
@@ -234,7 +268,10 @@ def _task_run_seconds(evdir: str, since_ms: float) -> float:
                         continue
                     e = json.loads(line)
                     info = e.get("Task Info") or {}
-                    if info.get("Finish Time", 0) >= since_ms:
+                    if (
+                        info.get("Launch Time", 0) >= since_ms - slack
+                        and info.get("Finish Time", 0) <= until_ms + slack
+                    ):
                         m = e.get("Task Metrics") or {}
                         total_ms += m.get("Executor Run Time", 0)
         except (OSError, ValueError):

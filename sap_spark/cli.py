@@ -85,17 +85,27 @@ def run_ingest(args, spark=None) -> dict:
         spark.sparkContext.setLogLevel("WARN")
 
     keys = args.keys.split(",")
-    cfg = EngineConfig(
-        key_columns=tuple(keys),
-        num_buckets=args.buckets,
-    ).validate()
     schema = (
         T.StructType.fromDDL(args.schema) if args.schema else _default_schema()
     )
+    # --buckets omitted → derive from the change-log size (upper bound on
+    # the table payload) via the documented ~payload/256MB rule
+    expected_bytes = None
+    if args.buckets is None and os.path.isdir(args.log):
+        expected_bytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(args.log)
+            for f in fs
+        )
     table = LakeTable.create(
         spark, args.table, schema, key_columns=keys,
         num_buckets=args.buckets, if_not_exists=True,
+        expected_payload_bytes=expected_bytes,
     )
+    cfg = EngineConfig(
+        key_columns=tuple(keys),
+        num_buckets=table.num_buckets,
+    ).validate()
     pipe = CdcPipeline(
         spark, cfg, table, args.log,
         checkpoint_dir=args.checkpoint,
@@ -129,7 +139,9 @@ def main(argv: list[str] | None = None) -> None:
     i.add_argument("--checkpoint", required=True, help="streaming checkpoint dir")
     i.add_argument("--keys", default="repo,path", help="comma-separated primary key")
     i.add_argument("--schema", default=None, help="target DDL (default: input_hint repos schema)")
-    i.add_argument("--buckets", type=int, default=32)
+    i.add_argument("--buckets", type=int, default=None,
+                   help="table hash buckets; omit to derive from log size "
+                        "(~payload/256MB, min 8)")
     i.add_argument("--strategy", default="fetch",
                    choices=["fetch", "agg", "window", "window_salted"])
     i.add_argument("--max-files-per-trigger", type=int, default=None)

@@ -65,6 +65,28 @@ def bucket_expr(key_columns: list[str] | tuple[str, ...], num_buckets: int) -> F
     return F.pmod(F.xxhash64(*key_columns), F.lit(num_buckets)).cast("int")
 
 
+# Iceberg-style write-target file size; buckets ≈ payload / this.
+TARGET_FILE_BYTES = 256 << 20
+
+
+def derive_num_buckets(
+    expected_payload_bytes: int,
+    target_file_bytes: int = TARGET_FILE_BYTES,
+    min_buckets: int = 8,
+    max_buckets: int = 4096,
+) -> int:
+    """Bucket count from expected table payload (the cli.py sizing rule:
+    ~payload / 256 MB, bounded). Bucket count is a property of the table
+    LAYOUT, not the compute size — but it caps merge-write parallelism
+    (one task per bucket-cluster), so pass ``min_buckets`` ≥ the planned
+    executor-core count for small tables on big clusters."""
+    import math
+
+    if expected_payload_bytes <= 0:
+        return min_buckets
+    return min(max_buckets, max(min_buckets, math.ceil(expected_payload_bytes / target_file_bytes)))
+
+
 class LakeTable:
     """Handle to one table directory. See module docstring for semantics."""
 
@@ -117,10 +139,18 @@ class LakeTable:
         path: str,
         schema: T.StructType,
         key_columns: list[str] | tuple[str, ...],
-        num_buckets: int = 32,
+        num_buckets: int | None = 32,
         if_not_exists: bool = False,
+        expected_payload_bytes: int | None = None,
     ) -> "LakeTable":
-        """Create an empty table (schema = user columns, no internal cols)."""
+        """Create an empty table (schema = user columns, no internal cols).
+
+        ``num_buckets=None`` derives the count from
+        ``expected_payload_bytes`` via :func:`derive_num_buckets`
+        (~payload / 256 MB, bounded) — the sizing rule documented in
+        cli.py instead of a hardcoded default."""
+        if num_buckets is None:
+            num_buckets = derive_num_buckets(expected_payload_bytes or 0)
         meta_dir = os.path.join(path, "_meta")
         if os.path.exists(os.path.join(meta_dir, "VERSION")):
             if if_not_exists:

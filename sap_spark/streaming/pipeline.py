@@ -137,8 +137,11 @@ class CdcPipeline:
         under the checkpoint dir keyed by epoch id, so retries replay
         deterministically. Tokens applied out of order remain correct via
         the event_seq version gate. Costs one driver-side listing of the
-        batch's token directories per epoch; disabled automatically for
-        non-file sources or non-local paths that can't be listed."""
+        batch's token directories per epoch. Non-file sources (no source
+        log) skip enforcement; a file source on a NON-listable scheme
+        (object store) raises rather than silently degrading — set
+        enforce_token_atomicity=False only when the source batches whole
+        delta tokens (e.g. one file per token)."""
         cfg.validate()
         self.spark = spark
         self.cfg = cfg
@@ -345,6 +348,26 @@ class CdcPipeline:
             [self._local_path(f) for f in files] if files is not None else None
         )
         n_deferred = 0
+        if (
+            self.enforce_token_atomicity
+            and local
+            and any(p is None for p in local)
+        ):
+            # Non-listable scheme (object store): completeness of a delta
+            # token cannot be verified by listing, and silently skipping
+            # enforcement would reopen the split-token ROCANCEL hole this
+            # guard exists for. Fail loudly; the operator must either make
+            # the source batch whole tokens (one file per token, or
+            # maxFilesPerTrigger a multiple of files-per-token with aligned
+            # writes) and pass enforce_token_atomicity=False, or stage the
+            # log on a listable filesystem.
+            raise RuntimeError(
+                "token-atomicity enforcement requires a listable (local) "
+                "change-log path; got non-local files "
+                f"{[f for f, p in zip(files, local) if p is None][:3]}… "
+                "Pass enforce_token_atomicity=False ONLY if the source "
+                "delivers whole delta tokens per micro-batch."
+            )
         if local and all(p is not None for p in local):
             if self.enforce_token_atomicity:
                 complete, deferred = self._split_complete_tokens(local, epoch_id)

@@ -212,6 +212,44 @@ def test_token_atomicity_across_compact_boundary(spark, tmpdir_path):
     assert got.equals(oracle), "compact-boundary epoch corrupted the fold"
 
 
+def test_non_listable_source_fails_loud(spark, tmpdir_path):
+    """Token-atomicity enforcement on an object-store scheme must raise,
+    not silently degrade (completeness can't be verified by listing; a
+    split token would lose ROCANCEL scope). Explicit opt-out documented."""
+    import pytest
+
+    events = gen_change_events(spark, n_events=200, n_keys=50, events_per_token=100)
+    table = LakeTable.create(
+        spark, f"{tmpdir_path}/repos", TARGET_SCHEMA,
+        key_columns=["repo", "path"], num_buckets=4,
+    )
+    pipe = CdcPipeline(
+        spark, CFG, table, f"{tmpdir_path}/log",
+        checkpoint_dir=f"{tmpdir_path}/ckpt", pipeline_id="s3-test",
+    )
+    pipe._batch_files = lambda epoch_id: [
+        "s3://bucket/log/delta_token=D0/part-0.parquet"
+    ]
+    with pytest.raises(RuntimeError, match="listable"):
+        pipe._process_batch(events, 0)
+
+
+def test_derive_num_buckets_rule(spark, tmpdir_path):
+    from sap_spark.plans.lake import derive_num_buckets
+
+    assert derive_num_buckets(0) == 8                      # empty → floor
+    assert derive_num_buckets(100 << 20) == 8              # < 2 GiB → floor
+    assert derive_num_buckets(10 << 30) == 40              # 10 GiB / 256 MiB
+    assert derive_num_buckets(100 << 40) == 4096           # capped
+    assert derive_num_buckets(10 << 30, min_buckets=64) == 64
+    t = LakeTable.create(
+        spark, f"{tmpdir_path}/derived", TARGET_SCHEMA,
+        key_columns=["repo", "path"], num_buckets=None,
+        expected_payload_bytes=10 << 30,
+    )
+    assert t.num_buckets == 40
+
+
 def test_epoch_retry_is_noop(spark, tmpdir_path):
     """Injected foreachBatch retry (SURVEY.md §7 hard parts): re-running an
     already-committed epoch — same epoch_id, same pinned file set — must not
