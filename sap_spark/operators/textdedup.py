@@ -189,9 +189,14 @@ def dedup_minhash_lsh(
     """
     base = df.select(
         F.col(id_col), char_shingles(F.col(text_col), shingle_k).alias("__sh")
-    )
-    verified = _minhash_verified_pairs(base, id_col, threshold, num_hashes, bands)
-    return _resolve_groups(verified, df.select(id_col), id_col)
+    ).persist()  # shingle build runs once; banding + both verify sides reuse
+    try:
+        verified = _minhash_verified_pairs(base, id_col, threshold, num_hashes, bands)
+        # _resolve_groups materializes eagerly (per-round localCheckpoint),
+        # so base is fully consumed before the unpersist below
+        return _resolve_groups(verified, df.select(id_col), id_col)
+    finally:
+        base.unpersist()
 
 
 def dedup_ngram_jaccard(
@@ -208,9 +213,12 @@ def dedup_ngram_jaccard(
     char shingles are too strict)."""
     base = df.select(
         F.col(id_col), word_ngrams(F.col(text_col), ngram_n).alias("__sh")
-    )
-    verified = _minhash_verified_pairs(base, id_col, threshold, num_hashes, bands)
-    return _resolve_groups(verified, df.select(id_col), id_col)
+    ).persist()
+    try:
+        verified = _minhash_verified_pairs(base, id_col, threshold, num_hashes, bands)
+        return _resolve_groups(verified, df.select(id_col), id_col)
+    finally:
+        base.unpersist()
 
 
 def dedup_simhash(
@@ -227,32 +235,37 @@ def dedup_simhash(
     Returns (id, group_id).
     """
     n_chunks = max_hamming + 1
+    # persist: the simhash UDF (the expensive pass) would otherwise run
+    # once per self-join side; consumed eagerly inside _resolve_groups
     base = df.select(
         F.col(id_col), simhash64(normalize_text(F.col(text_col))).alias("__fp")
-    )
-    chunked = base.select(
-        id_col, "__fp", F.explode(simhash_chunks(F.col("__fp"), n_chunks)).alias("__c")
-    ).select(
-        id_col, "__fp", F.col("__c.chunk").alias("chunk"), F.col("__c.value").alias("cv")
-    )
-    l, r = chunked.alias("l"), chunked.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l.cv") == F.col("r.cv"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).persist()
+    try:
+        chunked = base.select(
+            id_col, "__fp", F.explode(simhash_chunks(F.col("__fp"), n_chunks)).alias("__c")
+        ).select(
+            id_col, "__fp", F.col("__c.chunk").alias("chunk"), F.col("__c.value").alias("cv")
         )
-        .select(
-            F.col(f"l.{id_col}").alias("a"),
-            F.col(f"r.{id_col}").alias("b"),
-            F.col("l.__fp").alias("fp_a"),
-            F.col("r.__fp").alias("fp_b"),
+        l, r = chunked.alias("l"), chunked.alias("r")
+        cand = (
+            l.join(
+                r,
+                (F.col("l.chunk") == F.col("r.chunk"))
+                & (F.col("l.cv") == F.col("r.cv"))
+                & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            )
+            .select(
+                F.col(f"l.{id_col}").alias("a"),
+                F.col(f"r.{id_col}").alias("b"),
+                F.col("l.__fp").alias("fp_a"),
+                F.col("r.__fp").alias("fp_b"),
+            )
+            .dropDuplicates(["a", "b"])
         )
-        .dropDuplicates(["a", "b"])
-    )
-    verified = cand.where(hamming64(F.col("fp_a"), F.col("fp_b")) <= max_hamming)
-    return _resolve_groups(verified, df.select(id_col), id_col)
+        verified = cand.where(hamming64(F.col("fp_a"), F.col("fp_b")) <= max_hamming)
+        return _resolve_groups(verified, df.select(id_col), id_col)
+    finally:
+        base.unpersist()
 
 
 def dedup_embedding_cosine(
@@ -277,7 +290,7 @@ def dedup_embedding_cosine(
         F.col(vec_col).alias("__v"),
         F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("__n"),
         hyperplane_signature(F.col(vec_col), dim, n_planes).alias("__sig"),
-    )
+    ).persist()  # signature pass (n_planes x dim MACs) runs once, not per side
     l, r = base.alias("l"), base.alias("r")
     cand = l.join(
         r,
@@ -294,7 +307,10 @@ def dedup_embedding_cosine(
         F.col("__nn") > 0, _dot(F.col("va"), F.col("vb")) / F.col("__nn")
     ).otherwise(F.lit(0.0))
     verified = cand.where(cos >= threshold)
-    return _resolve_groups(verified, df.select(id_col), id_col)
+    try:
+        return _resolve_groups(verified, df.select(id_col), id_col)
+    finally:
+        base.unpersist()
 
 
 def ann_brute_force(

@@ -1,5 +1,6 @@
-"""Sources: change-log readers (batch + streaming), query-option pushdown
-surface, deterministic synthetic data generators."""
+"""Sources: change-log readers (batch + streaming), OData wire-format feed
+parsing, query-option pushdown surface, deterministic synthetic data
+generators."""
 
 from sap_spark.sources.datagen import gen_change_events, gen_repos
 from sap_spark.sources.changelog import (
@@ -7,6 +8,11 @@ from sap_spark.sources.changelog import (
     read_changelog_stream,
     ODataQueryOptions,
     apply_query_options,
+)
+from sap_spark.sources.odata_feed import (
+    feed_control,
+    parse_feed,
+    parse_feed_documents,
 )
 
 __all__ = [
@@ -16,4 +22,7 @@ __all__ = [
     "read_changelog_stream",
     "ODataQueryOptions",
     "apply_query_options",
+    "feed_control",
+    "parse_feed",
+    "parse_feed_documents",
 ]

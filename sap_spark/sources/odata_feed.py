@@ -25,10 +25,9 @@ Formats, matching what the reference's clients actually emit/consume:
   the `$format=xml` / default path of `SapOData2SourceETLTest`;
 - **V2 JSON** (``{"d": {"results": [...]}}``), the `$format=json` path;
 - **V4 JSON** (``{"value": [...]}`` with ``@odata.*`` annotations), the
-  Olingo V4 client's wire format.
-
-V4 Atom (GML geospatial payloads) is not implemented — the reference's V4
-client requests JSON; fixtures exist but exercise the same value space.
+  Olingo V4 client's wire format;
+- **V4 Atom-XML** including GML geospatial payloads (converted to GeoJSON
+  text for the geo kernels) and media-link elements.
 
 Wire-value conventions produced (consumed by decode.py):
 
@@ -208,28 +207,153 @@ def _parse_v4_json(payload: str) -> list[dict[str, str | None]]:
     return out
 
 
-def _parse_v2_atom(payload: str) -> list[dict[str, str | None]]:
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _gml_positions(el: ET.Element) -> list[list[float]]:
+    return [
+        [float(x) for x in pos.text.split()]
+        for pos in el
+        if _local(pos.tag) == "pos" and pos.text and pos.text.strip()
+    ]
+
+
+def _gml_ring(ring_holder: ET.Element) -> list[list[float]]:
+    """exterior/interior → LinearRing → pos* coordinates."""
+    for child in ring_holder:
+        if _local(child.tag) == "LinearRing":
+            return _gml_positions(child)
+    return _gml_positions(ring_holder)
+
+
+def _gml_members(el: ET.Element, *container_names: str) -> list[ET.Element]:
+    """Children of gml:xxxMembers / gml:xxxMember wrappers (both arities)."""
+    out: list[ET.Element] = []
+    for child in el:
+        if _local(child.tag) in container_names:
+            out.extend(list(child))
+    return out
+
+
+def _gml_to_geojson(el: ET.Element, siblings: list[ET.Element] | None = None):
+    """One GML geometry element → GeoJSON dict (the conversion Olingo's
+    Atom deserializer performs before the transformer sees a Geospatial
+    value). Handles the Olingo fixture quirk of a self-closed
+    ``<gml:Polygon/>`` whose ring positions sit as *siblings* under the
+    property element (odata4/AllDataTypes.xml GeographyPolygon)."""
+    kind = _local(el.tag)
+    if kind == "Point":
+        pts = _gml_positions(el)
+        return {"type": "Point", "coordinates": pts[0] if pts else []}
+    if kind == "LineString":
+        return {"type": "LineString", "coordinates": _gml_positions(el)}
+    if kind == "Polygon":
+        exterior: list[list[float]] = []
+        interiors: list[list[list[float]]] = []
+        for child in el:
+            if _local(child.tag) == "exterior":
+                exterior = _gml_ring(child)
+            elif _local(child.tag) == "interior":
+                interiors.append(_gml_ring(child))
+        if not exterior and siblings:
+            exterior = [
+                [float(x) for x in s.text.split()]
+                for s in siblings
+                if _local(s.tag) == "pos" and s.text and s.text.strip()
+            ]
+        return {"type": "Polygon", "coordinates": [exterior, *interiors]}
+    if kind == "MultiPoint":
+        pts = [
+            _gml_to_geojson(p)["coordinates"]
+            for p in _gml_members(el, "pointMembers", "pointMember")
+        ]
+        return {"type": "MultiPoint", "coordinates": pts}
+    if kind == "MultiCurve":
+        lines = [
+            _gml_to_geojson(c)["coordinates"]
+            for c in _gml_members(el, "curveMembers", "curveMember")
+        ]
+        return {"type": "MultiLineString", "coordinates": lines}
+    if kind == "MultiSurface":
+        polys = [
+            _gml_to_geojson(p)["coordinates"]
+            for p in _gml_members(el, "surfaceMembers", "surfaceMember")
+        ]
+        return {"type": "MultiPolygon", "coordinates": polys}
+    if kind == "MultiGeometry":
+        members = [
+            _gml_to_geojson(g)
+            for g in _gml_members(el, "geometryMembers", "geometryMember")
+        ]
+        return {"type": "GeometryCollection", "geometries": members}
+    raise FeedParseError(f"unsupported GML geometry <{kind}>")
+
+
+_MEDIA_REL_SUFFIX = {
+    "edit-media": "mediaEditLink",
+    "mediaresource": "mediaReadLink",
+}
+
+
+def _atom_media_links(entry: ET.Element) -> dict[str, str | None]:
+    """V4 Atom media links: <link rel=".../edit-media/P"> and
+    <link rel=".../mediaresource/P"> merged by property name P (the T14
+    read/edit-link merge, odata/ODataEntity.java:70-84)."""
+    out: dict[str, str | None] = {}
+    for link in entry:
+        if _local(link.tag) != "link":
+            continue
+        rel = link.attrib.get("rel", "")
+        for marker, suffix in _MEDIA_REL_SUFFIX.items():
+            token = f"/{marker}/"
+            if token in rel:
+                prop = rel.rsplit("/", 1)[-1]
+                out[f"{prop}__{suffix}"] = link.attrib.get("href")
+                if "type" in link.attrib:
+                    out[f"{prop}__mediaContentType"] = link.attrib["type"]
+    return out
+
+
+def _parse_atom(payload: str) -> list[dict[str, str | None]]:
+    """Atom feed (V2 or V4 — same envelope, different d/m namespaces and
+    geo encodings) → wire rows. Scalar properties yield their text; GML
+    children are converted to GeoJSON text for the geo kernels; m:null
+    attributes yield null; media link elements merge into the stream
+    property's four wire columns."""
     try:
         root = ET.fromstring(payload)
     except ET.ParseError as e:
         raise FeedParseError(f"unparseable Atom feed: {e}") from e
-    entries = root.findall(f"{{{_NS_ATOM}}}entry")
-    if not entries and root.tag == f"{{{_NS_ATOM}}}entry":
+    entries = [e for e in root if _local(e.tag) == "entry"]
+    if not entries and _local(root.tag) == "entry":
         entries = [root]  # single-entry response
     out = []
     for entry in entries:
-        props = entry.find(
-            f"{{{_NS_ATOM}}}content/{{{_NS_M}}}properties"
-        )
-        if props is None:  # media entries keep properties outside content
-            props = entry.find(f"{{{_NS_M}}}properties")
+        props = None
+        for content in entry:
+            if _local(content.tag) == "content":
+                for c in content:
+                    if _local(c.tag) == "properties":
+                        props = c
+            elif _local(content.tag) == "properties":
+                props = content  # media entries keep properties outside
         if props is None:
             raise FeedParseError("Atom entry without m:properties content")
-        row: dict[str, str | None] = {}
+        row: dict[str, str | None] = dict(_atom_media_links(entry))
         for el in props:
-            name = el.tag.rsplit("}", 1)[-1]
-            if el.attrib.get(f"{{{_NS_M}}}null", "").lower() == "true":
+            name = _local(el.tag)
+            null_attr = next(
+                (v for k, v in el.attrib.items() if _local(k) == "null"), ""
+            )
+            if null_attr.lower() == "true":
                 row[name] = None
+                continue
+            geo_children = [c for c in el if _local(c.tag) != "pos"]
+            if geo_children:
+                row[name] = json.dumps(
+                    _gml_to_geojson(geo_children[0], siblings=list(el))
+                )
             else:
                 row[name] = (el.text or "").strip() or None
         out.append(row)
@@ -241,7 +365,7 @@ def parse_document(payload: str, version: str | None = None) -> list[dict]:
     the distributed path is :func:`parse_feed_documents`)."""
     fmt = detect_format(payload)
     if fmt == "atom-xml":
-        return _parse_v2_atom(payload)
+        return _parse_atom(payload)
     doc_version = version
     if doc_version is None:
         head = payload[:2048]
@@ -286,6 +410,38 @@ def parse_feed_documents(
             )
 
     return docs.mapInPandas(parse_batches, schema=out_schema)
+
+
+def feed_control(payload: str) -> dict:
+    """Paging control info of one feed document — the lazy server-paging
+    loop of the reference's V4 client (`ClientEntitySetIterator` following
+    `@odata.nextLink`, odata4/OData4Client.java:64-73; V2 uses
+    `__next`/`$skiptoken`). A stager loops: fetch page → stage payload →
+    follow `next_link` until None; the staged corpus then parses in
+    parallel via :func:`parse_feed_documents` (paging ≈ micro-batching).
+
+    Returns {"next_link": str|None, "count": int|None, "context": str|None}.
+    """
+    out: dict = {"next_link": None, "count": None, "context": None}
+    if detect_format(payload) == "atom-xml":
+        try:
+            root = ET.fromstring(payload)
+        except ET.ParseError as e:
+            raise FeedParseError(f"unparseable Atom feed: {e}") from e
+        for el in root:
+            if _local(el.tag) == "link" and el.attrib.get("rel") == "next":
+                out["next_link"] = el.attrib.get("href")
+            if _local(el.tag) == "count" and el.text:
+                out["count"] = int(el.text.strip())
+        return out
+    doc = json.loads(payload)
+    d = doc.get("d", doc)
+    out["next_link"] = d.get("@odata.nextLink") or d.get("__next")
+    out["context"] = d.get("@odata.context")
+    count = d.get("@odata.count") or d.get("__count")
+    if count is not None:
+        out["count"] = int(count)
+    return out
 
 
 def parse_feed(

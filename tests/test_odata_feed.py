@@ -17,6 +17,7 @@ from sap_spark.functions.decode import decode_entity
 from sap_spark.schema.metadata import parse_edmx, resolve_entity_type, sniff_version
 from sap_spark.sources.odata_feed import (
     detect_format,
+    feed_control,
     parse_document,
     parse_feed,
     parse_feed_documents,
@@ -165,6 +166,63 @@ def test_parse_document_driver_side(v4_entity):
     assert rows[0]["Decimal"] == "123.456"
     assert rows[0]["Stream__mediaContentType"] == "image/jpeg"
     assert "Stream@odata.mediaReadLink" not in rows[0]
+
+
+def test_v4_atom_parse_document_gml(v4_entity):
+    """V4 Atom feed with GML geospatial payloads: driver-side parse yields
+    GeoJSON wire text (the conversion Olingo's Atom deserializer performs),
+    incl. the fixture's self-closed-Polygon quirk and media-link merge."""
+    import json as _json
+
+    rows = parse_document(_read("odata4/AllDataTypes.xml"))
+    assert [r["Int32"] for r in rows] == ["3", "4"]
+    r = rows[0]
+    assert r["Duration"] == "P12DT23H59M59.999999999999S"
+    assert r["Stream__mediaEditLink"] == "AllDataTypes(3)/Stream"
+    assert _json.loads(r["GeographyPoint"]) == {
+        "type": "Point", "coordinates": [15.0, 161.8]
+    }
+    poly = _json.loads(r["GeographyPolygon"])
+    assert len(poly["coordinates"][0]) == 4  # ring positions were siblings
+    mp = _json.loads(r["GeographyMultiPolygon"])
+    assert [len(p) for p in mp["coordinates"]] == [1, 2]  # 2nd has interior
+    gc = _json.loads(r["GeographyCollection"])
+    assert [g["type"] for g in gc["geometries"]] == ["LineString", "Polygon"]
+
+
+def test_v4_atom_decode_golden(spark, v4_entity):
+    """V4 Atom through the full parse→decode path (the $format matrix's
+    XML leg for V4): scalar kernels + GML-derived geo structs + stream
+    edit-link from the Atom link element."""
+    wire = parse_feed(spark, _read("odata4/AllDataTypes.xml"), v4_entity)
+    rows = decode_entity(wire, v4_entity).orderBy("Int32").collect()
+    assert [r["Int32"] for r in rows] == [3, 4]
+    r = rows[0]
+    assert r["Date"] == datetime(2012, 12, 3, 0, 0, 0)
+    assert r["Duration"] == "P12DT23H59M59.999999999999S"
+    assert r["TimeOfDay"] == (7 * 3600 + 59 * 60 + 59) * 1_000_000 + 999_000
+    assert r["Stream"]["mediaEditLink"] == "AllDataTypes(3)/Stream"
+    assert r["Stream"]["mediaReadLink"] is None
+    p = r["GeographyPoint"]
+    assert (p["x"], p["y"]) == (15.0, 161.8) and p["dimension"] == "GEOGRAPHY"
+    mp = r["GeometryMultiPolygon"]
+    assert mp["coordinates"][1]["numberOfInteriorRings"] == 1
+    mls = r["GeographyMultiLineString"]
+    assert [len(ls["coordinates"]) for ls in mls["coordinates"]] == [3, 4]
+
+
+def test_feed_control_paging():
+    assert feed_control('{"value": [], "@odata.nextLink": "http://s/p2"}') == {
+        "next_link": "http://s/p2", "count": None, "context": None,
+    }
+    v2 = feed_control('{"d": {"results": [], "__next": "u", "__count": "7"}}')
+    assert v2["next_link"] == "u" and v2["count"] == 7
+    atom = feed_control(
+        '<feed xmlns="http://www.w3.org/2005/Atom">'
+        '<link rel="next" href="http://s/p3"/></feed>'
+    )
+    assert atom["next_link"] == "http://s/p3"
+    assert feed_control(_read("odata2/AllDataTypes.xml"))["next_link"] is None
 
 
 def test_enum_property_end_to_end(spark):
