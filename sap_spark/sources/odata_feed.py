@@ -412,6 +412,96 @@ def parse_feed_documents(
     return docs.mapInPandas(parse_batches, schema=out_schema)
 
 
+def _parse_v4_delta(payload: str) -> list[dict[str, str | None]]:
+    """V4 delta response (OData JSON Format §15, the protocol-level analog
+    of an SAP ODP delta queue): entries are upserts unless annotated
+    ``@odata.removed`` (→ delete). Emits the wire row plus ``__op``
+    ('U' or 'D') and ``__removed_reason`` ('deleted' | 'changed' | None)."""
+    doc = _loads_preserving(payload)
+    rows = doc.get("value")
+    if rows is None:
+        raise FeedParseError("delta response without a 'value' array")
+    out = []
+    for row in rows:
+        removed = row.get("@odata.removed")
+        entry: dict[str, str | None] = {
+            "__op": "D" if removed is not None else "U",
+            "__removed_reason": (
+                (removed or {}).get("reason") if removed is not None else None
+            ),
+        }
+        for k, v in row.items():
+            if k.startswith("@") or "@" in k:
+                continue
+            entry[k] = _wire_str(v)
+        out.append(entry)
+    return out
+
+
+def delta_feed_to_changelog(
+    docs: DataFrame,
+    entity: EntityType,
+    key_columns: list[str],
+    payload_col: str = "payload",
+    token_col: str = "delta_token",
+    seq_col: str = "event_seq",
+) -> DataFrame:
+    """V4 delta-response documents → the engine's change-event envelope.
+
+    This is the bridge between the wire half (this module) and the CDC
+    half (operators/dedup, streaming/pipeline): each staged delta response
+    is one **delta unit** — its ``@odata.deltaLink``/token identifies the
+    checkpoint, its entries become I/U/D change events, and the resulting
+    frame folds/merges through the same LWW + MERGE machinery as any SLT
+    log. Input rows: (payload, delta_token, event_seq_base) — the stager
+    assigns a monotone sequence base per page; entries within a page are
+    ordered as delivered (OData delta responses are ordered).
+
+    Output: key…, wire-string payload columns, op ('U'/'D' — OData deltas
+    carry no insert/update distinction; the MERGE upsert semantics make
+    'U' correct for both), ``seq_col`` (monotone), ``token_col``.
+    """
+    wire = wire_schema(entity)
+    out_schema = T.StructType(
+        list(wire.fields)
+        + [
+            T.StructField("op", T.StringType(), False),
+            T.StructField(seq_col, T.LongType(), False),
+            T.StructField(token_col, T.StringType(), False),
+        ]
+    )
+    names = [f.name for f in wire.fields]
+
+    def parse_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            recs: list[dict] = []
+            for payload, token, base in zip(
+                batch[payload_col], batch[token_col], batch["event_seq_base"]
+            ):
+                if payload is None:
+                    continue
+                for i, row in enumerate(_parse_v4_delta(payload)):
+                    rec = {n: row.get(n) for n in names}
+                    rec["op"] = row["__op"]
+                    rec[seq_col] = int(base) + i
+                    rec[token_col] = token
+                    recs.append(rec)
+            yield pd.DataFrame(
+                {
+                    n: pd.Series([r.get(n) for r in recs], dtype=object)
+                    if n in names + ["op", token_col]
+                    else pd.Series([r.get(n) for r in recs], dtype="int64")
+                    for n in [*names, "op", seq_col, token_col]
+                }
+            )
+
+    out = docs.mapInPandas(parse_batches, schema=out_schema)
+    missing = [k for k in key_columns if k not in names]
+    if missing:
+        raise FeedParseError(f"key columns not in entity type: {missing}")
+    return out
+
+
 def feed_control(payload: str) -> dict:
     """Paging control info of one feed document — the lazy server-paging
     loop of the reference's V4 client (`ClientEntitySetIterator` following
@@ -422,7 +512,9 @@ def feed_control(payload: str) -> dict:
 
     Returns {"next_link": str|None, "count": int|None, "context": str|None}.
     """
-    out: dict = {"next_link": None, "count": None, "context": None}
+    out: dict = {
+        "next_link": None, "count": None, "context": None, "delta_link": None,
+    }
     if detect_format(payload) == "atom-xml":
         try:
             root = ET.fromstring(payload)
@@ -437,6 +529,7 @@ def feed_control(payload: str) -> dict:
     doc = json.loads(payload)
     d = doc.get("d", doc)
     out["next_link"] = d.get("@odata.nextLink") or d.get("__next")
+    out["delta_link"] = d.get("@odata.deltaLink")
     out["context"] = d.get("@odata.context")
     count = d.get("@odata.count") or d.get("__count")
     if count is not None:

@@ -214,7 +214,11 @@ def test_v4_atom_decode_golden(spark, v4_entity):
 def test_feed_control_paging():
     assert feed_control('{"value": [], "@odata.nextLink": "http://s/p2"}') == {
         "next_link": "http://s/p2", "count": None, "context": None,
+        "delta_link": None,
     }
+    assert feed_control(
+        '{"value": [], "@odata.deltaLink": "Items?$deltatoken=D42"}'
+    )["delta_link"] == "Items?$deltatoken=D42"
     v2 = feed_control('{"d": {"results": [], "__next": "u", "__count": "7"}}')
     assert v2["next_link"] == "u" and v2["count"] == 7
     atom = feed_control(
@@ -263,6 +267,106 @@ def test_enum_property_end_to_end(spark):
     bad = parse_feed(spark, '{"value": [{"Id": 9, "Shade": "Chartreuse"}]}', entity)
     with pytest.raises(Exception, match="enum"):
         decode_entity(bad, entity).collect()
+
+
+DELTA_EDMX = """<?xml version="1.0" encoding="utf-8"?>
+<edmx:Edmx Version="4.0" xmlns:edmx="http://docs.oasis-open.org/odata/ns/edmx">
+  <edmx:DataServices>
+    <Schema Namespace="S" xmlns="http://docs.oasis-open.org/odata/ns/edm">
+      <EntityType Name="File">
+        <Property Name="Repo" Type="Edm.String" Nullable="false"/>
+        <Property Name="Path" Type="Edm.String" Nullable="false"/>
+        <Property Name="Content" Type="Edm.String"/>
+      </EntityType>
+      <EntityContainer Name="C"><EntitySet Name="Files" EntityType="S.File"/>
+      </EntityContainer>
+    </Schema>
+  </edmx:DataServices>
+</edmx:Edmx>"""
+
+
+def test_v4_delta_feed_to_cdc_pipeline(spark):
+    """The wire→CDC bridge: V4 delta responses (the protocol analog of an
+    SAP ODP delta queue) become change events and fold through the
+    engine's LWW machinery to the correct final state — upserts apply in
+    order, @odata.removed deletes win when last."""
+    from sap_spark.config import EngineConfig
+    from sap_spark.operators.dedup import replay
+    from sap_spark.sources.odata_feed import delta_feed_to_changelog
+
+    entity = resolve_entity_type(DELTA_EDMX, "Files")
+    page1 = (
+        '{"@odata.context": "$metadata#Files/$delta", "value": ['
+        '{"Repo": "r1", "Path": "a.py", "Content": "v1"},'
+        '{"Repo": "r1", "Path": "b.py", "Content": "v1"},'
+        '{"Repo": "r2", "Path": "c.py", "Content": "v1"}],'
+        '"@odata.nextLink": "Files?$skiptoken=p2"}'
+    )
+    page2 = (
+        '{"@odata.context": "$metadata#Files/$delta", "value": ['
+        '{"Repo": "r1", "Path": "a.py", "Content": "v2"},'
+        '{"@odata.removed": {"reason": "deleted"}, "Repo": "r1", "Path": "b.py"},'
+        '{"Repo": "r3", "Path": "d.py", "Content": "v1"}],'
+        '"@odata.deltaLink": "Files?$deltatoken=T2"}'
+    )
+    docs = spark.createDataFrame(
+        [(page1, "T1", 0), (page2, "T2", 100)],
+        "payload string, delta_token string, event_seq_base long",
+    )
+    log = delta_feed_to_changelog(docs, entity, key_columns=["Repo", "Path"])
+    assert set(log.columns) == {
+        "Repo", "Path", "Content", "op", "event_seq", "delta_token",
+    }
+    cfg = EngineConfig(
+        key_columns=("Repo", "Path"),
+        order_column="event_seq",
+        op_column="op",
+    ).validate()
+    final = {
+        (r["Repo"], r["Path"]): r["Content"]
+        for r in replay(log, cfg, strategy="fetch").collect()
+    }
+    assert final == {
+        ("r1", "a.py"): "v2",   # upsert superseded by later delta
+        ("r2", "c.py"): "v1",
+        ("r3", "d.py"): "v1",
+    }                            # b.py removed
+
+
+@pytest.mark.parametrize("fmt", ["xml", "json"])
+@pytest.mark.parametrize("schema_mode", ["inferred", "provided"])
+def test_etl_matrix_v2(spark, v2_entity, fmt, schema_mode):
+    """The mocked-service ETL matrix (SapOData2SourceETLTest.java:33-149:
+    {xml, json} x {inferred, provided schema}, 3 records expected), re-run
+    end-to-end against the same golden documents: metadata scan → schema
+    inference ($select-pruned) → provided-schema compat gate → feed parse
+    → typed decode → record count + output schema asserted."""
+    from sap_spark.schema.edm import infer_schema
+    from sap_spark.schema.compat import validate_fields_match
+    from sap_spark.sources.changelog import ODataQueryOptions
+
+    select = ["Id", "Int32", "Decimal", "DateTimeOffset"]
+    opts = ODataQueryOptions.parse("?$select=" + ",".join(select))
+    inferred = infer_schema(v2_entity, select=opts.select)
+
+    if schema_mode == "provided":
+        # user-provided schema = the inferred one (the reference's
+        # providedSchema test path); compat gate must accept it
+        validate_fields_match(inferred, inferred)
+
+    wire = parse_feed(spark, _read(f"odata2/AllDataTypes.{fmt}"), v2_entity, "2.0")
+    by_name = {p.name: p for p in v2_entity.properties}
+    pruned_entity = type(v2_entity)(
+        name=v2_entity.name,
+        properties=[by_name[c] for c in select],  # $select order wins (C1)
+    )
+    decoded = decode_entity(wire.select(*select), pruned_entity)
+    assert decoded.count() == 3  # the record count the reference asserts
+    assert [f.name for f in decoded.schema.fields] == select
+    assert decoded.schema["Decimal"].dataType.simpleString() == "decimal(16,3)"
+    assert decoded.schema == inferred or [
+        (f.name, f.dataType) for f in decoded.schema.fields
+    ] == [(f.name, f.dataType) for f in inferred.fields]
 
 
 def test_enum_catalog_parsed_from_edmx():
