@@ -653,6 +653,24 @@ def _emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means inverted lists (build once) + nprobe cosine probe —
+    the partition-prunable index path; recall/pruning pinned in
+    tests/test_text_similarity.py (rows-only here: k-means assignment is
+    not DuckDB-expressible)."""
+    from sap_spark.operators.textdedup import ann_ivf, build_ivf_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    assigned, centroids = build_ivf_index(
+        emb.where(F.col("vec_id") != 0), "vec_id", "embedding",
+        n_centroids=16, seed=7,
+    )
+    return ann_ivf(
+        assigned, centroids, "vec_id", "embedding", list(q), k=10, nprobe=8
+    )
+
+
 def _assets_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: Arrow-batched feature extraction over binary
     assets (decode stubbed — no codecs in this image; see
@@ -890,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_dedup": _docs_minhash_dedup,
         "docs_simhash_dedup": _docs_simhash_dedup,
         "emb_ann_lsh": _emb_ann_lsh,
+        "emb_ann_ivf": _emb_ann_ivf,
         "assets_image_features": _assets_image_features,
         "cdc_token_progress": _cdc_token_progress,
     }

@@ -244,17 +244,29 @@ def fetch_winner_payloads(
     A duplicate delivery of the winning event *inside one token* (same key,
     seq, token twice — nothing upstream enforces within-token uniqueness)
     would fan the probe out to >1 row per key, violating merge_cdc's ≤1-row
-    contract. The trailing dropDuplicates(keys) collapses that: it hash-
-    partitions by the keys the downstream MERGE joins on anyway, so the
-    exchange is shared, and map-side partial aggregation means the common
-    (no-duplicate) case ships the same bytes as before."""
+    contract. The trailing per-key max_by collapses that (deterministic:
+    the largest-seq delivery wins, matching lww_agg's idiom; duplicate
+    rows are identical so any pick is value-equal). Plan cost, verified
+    via .explain: string-payload agg buffers are not hash-aggregable, so
+    this compiles to a SortAggregate — but the sort is an UnsafeRow
+    pointer/prefix sort keyed on the group columns (payload bytes are not
+    copied), partial_max_by pre-collapses duplicates map-side, and the
+    exchange hash-partitions by the keys the downstream MERGE joins on
+    anyway — the common (no-duplicate) case ships the same bytes through
+    the same number of shuffles as the unguarded plan."""
     keys = list(cfg.key_columns)
     seq, tok = cfg.order_column, cfg.token_column
     if getattr(cfg, "broadcast_winners", True):
         winners = F.broadcast(winners)
     survivors = drop_cancelled(events, cfg, cancelled=cancelled)
     fetched = survivors.join(winners, on=[*keys, seq, tok], how="inner").drop(tok)
-    return fetched.dropDuplicates(keys)
+    rest = [c for c in fetched.columns if c not in keys]
+    carried = F.struct(*[F.col(c).alias(c) for c in rest])
+    return (
+        fetched.groupBy(*keys)
+        .agg(F.max_by(carried, F.col(seq)).alias("__w"))
+        .select(*keys, *[F.col(f"__w.{c}").alias(c) for c in rest])
+    )
 
 
 def fold_changes(

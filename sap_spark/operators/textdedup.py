@@ -347,6 +347,83 @@ def build_ann_index(
     )
 
 
+def build_ivf_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 64,
+    seed: int = 7,
+    max_iter: int = 10,
+):
+    """IVF (inverted-file) ANN index build: k-means coarse quantizer over
+    L2-normalized vectors (cosine ≈ euclidean on the unit sphere), every
+    vector assigned to its nearest centroid.
+
+    Returns (assigned, centroids): ``assigned`` = df columns + ``__cluster``
+    int — persist it, or write it partitioned by ``__cluster`` so probes
+    become partition-pruned scans; ``centroids`` = small driver-side list
+    of (cluster_id, unit_vector) — index metadata, O(n_centroids × dim).
+
+    Scale shape: the build is one ML fit (sampled iterations) + one
+    assignment pass; a probe then touches only nprobe/n_centroids of the
+    corpus — a true index, unlike signature-filter LSH which still scans
+    every row's signature.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.withColumn("__raw", array_to_vector(F.col(vec_col)))
+    feats = Normalizer(inputCol="__raw", outputCol="__features", p=2.0).transform(
+        feats
+    )
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="__features",
+        predictionCol="__cluster",
+    ).fit(feats)
+    assigned = model.transform(feats).drop("__features", "__raw")
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return assigned, centroids
+
+
+def ann_ivf(
+    assigned: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 8,
+) -> DataFrame:
+    """IVF probe: rank centroids by cosine to the query (driver-side —
+    n_centroids is tiny), scan only the ``nprobe`` nearest inverted lists,
+    exact-cosine re-rank within them. Recall rises with nprobe; with the
+    assigned table written partitioned by ``__cluster``, the isin filter
+    prunes partitions and the probe reads nprobe/n_centroids of the data.
+    """
+    import math
+
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    q_unit = [x / qn for x in query_vec]
+
+    def cos(c):
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        return sum(a * b for a, b in zip(q_unit, c)) / cn
+
+    probe = [
+        cid for cid, _ in sorted(centroids, key=lambda t: -cos(t[1]))[:nprobe]
+    ]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        assigned.where(F.col("__cluster").isin(probe))
+        .select(F.col(id_col), cosine_sim(F.col(vec_col), q).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ann_lsh(
     df: DataFrame,
     id_col: str,

@@ -9,8 +9,10 @@ from sap_spark.functions.similarity import jaccard, minhash_signature, char_shin
 from sap_spark.operators.textdedup import (
     _resolve_groups,
     ann_brute_force,
+    ann_ivf,
     ann_lsh,
     build_ann_index,
+    build_ivf_index,
     dedup_embedding_cosine,
     dedup_exact,
     dedup_minhash_lsh,
@@ -235,6 +237,49 @@ def test_ann_lsh_prebuilt_index_matches_oneshot(spark, sf_dir):
         assert with_index == oneshot
     finally:
         index.unpersist()
+
+
+def test_ann_ivf_recall_and_pruning(spark, sf_dir):
+    """IVF index: k-means inverted lists + nprobe probe. Recall ≥ LSH-grade
+    on the synthetic embeddings, and the probe must scan strictly fewer
+    rows than the corpus (it is an index, not a filter)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    q = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    assigned, centroids = build_ivf_index(
+        emb, "vec_id", "embedding", n_centroids=16, seed=7
+    )
+    assigned = assigned.persist()
+    try:
+        assert len(centroids) == 16
+        exact = [
+            r["vec_id"]
+            for r in ann_brute_force(emb, "vec_id", "embedding", list(q), k=10).collect()
+        ]
+        approx = [
+            r["vec_id"]
+            for r in ann_ivf(
+                assigned, centroids, "vec_id", "embedding", list(q), k=10, nprobe=8
+            ).collect()
+        ]
+        assert len(set(exact) & set(approx)) >= 5, f"IVF recall too low: {approx}"
+        # pruning: nprobe/16 of the lists → strictly fewer candidate rows
+        probe_rows = assigned.where(
+            F.col("__cluster").isin(
+                [c for c, _ in centroids[:8]]
+            )
+        ).count()
+        assert probe_rows < n
+        # full probe (nprobe = n_centroids) degenerates to exact brute force
+        full = [
+            r["vec_id"]
+            for r in ann_ivf(
+                assigned, centroids, "vec_id", "embedding", list(q), k=10, nprobe=16
+            ).collect()
+        ]
+        assert full == exact
+    finally:
+        assigned.unpersist()
 
 
 def test_dedup_embedding_cosine(spark):
