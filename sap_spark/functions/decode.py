@@ -575,14 +575,16 @@ def decode_collection(field: str, raw: Column, element_edm_type: str) -> Column:
     array of primitive wire values → typed Spark array. Complex element
     types are rejected, matching 'Complex types are not supported'
     (ODataEntity.java:100-102)."""
-    elem = {
-        "Edm.String": T.StringType(),
-        "Edm.Int32": T.IntegerType(),
-        "Edm.Int64": T.LongType(),
-        "Edm.Double": T.DoubleType(),
-        "Edm.Boolean": T.BooleanType(),
-    }.get(element_edm_type)
-    if elem is None:
+    from sap_spark.schema.edm import UnsupportedTypeError
+
+    try:
+        elem = edm_to_spark_type(element_edm_type)
+    except UnsupportedTypeError as e:
+        raise UnexpectedFormatError(str(e)) from e
+    if not isinstance(
+        elem, (T.StringType, T.IntegerType, T.LongType, T.FloatType,
+               T.DoubleType, T.BooleanType, T.BinaryType, T.TimestampType)
+    ):
         raise UnexpectedFormatError(
             f"Collection element type not supported: {element_edm_type!r} "
             "(complex types are not supported)"
@@ -619,6 +621,8 @@ def decode_property(prop: PropertyMetadata, raw: Column) -> Column:
     t = prop.edm_type
     if getattr(prop, "enum_members", None) is not None:
         return decode_enum(prop.name, raw, prop.enum_members)
+    if t.startswith("Collection(") and t.endswith(")"):
+        return decode_collection(prop.name, raw, t[len("Collection("):-1])
     if t in _DECODERS:
         return _DECODERS[t](prop.name, raw)
     if t == "Edm.Decimal":

@@ -170,7 +170,24 @@ def _geo_shapes() -> dict[str, T.StructType]:
 def edm_to_spark_type(
     edm_type: str, precision: int | None = None, scale: int | None = None
 ) -> T.DataType:
-    """EDM type name → Spark DataType (SapODataSource.java:146-213 parity)."""
+    """EDM type name → Spark DataType (SapODataSource.java:146-213 parity).
+
+    ``Collection(Edm.X)`` (V4 declared collection property) maps to
+    ArrayType(X) — runtime extraction parity with
+    ``asJavaCollection()`` (odata/ODataEntity.java:91-93); complex
+    element types are rejected like complex values (l.100-102)."""
+    if edm_type.startswith("Collection(") and edm_type.endswith(")"):
+        inner = edm_type[len("Collection("):-1]
+        elem = edm_to_spark_type(inner)
+        if not isinstance(
+            elem, (T.StringType, T.IntegerType, T.LongType, T.FloatType,
+                   T.DoubleType, T.BooleanType, T.BinaryType, T.TimestampType)
+        ):
+            raise UnsupportedTypeError(
+                f"Collection element type not supported: {inner!r} "
+                "(complex types are not supported)"
+            )
+        return T.ArrayType(elem)
     name = edm_type[4:] if edm_type.startswith("Edm.") else edm_type
 
     simple: dict[str, T.DataType] = {

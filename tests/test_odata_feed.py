@@ -369,6 +369,45 @@ def test_etl_matrix_v2(spark, v2_entity, fmt, schema_mode):
     ] == [(f.name, f.dataType) for f in inferred.fields]
 
 
+def test_collection_property_end_to_end(spark):
+    """Collection(Edm.X) declared property (T21, asJavaCollection parity):
+    schema maps to ArrayType, JSON array wire text decodes typed; complex
+    element types rejected."""
+    from sap_spark.schema.edm import UnsupportedTypeError, edm_to_spark_type
+    from pyspark.sql import types as T
+
+    edmx = """<?xml version="1.0"?>
+<edmx:Edmx Version="4.0" xmlns:edmx="http://docs.oasis-open.org/odata/ns/edmx">
+  <edmx:DataServices>
+    <Schema Namespace="S" xmlns="http://docs.oasis-open.org/odata/ns/edm">
+      <EntityType Name="Doc">
+        <Property Name="Id" Type="Edm.Int32" Nullable="false"/>
+        <Property Name="Tags" Type="Collection(Edm.String)"/>
+        <Property Name="Scores" Type="Collection(Edm.Double)"/>
+      </EntityType>
+    </Schema>
+  </edmx:DataServices>
+</edmx:Edmx>"""
+    entity = resolve_entity_type(edmx, "Doc")
+    from sap_spark.schema.edm import entity_type_to_struct
+
+    struct = entity_type_to_struct(entity)
+    assert struct["Tags"].dataType == T.ArrayType(T.StringType())
+    assert struct["Scores"].dataType == T.ArrayType(T.DoubleType())
+    with pytest.raises(UnsupportedTypeError, match="not supported"):
+        edm_to_spark_type("Collection(Edm.GeographyPoint)")
+
+    payload = (
+        '{"value": [{"Id": 1, "Tags": ["a", "b"], "Scores": [0.5, 1.25]},'
+        ' {"Id": 2, "Tags": [], "Scores": null}]}'
+    )
+    wire = parse_feed(spark, payload, entity, "4.0")
+    rows = {r["Id"]: r for r in decode_entity(wire, entity).collect()}
+    assert rows[1]["Tags"] == ["a", "b"]
+    assert rows[1]["Scores"] == [0.5, 1.25]
+    assert rows[2]["Tags"] == [] and rows[2]["Scores"] is None
+
+
 def test_enum_catalog_parsed_from_edmx():
     cat = parse_edmx(
         """<?xml version="1.0"?>
