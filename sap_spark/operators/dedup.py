@@ -218,18 +218,23 @@ def lww_fetch(events: DataFrame, cfg: EngineConfig) -> DataFrame:
 def lww_winners(
     events: DataFrame, cfg: EngineConfig, cancelled: DataFrame | None = None
 ) -> DataFrame:
-    """Phase A of the fetch fold: (key…, event_seq, delta_token) of each
-    key's winning delivery. Payload columns are never referenced, so the
-    scan prunes them. The result is O(distinct keys) of ~100 B rows —
-    callers may persist it to reuse for bucket discovery + the fetch join."""
+    """Phase A of the fetch fold: (key…, event_seq) of each key's winning
+    event. Payload columns are never referenced, so the scan prunes them.
+    The result is O(distinct keys) of ~100 B rows — callers may persist it
+    to reuse for bucket discovery + the fetch join.
+
+    Deliberately ``max(event_seq)`` alone, NOT ``max(struct(seq, token))``:
+    a long agg buffer compiles to whole-stage-codegen HashAggregate, while
+    a struct-with-string buffer falls back to SortAggregate — measured as
+    the dominant cost of the winner-selection scan. event_seq uniquely
+    identifies the winning *event*; when SLT redelivers it under several
+    tokens the payloads are identical and phase B's per-key guard picks
+    the max-token delivery deterministically (the exact ordering the old
+    struct-max encoded)."""
     keys = list(cfg.key_columns)
-    seq, tok = cfg.order_column, cfg.token_column
+    seq = cfg.order_column
     survivors = drop_cancelled(events, cfg, cancelled=cancelled)
-    return (
-        survivors.groupBy(*keys)
-        .agg(F.max(F.struct(F.col(seq), F.col(tok))).alias("__w"))
-        .select(*keys, F.col(f"__w.{seq}").alias(seq), F.col(f"__w.{tok}").alias(tok))
-    )
+    return survivors.groupBy(*keys).agg(F.max(F.col(seq)).alias(seq))
 
 
 def fetch_winner_payloads(
@@ -259,12 +264,17 @@ def fetch_winner_payloads(
     if getattr(cfg, "broadcast_winners", True):
         winners = F.broadcast(winners)
     survivors = drop_cancelled(events, cfg, cancelled=cancelled)
-    fetched = survivors.join(winners, on=[*keys, seq, tok], how="inner").drop(tok)
-    rest = [c for c in fetched.columns if c not in keys]
+    fetched = survivors.join(winners, on=[*keys, seq], how="inner")
+    rest = [c for c in fetched.columns if c not in keys and c != tok]
     carried = F.struct(*[F.col(c).alias(c) for c in rest])
+    order = (
+        F.struct(F.col(seq), F.col(tok))
+        if tok in fetched.columns
+        else F.col(seq)
+    )
     return (
         fetched.groupBy(*keys)
-        .agg(F.max_by(carried, F.col(seq)).alias("__w"))
+        .agg(F.max_by(carried, order).alias("__w"))
         .select(*keys, *[F.col(f"__w.{c}").alias(c) for c in rest])
     )
 
