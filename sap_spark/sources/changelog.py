@@ -170,6 +170,7 @@ def read_changelog_stream(
     spark: SparkSession,
     path: str,
     max_files_per_trigger: int | None = None,
+    schema: T.StructType | None = None,
 ) -> DataFrame:
     """Streaming read of a change-event log directory.
 
@@ -178,8 +179,12 @@ def read_changelog_stream(
     consumes a bounded set of files; a delta_token-partitioned log yields
     ~token-aligned batches. The checkpoint (offset log) IS the delta token:
     a resumable, monotone position in the change stream.
+
+    ``schema`` overrides the change-event envelope for alternative staged
+    layouts (e.g. OData delta-response pages, streaming/pipeline
+    ``odata_delta_pipeline``).
     """
-    reader = spark.readStream.schema(CHANGE_EVENT_SCHEMA)
+    reader = spark.readStream.schema(schema or CHANGE_EVENT_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return reader.parquet(path)

@@ -117,6 +117,7 @@ class CdcPipeline:
         pipeline_id: str | None = None,
         transform=None,
         enforce_token_atomicity: bool = True,
+        stream_schema=None,
     ):
         """``transform``: optional DataFrame → DataFrame decode stage applied
         to each micro-batch before fold/merge — the slot for the SAP-style
@@ -152,6 +153,9 @@ class CdcPipeline:
         self.strategy = strategy
         self.transform = transform
         self.enforce_token_atomicity = enforce_token_atomicity
+        # alternative staged layout (e.g. OData delta-response pages);
+        # None = the change-event envelope (sources/changelog.py)
+        self.stream_schema = stream_schema
         # Default pipeline id is derived from the checkpoint path, NOT a
         # fresh uuid: batch ids must be stable across process restarts so a
         # crash-retried epoch on a resumed run hits its commit marker (a
@@ -440,7 +444,8 @@ class CdcPipeline:
         replay; Trigger.AvailableNow still honors maxFilesPerTrigger by
         splitting the backlog into multiple epochs)."""
         stream = read_changelog_stream(
-            self.spark, self.log_path, self.max_files_per_trigger
+            self.spark, self.log_path, self.max_files_per_trigger,
+            schema=self.stream_schema,
         )
         query = (
             stream.writeStream.foreachBatch(self._process_batch)
@@ -453,3 +458,49 @@ class CdcPipeline:
             query.stop()
         if query.exception() is not None:
             raise query.exception()
+
+
+# -- OData delta-queue ingest (wire half → CDC half) -------------------------
+
+PAGE_SCHEMA_DDL = "payload string, delta_token string, event_seq_base long"
+
+
+def odata_delta_pipeline(
+    spark: SparkSession,
+    cfg: EngineConfig,
+    table: LakeTable,
+    pages_path: str,
+    checkpoint_dir: str,
+    entity,
+    key_columns: list[str],
+    **kwargs,
+) -> CdcPipeline:
+    """CDC ingest of STAGED ODATA DELTA RESPONSES — the full "delta queue →
+    lake" path: a stager follows ``@odata.deltaLink``/``@odata.nextLink``
+    (sources/odata_feed.feed_control), writing one row per page
+    (``payload, delta_token, event_seq_base``; schema `PAGE_SCHEMA_DDL`)
+    under ``delta_token=<tok>/`` directories. This pipeline streams the
+    staged pages and converts each micro-batch through
+    ``delta_feed_to_changelog`` (upserts + @odata.removed deletes →
+    change-event envelope) before the standard cancellation/LWW fold and
+    exactly-once MERGE. Delta-token atomicity, checkpoint resume, lineage
+    and epoch-retry no-ops all apply unchanged — a delta token here is one
+    (or more) whole response pages, exactly SAP ODP's delta-unit contract.
+    """
+    from pyspark.sql import types as T
+
+    from sap_spark.sources.odata_feed import delta_feed_to_changelog
+
+    def transform(df: DataFrame) -> DataFrame:
+        return delta_feed_to_changelog(
+            df, entity, key_columns,
+            token_col=cfg.token_column, seq_col=cfg.order_column,
+        )
+
+    return CdcPipeline(
+        spark, cfg, table, pages_path,
+        checkpoint_dir=checkpoint_dir,
+        transform=transform,
+        stream_schema=T._parse_datatype_string(PAGE_SCHEMA_DDL),
+        **kwargs,
+    )

@@ -408,6 +408,83 @@ def test_collection_property_end_to_end(spark):
     assert rows[2]["Tags"] == [] and rows[2]["Scores"] is None
 
 
+def test_odata_delta_pipeline_end_to_end(spark, tmpdir_path):
+    """The full "OData delta queue → lake" path: staged delta-response
+    pages (delta_token-partitioned) stream through odata_delta_pipeline —
+    page parse → change-envelope → LWW fold → exactly-once MERGE — and a
+    later staged token is picked up incrementally from checkpoint."""
+    from pyspark.sql import types as T
+    from sap_spark.config import EngineConfig
+    from sap_spark.plans.lake import LakeTable
+    from sap_spark.streaming.pipeline import odata_delta_pipeline
+
+    entity = resolve_entity_type(DELTA_EDMX, "Files")
+    pages = [
+        ("T1", 0, '{"value": ['
+         '{"Repo": "r1", "Path": "a.py", "Content": "v1"},'
+         '{"Repo": "r1", "Path": "b.py", "Content": "v1"}]}'),
+        ("T2", 100, '{"value": ['
+         '{"Repo": "r1", "Path": "a.py", "Content": "v2"},'
+         '{"@odata.removed": {"reason": "deleted"}, "Repo": "r1", "Path": "b.py"},'
+         '{"Repo": "r2", "Path": "c.py", "Content": "v1"}]}'),
+    ]
+    stage = f"{tmpdir_path}/pages"
+    spark.createDataFrame(
+        [(p, t, b) for t, b, p in pages],
+        "payload string, delta_token string, event_seq_base long",
+    ).repartition("delta_token").write.partitionBy("delta_token").parquet(stage)
+
+    schema = T.StructType(
+        [
+            T.StructField("Repo", T.StringType(), False),
+            T.StructField("Path", T.StringType(), False),
+            T.StructField("Content", T.StringType(), True),
+        ]
+    )
+    table = LakeTable.create(
+        spark, f"{tmpdir_path}/files", schema,
+        key_columns=["Repo", "Path"], num_buckets=4,
+    )
+    cfg = EngineConfig(key_columns=("Repo", "Path"), num_buckets=4).validate()
+    pipe = odata_delta_pipeline(
+        spark, cfg, table, stage,
+        checkpoint_dir=f"{tmpdir_path}/ckpt",
+        entity=entity, key_columns=["Repo", "Path"],
+        pipeline_id="odata-delta",
+    )
+    pipe.run_available_now(timeout_sec=300)
+    got = {
+        (r["Repo"], r["Path"]): r["Content"]
+        for r in LakeTable(spark, table.path).read().collect()
+    }
+    assert got == {("r1", "a.py"): "v2", ("r2", "c.py"): "v1"}
+
+    # stage a third delta token and resume: incremental pickup only
+    page3 = '{"value": [{"Repo": "r1", "Path": "b.py", "Content": "v3"}]}'
+    spark.createDataFrame(
+        [(page3, "T3", 200)],
+        "payload string, delta_token string, event_seq_base long",
+    ).repartition("delta_token").write.mode("append").partitionBy(
+        "delta_token"
+    ).parquet(stage)
+    pipe2 = odata_delta_pipeline(
+        spark, cfg, LakeTable(spark, table.path), stage,
+        checkpoint_dir=f"{tmpdir_path}/ckpt",
+        entity=entity, key_columns=["Repo", "Path"],
+        pipeline_id="odata-delta",
+    )
+    pipe2.run_available_now(timeout_sec=300)
+    got = {
+        (r["Repo"], r["Path"]): r["Content"]
+        for r in LakeTable(spark, table.path).read().collect()
+    }
+    assert got == {
+        ("r1", "a.py"): "v2", ("r1", "b.py"): "v3", ("r2", "c.py"): "v1",
+    }
+    applied = [r for r in pipe2.lineage() if r["applied"]]
+    assert applied and applied[-1]["n_events"] == 1  # only T3 re-applied
+
+
 def test_enum_catalog_parsed_from_edmx():
     cat = parse_edmx(
         """<?xml version="1.0"?>
