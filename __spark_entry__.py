@@ -641,6 +641,25 @@ def _docs_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_simhash(docs, "doc_id", "text", max_hamming=3)
 
 
+def _docs_ngram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-n-gram Jaccard near-dup (paraphrase-level; LSH-bucketed)."""
+    from sap_spark.operators.textdedup import dedup_ngram_jaccard
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ngram_jaccard(docs, "doc_id", "text", threshold=0.7)
+
+
+def _emb_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: hyperplane-LSH bucket join + cosine verify."""
+    from sap_spark.operators.textdedup import dedup_embedding_cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    return dedup_embedding_cosine(
+        emb, "vec_id", "embedding", dim, threshold=0.99, n_planes=12
+    )
+
+
 def _emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe hyperplane-LSH ANN (approximate top-k)."""
     from sap_spark.operators.textdedup import ann_lsh
@@ -907,6 +926,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_lang": _docs_quality_lang,
         "docs_minhash_dedup": _docs_minhash_dedup,
         "docs_simhash_dedup": _docs_simhash_dedup,
+        "docs_ngram_dedup": _docs_ngram_dedup,
+        "emb_cosine_dedup": _emb_cosine_dedup,
         "emb_ann_lsh": _emb_ann_lsh,
         "emb_ann_ivf": _emb_ann_ivf,
         "assets_image_features": _assets_image_features,

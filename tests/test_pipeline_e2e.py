@@ -234,6 +234,66 @@ def test_non_listable_source_fails_loud(spark, tmpdir_path):
         pipe._process_batch(events, 0)
 
 
+def test_crash_between_write_and_commit_recovers(spark, tmpdir_path):
+    """Exactly-once under a mid-merge crash: the process dies AFTER new
+    bucket files are written but BEFORE the manifest pointer flips. The
+    snapshot must be unchanged (readers never see the orphaned files), the
+    retried epoch must apply cleanly, and expire_snapshots must reclaim the
+    orphans."""
+    import pytest
+
+    events = gen_change_events(spark, n_events=2000, n_keys=200, events_per_token=500)
+    log_dir = f"{tmpdir_path}/log"
+    write_change_log(events, log_dir)
+
+    table = LakeTable.create(
+        spark, f"{tmpdir_path}/repos", TARGET_SCHEMA,
+        key_columns=["repo", "path"], num_buckets=8,
+    )
+    pipe = CdcPipeline(
+        spark, CFG, table, log_dir,
+        checkpoint_dir=f"{tmpdir_path}/ckpt",
+        max_files_per_trigger=2, pipeline_id="crash-test",
+    )
+
+    # inject: first _commit call dies post-write, pre-pointer-flip
+    real_commit = LakeTable._commit
+    state = {"failed": False}
+
+    def failing_commit(self, manifest):
+        if not state["failed"]:
+            state["failed"] = True
+            raise RuntimeError("injected crash before pointer flip")
+        return real_commit(self, manifest)
+
+    LakeTable._commit = failing_commit
+    try:
+        with pytest.raises(Exception, match="injected crash"):
+            pipe.run_available_now(timeout_sec=300)
+    finally:
+        LakeTable._commit = real_commit
+
+    crashed = LakeTable(spark, table.path)
+    assert crashed.version == 0 and crashed.read().count() == 0  # no flip
+
+    # restart from the same checkpoint: streaming replays the epoch
+    pipe2 = CdcPipeline(
+        spark, CFG, crashed, log_dir,
+        checkpoint_dir=f"{tmpdir_path}/ckpt",
+        max_files_per_trigger=2, pipeline_id="crash-test",
+    )
+    pipe2.run_available_now(timeout_sec=300)
+    final = LakeTable(spark, table.path)
+    got = final.read().orderBy("repo", "path").toPandas().reset_index(drop=True)
+    assert got.equals(fold_to_frame(events.toPandas())), "crash recovery diverged"
+
+    # the crashed attempt's files are unreferenced; expire reclaims them
+    removed = final.expire_snapshots(keep_last=1)
+    assert removed > 0
+    still = final.read().orderBy("repo", "path").toPandas().reset_index(drop=True)
+    assert still.equals(fold_to_frame(events.toPandas()))
+
+
 def test_derive_num_buckets_rule(spark, tmpdir_path):
     from sap_spark.plans.lake import derive_num_buckets
 
