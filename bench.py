@@ -126,6 +126,7 @@ def bench_cdc_replay(spark, cores: int, n_events: int, log_path: str | None = No
         table = LakeTable.create(
             spark, f"{workdir}/repos", schema,
             key_columns=["repo", "path"], num_buckets=num_buckets,
+            merge_mode=os.environ.get("SPARK_GRAFT_MERGE_MODE", "cow"),
         )
         pipe = CdcPipeline(
             spark, cfg, table, log_path,

@@ -101,6 +101,7 @@ def run_ingest(args, spark=None) -> dict:
         spark, args.table, schema, key_columns=keys,
         num_buckets=args.buckets, if_not_exists=True,
         expected_payload_bytes=expected_bytes,
+        merge_mode=args.merge_mode,
     )
     cfg = EngineConfig(
         key_columns=tuple(keys),
@@ -144,6 +145,10 @@ def main(argv: list[str] | None = None) -> None:
                         "(~payload/256MB, min 8)")
     i.add_argument("--strategy", default="fetch",
                    choices=["fetch", "agg", "window", "window_salted"])
+    i.add_argument("--merge-mode", default="cow", choices=["cow", "mor"],
+                   help="cow: rewrite touched buckets per merge (read-"
+                        "optimal); mor: append delta files, fold at read "
+                        "(write cost O(batch), compact() to fold back)")
     i.add_argument("--max-files-per-trigger", type=int, default=None)
     i.add_argument("--pipeline-id", default=None)
     i.add_argument("--timeout", type=float, default=None)

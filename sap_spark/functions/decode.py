@@ -580,7 +580,10 @@ def decode_collection(field: str, raw: Column, element_edm_type: str) -> Column:
     try:
         elem = edm_to_spark_type(element_edm_type)
     except UnsupportedTypeError as e:
-        raise UnexpectedFormatError(str(e)) from e
+        raise UnexpectedFormatError(
+            f"Collection element type not supported: {element_edm_type!r} "
+            "(complex types are not supported)"
+        ) from e
     if not isinstance(
         elem, (T.StringType, T.IntegerType, T.LongType, T.FloatType,
                T.DoubleType, T.BooleanType, T.BinaryType, T.TimestampType)

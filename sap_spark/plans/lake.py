@@ -142,13 +142,25 @@ class LakeTable:
         num_buckets: int | None = 32,
         if_not_exists: bool = False,
         expected_payload_bytes: int | None = None,
+        merge_mode: str = "cow",
     ) -> "LakeTable":
         """Create an empty table (schema = user columns, no internal cols).
 
         ``num_buckets=None`` derives the count from
         ``expected_payload_bytes`` via :func:`derive_num_buckets`
         (~payload / 256 MB, bounded) — the sizing rule documented in
-        cli.py instead of a hardcoded default."""
+        cli.py instead of a hardcoded default.
+
+        ``merge_mode``: ``'cow'`` (copy-on-write, default) rewrites touched
+        buckets per merge — read-optimal, write cost O(touched table
+        bytes). ``'mor'`` (merge-on-read, Iceberg v2-style) appends the
+        folded batch as per-bucket DELTA files with no target read — write
+        cost O(batch), reads fold latest-row-per-key across base+deltas
+        until :meth:`compact` folds them back. At CDC scale (table ≫
+        batch) COW's per-epoch rewrite is the write-amplification wall;
+        MOR makes epoch cost independent of table size."""
+        if merge_mode not in ("cow", "mor"):
+            raise ValueError(f"merge_mode must be 'cow' or 'mor', got {merge_mode!r}")
         if num_buckets is None:
             num_buckets = derive_num_buckets(expected_payload_bytes or 0)
         meta_dir = os.path.join(path, "_meta")
@@ -165,10 +177,11 @@ class LakeTable:
             # schemas[i] = schema version i; files reference their schema_id
             "schemas": [schema.json()],
             "current_schema_id": 0,
-            # bucket id (str) -> list of {path, schema_id}
+            # bucket id (str) -> list of {path, schema_id, kind?}
+            # kind: "base" (absent = base) | "delta" (MOR append)
             "buckets": {},
             "commits": [],
-            "properties": {},
+            "properties": {"merge_mode": merge_mode},
         }
         mpath = os.path.join(meta_dir, "v00000000.json")
         with open(mpath, "w") as f:
@@ -195,6 +208,20 @@ class LakeTable:
 
     def committed_batches(self) -> set[str]:
         return set(self.manifest["commits"])
+
+    @property
+    def merge_mode(self) -> str:
+        return self.manifest.get("properties", {}).get("merge_mode", "cow")
+
+    def _has_deltas(self, buckets: list[int] | None = None) -> bool:
+        wanted = (
+            self.manifest["buckets"].values()
+            if buckets is None
+            else [self.manifest["buckets"].get(str(b), []) for b in buckets]
+        )
+        return any(
+            e.get("kind") == "delta" for entries in wanted for e in entries
+        )
 
     def _schema_with_internal(self, schema_id: int | None = None) -> T.StructType:
         sid = self.manifest["current_schema_id"] if schema_id is None else schema_id
@@ -243,8 +270,26 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
+    def _fold_latest(self, df: DataFrame) -> DataFrame:
+        """MOR read fold: latest row per key across base + delta files.
+        Base rows (null ``_event_seq``, from an initial load) rank lowest;
+        any CDC delta supersedes them; among deltas the event_seq version
+        gate decides — identical semantics to COW's gated apply, evaluated
+        at read time."""
+        keys = self.key_columns
+        rest = [c for c in df.columns if c not in keys]
+        carried = F.struct(*[F.col(c).alias(c) for c in rest])
+        order = F.coalesce(F.col(SEQ_COL), F.lit(-1))
+        return (
+            df.groupBy(*keys)
+            .agg(F.max_by(carried, order).alias("__w"))
+            .select(*keys, *[F.col(f"__w.{c}").alias(c) for c in rest])
+        )
+
     def read_internal(self, buckets: list[int] | None = None) -> DataFrame:
-        """Read rows incl. internal cols, optionally pruned to buckets."""
+        """Read rows incl. internal cols, optionally pruned to buckets.
+        On a table with delta files (merge-on-read), the result is folded
+        to the latest row per key first."""
         wanted = (
             self.manifest["buckets"].items()
             if buckets is None
@@ -256,6 +301,8 @@ class LakeTable:
             return self.spark.createDataFrame(
                 [], self._schema_with_internal(self.manifest["current_schema_id"])
             )
+        if any(e.get("kind") == "delta" for e in files):
+            df = self._fold_latest(df)
         return df
 
     def read(self) -> DataFrame:
@@ -413,6 +460,48 @@ class LakeTable:
             )
         phases["fold_and_discover_sec"] = round(time.monotonic() - t_start, 4)
         t_phase = time.monotonic()
+
+        if self.merge_mode == "mor":
+            # Merge-on-read: append the folded batch as per-bucket DELTA
+            # files — the target is never read, so epoch write cost is
+            # O(batch), not O(touched table bytes). The event_seq version
+            # gate and delete tombstones move to read time (_fold_latest);
+            # compact() folds deltas back into base files.
+            s_seq_col = F.col(seq_column)
+            is_del = F.col(op_column) == "D"
+            delta_rows = src.select(
+                *[F.col(k) for k in keys],
+                *[
+                    F.when(is_del, F.lit(None).cast(f.dataType))
+                    .otherwise(F.col(f.name))
+                    .alias(f.name)
+                    for f in self.schema.fields
+                    if f.name in payload_cols
+                ],
+                s_seq_col.alias(SEQ_COL),
+                is_del.alias(DELETED_COL),
+                F.col("__bucket"),
+            )
+            try:
+                new_files = self._write_buckets(
+                    delta_rows, n_partitions=max(len(affected), 1)
+                )
+            finally:
+                if persisted is not None:
+                    persisted.unpersist()
+            phases["merge_write_sec"] = round(time.monotonic() - t_phase, 4)
+            t_phase = time.monotonic()
+            manifest = json.loads(json.dumps(self.manifest))
+            for b, entries in new_files.items():
+                for e in entries:
+                    e["kind"] = "delta"
+                manifest["buckets"].setdefault(b, []).extend(entries)
+            manifest["commits"].append(batch_id)
+            self._commit(manifest)
+            phases["commit_sec"] = round(time.monotonic() - t_phase, 4)
+            phases["n_affected_buckets"] = len(affected)
+            return True
+
         target = self.read_internal(buckets=affected).withColumn(
             "__bucket", bucket_expr(keys, self.num_buckets)
         )
