@@ -727,6 +727,50 @@ def _cdc_replay_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (training-data log pipelines): per user,
+    a >6h silence starts a new session (lag + cumulative-sum windows —
+    the canonical two-window shape); one output row per session."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tsec = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1_000_000.0)
+    base = ev.withColumn("__t", tsec)
+    new_sess = F.when(
+        F.col("__t") - F.lag("__t").over(w) > 21600, F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = base.withColumn(
+        "session_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+_EVENTS_SESSIONIZE_SQL = """
+    WITH g AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)) > 21600
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ), s AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM g
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM s GROUP BY user_id, session_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # wire-format read path + decode kernels (oracle-checked against literal
 # golden values; Spark computes through the real parsers/kernels, DuckDB
@@ -916,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_decimal_totals": _lineitem_decimal_totals,
         "events_time_micros": _events_time_micros,
         "docs_sha256": _docs_sha256,
+        "events_sessionize": _events_sessionize,
         "odata2_feed_decode": _odata2_feed_decode,
         "decode_duration_iso": _decode_duration_iso,
         "decode_datetimeoffset_render": _decode_datetimeoffset_render,
@@ -957,6 +1002,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_decimal_totals": _LINEITEM_DECIMAL_TOTALS_SQL,
         "events_time_micros": _EVENTS_TIME_MICROS_SQL,
         "docs_sha256": _DOCS_SHA256_SQL,
+        "events_sessionize": _EVENTS_SESSIONIZE_SQL,
         "odata2_feed_decode": _ODATA2_FEED_DECODE_SQL,
         "decode_duration_iso": _DECODE_DURATION_SQL,
         "decode_datetimeoffset_render": _DECODE_DTO_SQL,

@@ -120,6 +120,52 @@ def test_mor_replayed_batch_is_noop(spark, tmpdir_path):
     assert table.read().orderBy("repo", "path").toPandas().equals(state)
 
 
+def test_mor_schema_evolution_across_deltas(spark, tmpdir_path):
+    """MOR + evolution: delta files written under an older schema must
+    conform at read time (null-fill added column, widen int→long) while
+    newer deltas supersede older rows through the fold."""
+    v1 = T.StructType(
+        [
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("size", T.IntegerType(), True),
+        ]
+    )
+    table = LakeTable.create(
+        spark, f"{tmpdir_path}/t", v1, key_columns=["repo", "path"],
+        num_buckets=4, merge_mode="mor",
+    )
+    cfg = EngineConfig(payload_columns=("size",)).validate()
+    ddl1 = ("repo string, path string, size int, op string, "
+            "event_seq long, delta_token string")
+    assert ingest_batch(
+        spark.createDataFrame(
+            [("r1", "a", 10, "I", 1, "T1"), ("r1", "b", 20, "I", 2, "T1")], ddl1
+        ),
+        LakeTable(spark, table.path), cfg, "b1",
+    )
+    # evolved batch: size widened to long + new nullable license column
+    ddl2 = ("repo string, path string, size long, license string, op string, "
+            "event_seq long, delta_token string")
+    cfg2 = EngineConfig(payload_columns=("size", "license")).validate()
+    assert ingest_batch(
+        spark.createDataFrame(
+            [("r1", "a", 9_000_000_000, "MIT", "U", 3, "T2")], ddl2
+        ),
+        LakeTable(spark, table.path), cfg2, "b2",
+    )
+    final = LakeTable(spark, table.path)
+    assert final.schema["size"].dataType == T.LongType()
+    got = {
+        (r["repo"], r["path"]): (r["size"], r["license"])
+        for r in final.read().collect()
+    }
+    assert got == {
+        ("r1", "a"): (9_000_000_000, "MIT"),  # newer delta wins, widened
+        ("r1", "b"): (20, None),              # old delta null-filled
+    }
+
+
 def test_mor_write_amplification_is_batch_sized(spark, tmpdir_path):
     """The point of MOR: a small epoch against a big table writes O(batch)
     bytes, while COW rewrites the touched buckets. Load a large base, apply
