@@ -699,6 +699,14 @@ def _assets_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(gen_assets(spark, 200))
 
 
+def _assets_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio plumbing: Arrow-batched clip features (decode
+    stubbed — no codecs in this image; see functions/multimodal.py)."""
+    from sap_spark.functions.multimodal import extract_audio_features, gen_assets
+
+    return extract_audio_features(gen_assets(spark, 200))
+
+
 def _cdc_token_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-delta-token operational metrics of the synthetic change log."""
     from sap_spark.sources.datagen import gen_change_events
@@ -976,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_lsh": _emb_ann_lsh,
         "emb_ann_ivf": _emb_ann_ivf,
         "assets_image_features": _assets_image_features,
+        "assets_audio_features": _assets_audio_features,
         "cdc_token_progress": _cdc_token_progress,
     }
 

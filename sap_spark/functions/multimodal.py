@@ -152,6 +152,110 @@ def sample_video_frames(
     return pruned.mapInPandas(run, FRAME_SAMPLE_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("duration_sec", T.DoubleType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("rms_db", T.DoubleType(), True),
+        T.StructField("clip_fraction", T.DoubleType(), True),
+    ]
+)
+
+
+def _decode_audio_stub(blob: bytes, deterministic_fake: bool) -> dict:
+    """STUB for the audio decode step (no soundfile/ffmpeg in this
+    container). deterministic_fake derives reproducible properties from
+    the byte digest; replace with a real decoder, nothing else changes."""
+    if not deterministic_fake:
+        raise CodecUnavailableError(
+            "audio codec not available; install soundfile/ffmpeg and "
+            "replace _decode_audio_stub"
+        )
+    if blob is None:
+        return {"duration_sec": None, "sample_rate": None, "n_channels": None,
+                "rms_db": None, "clip_fraction": None}
+    h = hashlib.blake2b(blob, digest_size=16).digest()
+    return {
+        "duration_sec": round(0.5 + h[0] / 8.0, 6),
+        "sample_rate": (8000, 16000, 22050, 44100)[h[1] % 4],
+        "n_channels": 1 + h[2] % 2,
+        "rms_db": round(-60.0 + h[3] / 5.0, 6),
+        "clip_fraction": round((h[4] % 32) / 1000.0, 6),
+    }
+
+
+def extract_audio_features(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    blob_col: str = "payload",
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """Per-clip audio features (duration/rate/loudness/clipping — the usual
+    training-data quality filters) via mapInPandas; Arrow batches of blobs,
+    never per-row Python round-trips."""
+    pruned = df.select(F.col(id_col).alias("asset_id"), F.col(blob_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _decode_audio_stub(b, deterministic_fake) for b in pdf["payload"]
+            ]
+            out = pd.DataFrame(feats)
+            out.insert(0, "asset_id", pdf["asset_id"].values)
+            out["sample_rate"] = out["sample_rate"].astype("Int32")
+            out["n_channels"] = out["n_channels"].astype("Int32")
+            yield out
+
+    return pruned.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame,
+    target_px: int = 256,
+    id_col: str = "asset_id",
+    blob_col: str = "payload",
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """Image resize/transcode plumbing (1 blob in → 1 blob out, the
+    pre-training normalization shape). Stubbed: the fake 'resized' payload
+    is a deterministic digest of (blob, target_px); the schema, batch
+    shape, and column pruning are the real contract."""
+    pruned = df.select(F.col(id_col).alias("asset_id"), F.col(blob_col).alias("payload"))
+    out_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("resized_png", T.BinaryType(), True),
+            T.StructField("target_px", T.IntegerType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for b in pdf["payload"]:
+                if b is None:
+                    blobs.append(None)
+                    continue
+                if not deterministic_fake:
+                    raise CodecUnavailableError("image codec not available")
+                blobs.append(
+                    hashlib.blake2b(
+                        b + int(target_px).to_bytes(4, "big"), digest_size=32
+                    ).digest()
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].values,
+                    "resized_png": pd.Series(blobs, dtype=object),
+                    "target_px": target_px,
+                }
+            )
+
+    return pruned.mapInPandas(run, out_schema)
+
+
 def gen_assets(spark, n: int = 100) -> DataFrame:
     """Deterministic fake asset table (binary payloads + metadata struct) —
     the multimodal analog of sources/datagen.py."""

@@ -46,3 +46,44 @@ def test_metadata_struct_schema(spark):
     meta = assets.select("meta.*")
     assert set(meta.columns) == {"content_type", "etag", "source_uri", "size_bytes"}
     assert meta.where(F.col("size_bytes") <= 0).count() == 0
+
+
+def test_audio_features_plumbing(spark):
+    from sap_spark.functions.multimodal import extract_audio_features, gen_assets
+
+    assets = gen_assets(spark, 50)
+    feats = extract_audio_features(assets)
+    rows = feats.collect()
+    assert len(rows) == 50
+    r = rows[0]
+    assert r["sample_rate"] in (8000, 16000, 22050, 44100)
+    assert 1 <= r["n_channels"] <= 2
+    assert -60.0 <= r["rms_db"] <= 0.0
+    # deterministic: same input → identical features
+    again = extract_audio_features(assets).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_resize_images_plumbing(spark):
+    from sap_spark.functions.multimodal import gen_assets, resize_images
+
+    assets = gen_assets(spark, 20)
+    out = resize_images(assets, target_px=128)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(r["target_px"] == 128 and len(r["resized_png"]) == 32 for r in rows)
+    # different target → different payloads (the stub really keys on size)
+    other = {r["asset_id"]: r["resized_png"] for r in resize_images(assets, 64).collect()}
+    assert all(other[r["asset_id"]] != r["resized_png"] for r in rows)
+
+
+def test_codec_strict_mode_raises(spark):
+    import pytest
+    from sap_spark.functions.multimodal import (
+        CodecUnavailableError, extract_audio_features, gen_assets,
+    )
+
+    feats = extract_audio_features(gen_assets(spark, 2), deterministic_fake=False)
+    with pytest.raises(Exception) as e:
+        feats.collect()
+    assert "codec not available" in str(e.value)
