@@ -537,6 +537,53 @@ def feed_control(payload: str) -> dict:
     return out
 
 
+def stage_feed_pages(
+    spark: SparkSession,
+    fetch: "callable",
+    first_url: str,
+    out_dir: str,
+    token: str,
+    seq_start: int = 0,
+    seq_stride: int = 1_000_000,
+    max_pages: int = 100_000,
+) -> dict:
+    """The stager loop: follow server paging from ``first_url`` via
+    ``fetch(url) → payload`` (the single I/O-bound, driver-side step —
+    the reference's `ClientEntitySetIterator` pull loop), writing one row
+    per page to ``out_dir/delta_token=<token>/`` in the
+    ``(payload, delta_token, event_seq_base)`` layout that
+    ``parse_feed_documents`` / ``odata_delta_pipeline`` consume in
+    parallel. Returns {"pages", "next_seq", "delta_link"}.
+
+    Scale note: fetching is inherently sequential per delta link (each
+    page names the next), so the loop is a thin driver-side spool; ALL
+    parsing/decoding happens later, distributed over the staged corpus.
+    Each page gets a disjoint ``event_seq_base`` range (stride =
+    max entries per page the service can emit).
+    """
+    rows: list[tuple[str, str, int]] = []
+    url: str | None = first_url
+    seq = seq_start
+    delta_link = None
+    while url is not None and len(rows) < max_pages:
+        payload = fetch(url)
+        rows.append((payload, token, seq))
+        seq += seq_stride
+        control = feed_control(payload)
+        url = control["next_link"]
+        delta_link = control["delta_link"] or delta_link
+    (
+        spark.createDataFrame(
+            rows, "payload string, delta_token string, event_seq_base long"
+        )
+        .coalesce(1)
+        .write.mode("append")
+        .partitionBy("delta_token")
+        .parquet(out_dir)
+    )
+    return {"pages": len(rows), "next_seq": seq, "delta_link": delta_link}
+
+
 def parse_feed(
     spark: SparkSession,
     payload: str,

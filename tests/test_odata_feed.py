@@ -485,6 +485,63 @@ def test_odata_delta_pipeline_end_to_end(spark, tmpdir_path):
     assert applied and applied[-1]["n_events"] == 1  # only T3 re-applied
 
 
+def test_stage_feed_pages_then_pipeline(spark, tmpdir_path):
+    """Stager loop: follow nextLink across a mocked 3-page delta response,
+    stage pages, run the delta pipeline → folded lake state; the returned
+    delta_link is the next checkpoint."""
+    from sap_spark.config import EngineConfig
+    from sap_spark.plans.lake import LakeTable
+    from sap_spark.sources.odata_feed import stage_feed_pages
+    from sap_spark.streaming.pipeline import odata_delta_pipeline
+    from pyspark.sql import types as T
+
+    entity = resolve_entity_type(DELTA_EDMX, "Files")
+    pages = {
+        "u1": '{"value": [{"Repo": "r1", "Path": "a", "Content": "v1"}],'
+              ' "@odata.nextLink": "u2"}',
+        "u2": '{"value": [{"Repo": "r1", "Path": "b", "Content": "v1"}],'
+              ' "@odata.nextLink": "u3"}',
+        "u3": '{"value": [{"Repo": "r1", "Path": "a", "Content": "v2"}],'
+              ' "@odata.deltaLink": "Files?$deltatoken=NEXT"}',
+    }
+    fetched = []
+
+    def fetch(url):
+        fetched.append(url)
+        return pages[url]
+
+    stage = f"{tmpdir_path}/pages"
+    result = stage_feed_pages(spark, fetch, "u1", stage, token="T1")
+    assert fetched == ["u1", "u2", "u3"]
+    assert result == {
+        "pages": 3, "next_seq": 3_000_000,
+        "delta_link": "Files?$deltatoken=NEXT",
+    }
+
+    schema = T.StructType(
+        [
+            T.StructField("Repo", T.StringType(), False),
+            T.StructField("Path", T.StringType(), False),
+            T.StructField("Content", T.StringType(), True),
+        ]
+    )
+    table = LakeTable.create(
+        spark, f"{tmpdir_path}/t", schema, key_columns=["Repo", "Path"],
+        num_buckets=4,
+    )
+    cfg = EngineConfig(key_columns=("Repo", "Path"), num_buckets=4).validate()
+    pipe = odata_delta_pipeline(
+        spark, cfg, table, stage, checkpoint_dir=f"{tmpdir_path}/ck",
+        entity=entity, key_columns=["Repo", "Path"], pipeline_id="stager",
+    )
+    pipe.run_available_now(timeout_sec=300)
+    got = {
+        (r["Repo"], r["Path"]): r["Content"]
+        for r in LakeTable(spark, table.path).read().collect()
+    }
+    assert got == {("r1", "a"): "v2", ("r1", "b"): "v1"}  # page 3 supersedes 1
+
+
 def test_enum_catalog_parsed_from_edmx():
     cat = parse_edmx(
         """<?xml version="1.0"?>

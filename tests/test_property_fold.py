@@ -113,3 +113,59 @@ def test_fold_at_most_one_row_per_key(spark, log):
     sdf = spark.createDataFrame(log, schema=SPARK_SCHEMA)
     folded = fold_changes(sdf, CFG).toPandas()
     assert not folded.duplicated(subset=["repo", "path"]).any()
+
+
+@given(log=event_logs(), data=st.data())
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_incremental_ingest_matches_oracle_both_modes(spark, mode, log, data):
+    """Random adversarial log, split at a random token boundary into two
+    ingest batches (ROCANCEL scope = token, so any token-aligned split is
+    legal), applied through a COW or MOR table — final read() must equal
+    the sequential fold of the whole log. Covers the read-time version
+    gate against cross-batch duplicates and delete/reinsert chains."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from sap_spark.plans.lake import LakeTable
+    from sap_spark.streaming.pipeline import ingest_batch
+
+    expected = fold_to_frame(log)
+    toks = sorted(log["delta_token"].unique())
+    cut = data.draw(st.integers(0, len(toks)), label="token_cut")
+    first = log[log["delta_token"].isin(toks[:cut])]
+    second = log[log["delta_token"].isin(toks[cut:])]
+
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("commit", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("content", T.StringType(), True),
+        ]
+    )
+    wd = tempfile.mkdtemp(prefix="prop_ingest_")
+    try:
+        table = LakeTable.create(
+            spark, f"{wd}/t", schema, key_columns=["repo", "path"],
+            num_buckets=4, merge_mode=mode,
+        )
+        for i, part in enumerate((first, second)):
+            if len(part) == 0:
+                continue
+            batch = spark.createDataFrame(part, schema=SPARK_SCHEMA)
+            ingest_batch(batch, LakeTable(spark, table.path), CFG, f"b{i}")
+        got = (
+            LakeTable(spark, table.path).read()
+            .orderBy("repo", "path").toPandas().reset_index(drop=True)
+        )
+        assert got.equals(expected), (
+            f"mode={mode} cut={cut}\nlog:\n{log}\ngot:\n{got}\n"
+            f"expected:\n{expected}"
+        )
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
