@@ -735,6 +735,41 @@ def _cdc_replay_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join: each event looks up the latest
+    'checkpoint' event (event_id % 5 == 0) of the same user at or before
+    its timestamp — one shuffle+sort union-window plan
+    (operators/joins.asof_join); DuckDB mirrors with native ASOF JOIN."""
+    from sap_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    right = (
+        ev.where(F.pmod(F.col("event_id"), 5) == 0)
+        .groupBy("user_id", F.col("ts").alias("rts"))
+        .agg(F.max("event_id").alias("ref_event"))
+    )
+    left = ev.where(F.pmod(F.col("event_id"), 5) != 0).select(
+        "user_id", "event_id", "ts"
+    )
+    out = asof_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="rts",
+        value_cols=["ref_event"],
+    )
+    return out.select("user_id", "event_id", "ref_event")
+
+
+_EVENTS_ASOF_SQL = """
+    WITH r AS (
+        SELECT user_id, ts AS rts, MAX(event_id) AS ref_event
+        FROM events WHERE event_id % 5 = 0 GROUP BY user_id, ts
+    ), l AS (
+        SELECT user_id, event_id, ts FROM events WHERE event_id % 5 <> 0
+    )
+    SELECT l.user_id, l.event_id, r.ref_event
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.rts
+"""
+
+
 def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (training-data log pipelines): per user,
     a >6h silence starts a new session (lag + cumulative-sum windows —
@@ -969,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_time_micros": _events_time_micros,
         "docs_sha256": _docs_sha256,
         "events_sessionize": _events_sessionize,
+        "events_asof_join": _events_asof_join,
         "odata2_feed_decode": _odata2_feed_decode,
         "decode_duration_iso": _decode_duration_iso,
         "decode_datetimeoffset_render": _decode_datetimeoffset_render,
@@ -1012,6 +1048,7 @@ def oracle_sql() -> dict[str, str]:
         "events_time_micros": _EVENTS_TIME_MICROS_SQL,
         "docs_sha256": _DOCS_SHA256_SQL,
         "events_sessionize": _EVENTS_SESSIONIZE_SQL,
+        "events_asof_join": _EVENTS_ASOF_SQL,
         "odata2_feed_decode": _ODATA2_FEED_DECODE_SQL,
         "decode_duration_iso": _DECODE_DURATION_SQL,
         "decode_datetimeoffset_render": _DECODE_DTO_SQL,
