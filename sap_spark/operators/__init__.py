@@ -1,12 +1,44 @@
-"""Operators: CDC dedup/fold, merge planning, and training-data-pipeline
-operators (exact/near dedup, similarity search)."""
+"""Operators: CDC dedup/fold, merge planning, point-in-time joins, and
+training-data-pipeline operators (exact/near dedup, similarity search)."""
 
 from sap_spark.operators.dedup import (
     drop_cancelled,
     lww_window,
     lww_agg,
+    lww_fetch,
     fold_changes,
     replay,
 )
+from sap_spark.operators.joins import asof_join
+from sap_spark.operators.textdedup import (
+    ann_brute_force,
+    ann_ivf,
+    ann_lsh,
+    build_ann_index,
+    build_ivf_index,
+    dedup_embedding_cosine,
+    dedup_exact,
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+    dedup_simhash,
+)
 
-__all__ = ["drop_cancelled", "lww_window", "lww_agg", "fold_changes", "replay"]
+__all__ = [
+    "drop_cancelled",
+    "lww_window",
+    "lww_agg",
+    "lww_fetch",
+    "fold_changes",
+    "replay",
+    "asof_join",
+    "ann_brute_force",
+    "ann_ivf",
+    "ann_lsh",
+    "build_ann_index",
+    "build_ivf_index",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+]
