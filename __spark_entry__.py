@@ -770,6 +770,48 @@ _EVENTS_ASOF_SQL = """
 """
 
 
+def _events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized point-in-interval join: each event vs the 12h windows
+    opened by 'checkpoint' events (event_id % 7 == 0) of the same user —
+    equi-join on (user, time-bin) + exact filter, never a per-key nested
+    loop (operators/joins.range_join); DuckDB mirrors with an inequality
+    join."""
+    from sap_spark.operators.joins import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    tsec = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1_000_000.0)
+    base = ev.withColumn("p", tsec)
+    intervals = base.where(F.pmod(F.col("event_id"), 7) == 0).select(
+        "user_id",
+        F.col("p").alias("s"),
+        (F.col("p") + 43200).alias("e"),
+        F.col("event_id").alias("iid"),
+    )
+    left = base.where(F.pmod(F.col("event_id"), 7) != 0).select(
+        "user_id", "event_id", "p"
+    )
+    joined = range_join(
+        left, intervals, on=["user_id"], left_point="p",
+        right_start="s", right_end="e", bin_width=43200.0,
+    )
+    return joined.groupBy("user_id", "event_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.max("iid").alias("last_window"),
+    )
+
+
+_EVENTS_RANGE_JOIN_SQL = """
+    WITH b AS (SELECT user_id, event_id, epoch(ts) AS p FROM events),
+    i AS (SELECT user_id, p AS s, p + 43200 AS e, event_id AS iid
+          FROM b WHERE event_id % 7 = 0),
+    l AS (SELECT * FROM b WHERE event_id % 7 <> 0)
+    SELECT l.user_id, l.event_id, COUNT(*) AS n_windows,
+           MAX(i.iid) AS last_window
+    FROM l JOIN i ON l.user_id = i.user_id AND l.p >= i.s AND l.p < i.e
+    GROUP BY l.user_id, l.event_id
+"""
+
+
 def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (training-data log pipelines): per user,
     a >6h silence starts a new session (lag + cumulative-sum windows —
@@ -1005,6 +1047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_sha256": _docs_sha256,
         "events_sessionize": _events_sessionize,
         "events_asof_join": _events_asof_join,
+        "events_range_join": _events_range_join,
         "odata2_feed_decode": _odata2_feed_decode,
         "decode_duration_iso": _decode_duration_iso,
         "decode_datetimeoffset_render": _decode_datetimeoffset_render,
@@ -1049,6 +1092,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_sha256": _DOCS_SHA256_SQL,
         "events_sessionize": _EVENTS_SESSIONIZE_SQL,
         "events_asof_join": _EVENTS_ASOF_SQL,
+        "events_range_join": _EVENTS_RANGE_JOIN_SQL,
         "odata2_feed_decode": _ODATA2_FEED_DECODE_SQL,
         "decode_duration_iso": _DECODE_DURATION_SQL,
         "decode_datetimeoffset_render": _DECODE_DTO_SQL,

@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "docs_exact_dedup",
     "docs_token_stats",
     "emb_cosine_topk",
+    "events_sessionize",
+    "events_asof_join",
 ]
 
 

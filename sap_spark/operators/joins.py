@@ -22,6 +22,62 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    bin_width: float,
+    inclusive_end: bool = False,
+) -> DataFrame:
+    """Point-in-interval join: left rows (numeric point p) × right rows
+    (interval [start, end) — or [start, end] with ``inclusive_end``) with
+    equal ``on`` keys and start ≤ p < end.
+
+    Naive Spark plans this as a per-key nested loop (or a broadcast
+    nested-loop join without keys) — quadratic in the hot key. This is the
+    bucketized formulation: the axis is cut into ``bin_width``-sized bins,
+    each interval explodes into the bins it covers, the point carries its
+    bin, and the join becomes an equi-join on (keys…, bin) plus an exact
+    interval filter. Cost: O(|left| + Σ interval_span/bin_width) join
+    input, shuffled by (keys, bin) — hot keys spread across their bins.
+
+    ``bin_width`` is the explicit scale knob: pick ≈ the median interval
+    length (larger → fewer replicas per interval but bigger bin buckets;
+    smaller → the reverse). Points/intervals must be numeric (cast
+    timestamps to epoch seconds first).
+    """
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    p = F.col(left_point)
+    s, e = F.col(right_start), F.col(right_end)
+    l_binned = left.withColumn("__bin", F.floor(p / F.lit(bin_width)))
+    # [start, end): the end bin is floor((end - ulp)/w); guard empty/negative
+    # intervals (sequence() would DESCEND for end_bin < start_bin)
+    end_edge = e if inclusive_end else e - F.lit(1e-9) * F.lit(bin_width)
+    r_ok = right.where(e >= s if inclusive_end else e > s)
+    r_binned = r_ok.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(s / F.lit(bin_width)),
+                F.greatest(
+                    F.floor(end_edge / F.lit(bin_width)),
+                    F.floor(s / F.lit(bin_width)),
+                ),
+            )
+        ),
+    )
+    cond = (p >= s) & ((p <= e) if inclusive_end else (p < e))
+    return (
+        l_binned.join(r_binned, on=[*on, "__bin"], how="inner")
+        .where(cond)
+        .drop("__bin")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -75,6 +75,69 @@ def test_asof_no_match_is_null(spark):
     assert out == {1: None, 2: None}  # right is later / key absent
 
 
+def test_range_join_matches_bruteforce(spark):
+    """Bucketized range join vs per-key brute force on random intervals,
+    across bin widths (correctness must be bin-size-independent)."""
+    from sap_spark.operators.joins import range_join
+
+    rng = np.random.RandomState(3)
+    pts = pd.DataFrame(
+        {
+            "k": rng.randint(0, 4, 150).astype("int64"),
+            "p": rng.uniform(0, 100, 150),
+            "pid": np.arange(150).astype("int64"),
+        }
+    )
+    starts = rng.uniform(0, 95, 40)
+    ivals = pd.DataFrame(
+        {
+            "k": rng.randint(0, 5, 40).astype("int64"),
+            "s": starts,
+            "e": starts + rng.uniform(0, 10, 40),
+            "iid": np.arange(40).astype("int64"),
+        }
+    )
+    expected = set()
+    for _, pr in pts.iterrows():
+        for _, ir in ivals.iterrows():
+            if pr.k == ir.k and ir.s <= pr.p < ir.e:
+                expected.add((int(pr.pid), int(ir.iid)))
+
+    lf = spark.createDataFrame(pts, "k long, p double, pid long")
+    rf = spark.createDataFrame(ivals, "k long, s double, e double, iid long")
+    for bw in (0.5, 3.0, 50.0):
+        got = {
+            (r["pid"], r["iid"])
+            for r in range_join(
+                lf, rf, on=["k"], left_point="p",
+                right_start="s", right_end="e", bin_width=bw,
+            ).collect()
+        }
+        assert got == expected, f"bin_width={bw}"
+
+
+def test_range_join_inclusive_and_degenerate(spark):
+    from sap_spark.operators.joins import range_join
+
+    lf = spark.createDataFrame([(1, 5.0, 1), (1, 7.0, 2)], "k long, p double, pid long")
+    rf = spark.createDataFrame(
+        [(1, 3.0, 5.0, 10), (1, 7.0, 7.0, 11), (1, 9.0, 2.0, 12)],
+        "k long, s double, e double, iid long",
+    )
+    halfopen = {
+        (r["pid"], r["iid"])
+        for r in range_join(lf, rf, ["k"], "p", "s", "e", bin_width=2.0).collect()
+    }
+    assert halfopen == set()  # 5.0 excluded by [3,5); degenerate/backward dropped
+    closed = {
+        (r["pid"], r["iid"])
+        for r in range_join(
+            lf, rf, ["k"], "p", "s", "e", bin_width=2.0, inclusive_end=True
+        ).collect()
+    }
+    assert closed == {(1, 10), (2, 11)}  # end-inclusive + zero-length interval
+
+
 def test_asof_value_collision_raises(spark):
     left = spark.createDataFrame([(1, 10, 5)], "k long, lts long, v long")
     right = spark.createDataFrame([(1, 5, 7)], "k long, rts long, v long")
