@@ -181,3 +181,25 @@ def test_merge_join_is_hash_not_sort(spark, tmpdir_path):
     joined = target.alias("t").join(src.alias("s"), on=["repo", "path"], how="full_outer")
     plan = plan_of(joined)
     assert "SortMergeJoin" not in plan, plan.split("== Physical Plan ==")[-1][:500]
+
+
+def test_lww_winners_is_hash_aggregate(spark, sf_dir):
+    """Regression guard for the fetch fold's phase A: winner selection must
+    compile to whole-stage-codegen HashAggregate (primitive long buffer).
+    A struct/string agg buffer silently degrades to SortAggregate — the
+    dominant non-write epoch cost before the max(event_seq) rewrite."""
+    from sap_spark.operators.dedup import lww_winners
+    from sap_spark.sources.datagen import gen_change_events
+
+    cfg = EngineConfig().validate()
+    ev = gen_change_events(spark, n_events=2000, n_keys=200, events_per_token=1000)
+    winners = lww_winners(ev, cfg)
+    plan = plan_of(winners)
+    agg_section = plan.split("== Physical Plan ==")[-1]
+    assert "HashAggregate" in agg_section
+    assert "SortAggregate" not in agg_section, (
+        "winner selection regressed to SortAggregate:\n" + agg_section[:2000]
+    )
+    # and the scan never touches payload columns (content/commit pruned)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0] if "ReadSchema:" in plan else ""
+    assert "content" not in read_schema
