@@ -127,12 +127,53 @@ def run_ingest(args, spark=None) -> dict:
     return summary
 
 
+def run_maintain(args, spark=None) -> dict:
+    """Table maintenance: compact (fold MOR deltas / drop tombstones) and
+    expire old snapshots. The checkpoint-barrier op of the MOR loop:
+    schedule it when no out-of-order events older than any tombstone can
+    still arrive (below the low-watermark delta token)."""
+    from sap_spark.config import tuned_builder
+    from sap_spark.plans.lake import LakeTable
+
+    own_session = False
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        own_session = SparkSession.getActiveSession() is None
+        spark = tuned_builder(
+            app_name="sap_spark-maintain", master=args.master,
+            shuffle_partitions=args.shuffle_partitions,
+        ).getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+
+    table = LakeTable(spark, args.table)
+    summary: dict = {"table_version_before": table.version}
+    if args.compact:
+        table.compact()
+        summary["compacted"] = True
+    if args.expire_keep is not None:
+        summary["files_removed"] = table.expire_snapshots(keep_last=args.expire_keep)
+    summary["table_version"] = table.version
+    summary["rows"] = LakeTable(spark, args.table).read().count()
+    if own_session:
+        spark.stop()
+    return summary
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="sap_spark.cli")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("package", help="zip sap_spark for --py-files")
     p.add_argument("--out", default="sap_spark.zip")
+
+    m = sub.add_parser("maintain", help="compact MOR deltas / tombstones, expire snapshots")
+    m.add_argument("--table", required=True)
+    m.add_argument("--compact", action="store_true")
+    m.add_argument("--expire-keep", type=int, default=None,
+                   help="keep only the newest N snapshots, delete orphaned files")
+    m.add_argument("--master", default=None)
+    m.add_argument("--shuffle-partitions", type=int, default=None)
 
     i = sub.add_parser("ingest", help="replay a change log into a LakeTable")
     i.add_argument("--log", required=True, help="change-log directory (parquet, delta_token-partitioned)")
@@ -160,6 +201,10 @@ def main(argv: list[str] | None = None) -> None:
     if args.cmd == "package":
         out = package_pyfiles(args.out)
         print(out)
+    elif args.cmd == "maintain":
+        import json
+
+        print(json.dumps(run_maintain(args)))
     else:
         summary = run_ingest(args)
         import json

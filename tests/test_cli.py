@@ -43,3 +43,48 @@ def test_cli_ingest_end_to_end(spark, tmp_path, capsys):
     ])
     summary2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary2["table_version"] == summary["table_version"]
+
+
+def test_cli_maintain_mor_table(spark, tmp_path, capsys):
+    """maintain subcommand: MOR ingest → compact folds deltas to base,
+    expire reclaims files, state unchanged."""
+    log_dir = str(tmp_path / "log")
+    events = gen_change_events(spark, n_events=2000, n_keys=200, events_per_token=500)
+    write_change_log(events, log_dir)
+
+    main([
+        "ingest",
+        "--log", log_dir,
+        "--table", str(tmp_path / "repos"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--merge-mode", "mor",
+        "--max-files-per-trigger", "2",
+    ])
+    before = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert before["epochs_applied"] >= 2
+
+    from sap_spark.plans.lake import LakeTable
+    state_before = (
+        LakeTable(spark, str(tmp_path / "repos")).read()
+        .orderBy("repo", "path").toPandas()
+    )
+
+    main([
+        "maintain",
+        "--table", str(tmp_path / "repos"),
+        "--compact",
+        "--expire-keep", "1",
+    ])
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["compacted"] is True
+    assert summary["files_removed"] > 0
+    assert summary["rows"] == len(state_before)
+
+    t = LakeTable(spark, str(tmp_path / "repos"))
+    kinds = {
+        e.get("kind", "base")
+        for entries in t.manifest["buckets"].values() for e in entries
+    }
+    assert kinds == {"base"}
+    state_after = t.read().orderBy("repo", "path").toPandas()
+    assert state_after.equals(state_before)
