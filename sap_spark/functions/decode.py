@@ -549,9 +549,12 @@ def decode_enum(field: str, raw: Column, members: dict[str, int]) -> Column:
     """V4 enum property (T21 completion, odata/ODataEntity.java:97-99):
     the reference extracts ``ClientEnumValue.getValue()`` — the member-name
     string. Wire forms accepted: a member name, a comma-joined flags
-    combination ('Red,Blue'), or the underlying numeric value (mapped back
-    to its member name). Unknown members raise, matching the reference's
-    unsupported-value error path (ODataEntity.java:104-105)."""
+    combination ('Red,Blue'), the underlying numeric value (mapped back
+    to its member name), or a numeric *flags combination* (e.g. '3' for
+    Red|Blue — decomposed bitwise into member names in declaration order,
+    symmetric with the string form). Unknown members / non-decomposable
+    numerics raise, matching the reference's unsupported-value error path
+    (ODataEntity.java:104-105)."""
     by_value = {}
     for name, value in members.items():
         by_value.setdefault(str(value), name)
@@ -563,9 +566,28 @@ def decode_enum(field: str, raw: Column, members: dict[str, int]) -> Column:
     all_members = F.forall(
         parts, lambda p: F.array_contains(names_arr, F.trim(p))
     )
+    # numeric flags combination: members whose value-bits are all set,
+    # accepted only if together they cover the whole number (no stray bits)
+    num = raw.try_cast("long")
+    pairs = F.array(
+        *[
+            F.struct(F.lit(n).alias("n"), F.lit(int(v)).cast("long").alias("v"))
+            for n, v in members.items()
+        ]
+    )
+    set_members = F.filter(
+        pairs, lambda p: (p["v"] != 0) & (num.bitwiseAND(p["v"]) == p["v"])
+    )
+    covered = F.aggregate(
+        set_members, F.lit(0).cast("long"), lambda acc, p: acc.bitwiseOR(p["v"])
+    )
+    flags_ok = (
+        num.isNotNull() & (F.size(set_members) > 0) & (covered == num)
+    )
     parsed = (
         F.when(all_members, F.concat_ws(",", F.transform(parts, F.trim)))
         .when(value_map[raw].isNotNull(), value_map[raw])
+        .when(flags_ok, F.concat_ws(",", F.transform(set_members, lambda p: p["n"])))
     )
     return _checked(field, "enum", raw, parsed)
 

@@ -1,4 +1,5 @@
-"""Join operators Spark lacks natively: as-of (point-in-time) join.
+"""Join operators Spark lacks natively: as-of (point-in-time) join and a
+bucketized range join.
 
 The reference delegates all joins to the OData server (it has none,
 SURVEY.md §2.5); a CDC/training-data engine needs point-in-time lookups
@@ -7,13 +8,22 @@ stores, slowly-changing joins against the change history a CDC table
 retains.
 
 ``asof_join`` uses the canonical distributed formulation: union both
-sides with a side marker, one window pass per key ordered by (ts, side)
-carrying the right side's values forward with ``last(..., ignorenulls)``,
-then keep left rows. Cost: ONE shuffle + sort over |left| + |right| —
-no range-explosion, no per-row lookups, and the window partitioning is
-the join key, so AQE/salting guidance for skewed keys applies as usual
-(a key's rows must sort together; for a pathologically hot key, pre-split
-left by time range and union the results).
+sides with a side marker, ONE window pass per key ordered by (ts, side)
+carrying the matched right row forward as a single struct with
+``last(struct, ignorenulls)``, then keep left rows. Cost: one shuffle +
+sort over |left| + |right|, no range-explosion, no per-row lookups.
+Carrying one struct (not one ``last`` per column) guarantees every output
+row's value columns come from the SAME matched right row — a legitimately
+NULL column in the matched row stays NULL instead of back-filling from an
+older row (pandas.merge_asof / DuckDB ASOF parity).
+
+A pathologically hot key (one key holding a large share of rows) cannot
+be split by AQE inside ``Window.partitionBy``. ``time_bucket_width``
+activates the documented mitigation: time is cut into fixed-width ranges,
+each (key, bucket) sorts independently, and per-bucket "carry-in" rows
+(the as-of right row at each bucket's start) restore cross-bucket
+lookback — identical results, per-partition row count bounded by the
+densest time bucket instead of the hottest key.
 """
 
 from __future__ import annotations
@@ -48,15 +58,23 @@ def range_join(
     length (larger → fewer replicas per interval but bigger bin buckets;
     smaller → the reverse). Points/intervals must be numeric (cast
     timestamps to epoch seconds first).
+
+    The interval's last bin is always ``floor(end / bin_width)`` — even
+    for an exclusive end exactly on a bin boundary. IEEE division is
+    monotone, so every point p < end satisfies floor(p/w) ≤ floor(end/w);
+    candidate generation can over-include (one empty replica when an
+    exclusive end sits exactly on a boundary — the exact filter removes
+    it) but can never miss. An epsilon-subtracted edge could: a float end
+    strictly inside the epsilon above a boundary would drop its last bin,
+    and the exact filter cannot recover missed candidates.
     """
     if bin_width <= 0:
         raise ValueError("bin_width must be positive")
     p = F.col(left_point)
     s, e = F.col(right_start), F.col(right_end)
     l_binned = left.withColumn("__bin", F.floor(p / F.lit(bin_width)))
-    # [start, end): the end bin is floor((end - ulp)/w); guard empty/negative
-    # intervals (sequence() would DESCEND for end_bin < start_bin)
-    end_edge = e if inclusive_end else e - F.lit(1e-9) * F.lit(bin_width)
+    # guard empty/negative intervals (sequence() would DESCEND for
+    # end_bin < start_bin)
     r_ok = right.where(e >= s if inclusive_end else e > s)
     r_binned = r_ok.withColumn(
         "__bin",
@@ -64,7 +82,7 @@ def range_join(
             F.sequence(
                 F.floor(s / F.lit(bin_width)),
                 F.greatest(
-                    F.floor(end_edge / F.lit(bin_width)),
+                    F.floor(e / F.lit(bin_width)),
                     F.floor(s / F.lit(bin_width)),
                 ),
             )
@@ -78,52 +96,46 @@ def range_join(
     )
 
 
-def asof_join(
+def _asof_union_window(
     left: DataFrame,
     right: DataFrame,
     on: list[str],
     left_ts: str,
     right_ts: str,
-    value_cols: list[str] | None = None,
-    direction: str = "backward",
-    strict: bool = False,
+    value_cols: list[str],
+    direction: str,
+    strict: bool,
+    extra_partition: list[str],
 ) -> DataFrame:
-    """For each left row, attach the right row with the greatest
-    ``right_ts`` ≤ ``left_ts`` (direction='backward'; 'forward' mirrors:
-    smallest right_ts ≥ left_ts) within the same ``on`` key group.
+    """The shared union-window core: right rows carry struct(value_cols),
+    left rows carry null; one ``last(struct, ignorenulls)`` per window
+    attaches the whole matched right row at once (no cross-row column
+    mixing). ``extra_partition`` adds time-bucket columns for the hot-key
+    path (both inputs must already carry them)."""
+    from pyspark.sql import types as T
 
-    ``strict=True`` excludes equal timestamps (< instead of ≤).
-    Left rows with no match get nulls (left-outer semantics, like
-    pandas.merge_asof / DuckDB ASOF JOIN).
-
-    The right side must be unique per (on…, right_ts) — pre-aggregate
-    otherwise (with ties the carried value would depend on sort order).
-    """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
-    value_cols = value_cols or [
-        c for c in right.columns if c not in on and c != right_ts
-    ]
-    clash = [c for c in value_cols if c in left.columns]
-    if clash:
-        raise ValueError(f"value columns collide with left columns: {clash}")
-
+    val_struct = F.struct(*[F.col(c).alias(c) for c in value_cols])
+    null_struct = F.lit(None).cast(
+        T.StructType([T.StructField(c, right.schema[c].dataType) for c in value_cols])
+    )
     l_marked = left.select(
-        *[F.col(c) for c in left.columns],
+        *[F.col(c) for c in left.columns if c not in extra_partition],
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+        null_struct.alias("__vals"),
+        *[F.col(c) for c in extra_partition],
     )
     r_marked = right.select(
         *[F.col(c) for c in on],
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(c)
             for c in left.columns
-            if c not in on
+            if c not in on and c not in extra_partition
         ],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c) for c in value_cols],
+        val_struct.alias("__vals"),
+        *[F.col(c) for c in extra_partition],
     ).select(*l_marked.columns)  # align column order for the union
 
     unioned = l_marked.unionByName(r_marked)
@@ -134,11 +146,126 @@ def asof_join(
     ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
     side_order = F.col("__side").desc() if strict else F.col("__side").asc()
     w = (
-        Window.partitionBy(*on)
+        Window.partitionBy(*on, *extra_partition)
         .orderBy(ts_order, side_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned
-    for c in value_cols:
-        filled = filled.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
-    return filled.where(F.col("__side") == 1).drop("__ts", "__side")
+    filled = unioned.withColumn("__w", F.last(F.col("__vals"), ignorenulls=True).over(w))
+    return filled.where(F.col("__side") == 1).select(
+        *[c for c in left.columns if c not in extra_partition and c not in value_cols],
+        *[F.col(f"__w.{c}").alias(c) for c in value_cols],
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str] | None = None,
+    direction: str = "backward",
+    strict: bool = False,
+    time_bucket_width: float | None = None,
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts`` ≤ ``left_ts`` (direction='backward'; 'forward' mirrors:
+    smallest right_ts ≥ left_ts) within the same ``on`` key group.
+
+    ``strict=True`` excludes equal timestamps (< instead of ≤).
+    Left rows with no match get nulls (left-outer semantics, like
+    pandas.merge_asof / DuckDB ASOF JOIN). All attached columns come from
+    the same matched right row — NULL columns in that row stay NULL.
+
+    The right side must be unique per (on…, right_ts) — pre-aggregate
+    otherwise (with ties the carried value would depend on sort order).
+
+    ``time_bucket_width`` (numeric ts required — cast timestamps to epoch
+    seconds first) activates hot-key handling: rows partition by
+    (key, floor(ts / width)) instead of key alone, and each bucket is
+    seeded with a carry-in row — the as-of right row at the bucket's
+    start — computed by a tiny per-key as-of over bucket ids (≤ #buckets
+    rows per key). Result is identical; the window sort is bounded by the
+    densest time bucket, not the hottest key. Pick width so a hot key's
+    densest bucket fits an executor's sort budget (e.g. hourly buckets
+    for per-second events).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    value_cols = value_cols or [
+        c for c in right.columns if c not in on and c != right_ts
+    ]
+    clash = [c for c in value_cols if c in left.columns]
+    if clash:
+        raise ValueError(f"value columns collide with left columns: {clash}")
+
+    if time_bucket_width is None:
+        return _asof_union_window(
+            left, right, on, left_ts, right_ts, value_cols, direction, strict, []
+        )
+    if time_bucket_width <= 0:
+        raise ValueError("time_bucket_width must be positive")
+
+    # Hot-key path. Work on a signed axis so 'forward' is 'backward' on
+    # the negated axis (same carry-in machinery).
+    sign = 1 if direction == "backward" else -1
+    l_ax = left.withColumn("__axis", F.col(left_ts) * F.lit(sign))
+    r_ax = right.withColumn("__axis", F.col(right_ts) * F.lit(sign))
+    w_lit = F.lit(float(time_bucket_width))
+    l_b = l_ax.withColumn("__tb", F.floor(F.col("__axis") / w_lit))
+    r_b = r_ax.withColumn("__tb", F.floor(F.col("__axis") / w_lit))
+
+    # Per-(key, bucket) right winner: the last right row in that bucket
+    # (map-side combinable aggregate, no window over the hot key).
+    winner = F.max_by(
+        F.struct(F.col(right_ts).alias("__rts"), *[F.col(c) for c in value_cols]),
+        F.col("__axis"),
+    )
+    r_winners = r_b.groupBy(*on, "__tb").agg(winner.alias("__w"))
+
+    # Buckets that actually contain left rows (distinct is tiny: one row
+    # per (key, bucket)); each needs the latest winner from any STRICTLY
+    # earlier bucket as carry-in. That is itself an as-of over bucket ids
+    # — run the plain union-window path over the per-bucket aggregates,
+    # whose per-key row count is #buckets per key, not #rows per key.
+    l_buckets = l_b.select(*on, "__tb").distinct()
+    carry = _asof_union_window(
+        l_buckets,
+        r_winners.select(*on, (F.col("__tb") + 1).alias("__tb"), "__w"),
+        on,
+        "__tb",
+        "__tb",
+        ["__w"],
+        "backward",
+        False,
+        [],
+    ).where(F.col("__w").isNotNull())
+
+    # Carry-in rows keep their ORIGINAL axis, which is strictly below the
+    # bucket's open edge (a right row AT the boundary lands in the bucket
+    # itself) — so within the (key, bucket) partition a carry row sorts
+    # strictly before every real row, tie-free, and strict semantics are
+    # unaffected (carry ts < every left ts in the bucket).
+    carry_rows = carry.select(
+        *on,
+        F.col("__tb"),
+        (F.col("__w.__rts") * F.lit(sign)).alias("__axis"),
+        F.col("__w.__rts").alias(right_ts),
+        *[F.col(f"__w.{c}").alias(c) for c in value_cols],
+    )
+    r_all = r_b.select(
+        *on, "__tb", "__axis", F.col(right_ts), *[F.col(c) for c in value_cols]
+    ).unionByName(carry_rows)
+
+    out = _asof_union_window(
+        l_b,
+        r_all,
+        on,
+        "__axis",
+        "__axis",
+        value_cols,
+        "backward",
+        strict,
+        ["__tb"],
+    )
+    return out.drop("__axis", "__tb")

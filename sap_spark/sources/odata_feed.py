@@ -118,7 +118,7 @@ def _wire_str(value) -> str | None:
     if isinstance(value, _RawNum):
         return value.raw
     if isinstance(value, (dict, list)):
-        return json.dumps(value, default=_json_default)
+        return _dumps_raw(value)
     s = str(value)
     m = _V2_DATE_RE.match(s)
     if m:
@@ -139,10 +139,24 @@ class _RawNum:
         return self.raw
 
 
-def _json_default(o):
+def _dumps_raw(o) -> str:
+    """json.dumps that re-emits _RawNum tokens with their source lexical
+    form. The stdlib encoder cannot splice raw tokens (no json.RawJSON), so
+    numbers nested inside collections/geo objects would round-trip through
+    float() — losing precision for Int64 > 2^53 and turning '[1, 2]' into
+    '[1.0, 2.0]', which a from_json(array<long>) decode then nulls out.
+    This tiny recursive serializer keeps every numeric token verbatim."""
     if isinstance(o, _RawNum):
-        return json.RawJSON(o.raw) if hasattr(json, "RawJSON") else float(o.raw)
-    raise TypeError(o)
+        return o.raw
+    if isinstance(o, dict):
+        return (
+            "{"
+            + ", ".join(f"{json.dumps(k)}: {_dumps_raw(v)}" for k, v in o.items())
+            + "}"
+        )
+    if isinstance(o, (list, tuple)):
+        return "[" + ", ".join(_dumps_raw(v) for v in o) + "]"
+    return json.dumps(o)
 
 
 def _loads_preserving(payload: str):

@@ -138,6 +138,120 @@ def test_range_join_inclusive_and_degenerate(spark):
     assert closed == {(1, 10), (2, 11)}  # end-inclusive + zero-length interval
 
 
+def test_asof_null_column_stays_null(spark):
+    """All attached columns must come from the SAME matched right row: a
+    legitimately NULL column in the matched row stays NULL instead of
+    back-filling from an older right row (pandas.merge_asof / DuckDB ASOF
+    parity — the per-column last(ignorenulls) formulation gets this wrong)."""
+    left = spark.createDataFrame([(1, 30)], "k long, lts long")
+    right = spark.createDataFrame(
+        [(1, 10, "old-a", "old-b"), (1, 20, "new-a", None)],
+        "k long, rts long, a string, b string",
+    )
+    row = asof_join(left, right, ["k"], "lts", "rts").collect()[0]
+    assert row["a"] == "new-a"
+    assert row["b"] is None  # NOT "old-b"
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("strict", [False, True])
+def test_asof_bucketed_matches_plain(spark, frames, direction, strict):
+    """time_bucket_width must not change results — same random frames as
+    the pandas-parity test, bucketed vs plain."""
+    lf = spark.createDataFrame(frames[0], "k long, lts long, lval long")
+    rf = spark.createDataFrame(frames[1], "k long, rts long, rval long")
+    kwargs = dict(on=["k"], left_ts="lts", right_ts="rts",
+                  direction=direction, strict=strict)
+    plain = {
+        (r["k"], r["lts"], r["lval"], r["rval"])
+        for r in asof_join(lf, rf, **kwargs).collect()
+    }
+    bucketed = {
+        (r["k"], r["lts"], r["lval"], r["rval"])
+        for r in asof_join(lf, rf, time_bucket_width=50.0, **kwargs).collect()
+    }
+    assert bucketed == plain, f"{direction}/{strict}"
+
+
+def test_asof_hot_key_bucketed(spark):
+    """Hot-key mitigation: one key holds ~50% of all rows; the bucketed
+    path must (a) match pandas.merge_asof exactly and (b) bound the
+    per-(key, time-bucket) partition size well below the hot key's total."""
+    rng = np.random.RandomState(7)
+    n = 4000
+    hot = rng.rand(n) < 0.5
+    left = pd.DataFrame(
+        {
+            "k": np.where(hot, 0, rng.randint(1, 40, n)).astype("int64"),
+            "lts": rng.randint(0, 100_000, n).astype("int64"),
+            "lval": np.arange(n).astype("int64"),
+        }
+    )
+    right = (
+        pd.DataFrame(
+            {
+                "k": rng.randint(0, 40, 600).astype("int64"),
+                "rts": rng.randint(0, 100_000, 600).astype("int64"),
+                "rval": (np.arange(600) * 10).astype("int64"),
+            }
+        )
+        .drop_duplicates(["k", "rts"])
+        .reset_index(drop=True)
+    )
+    width = 5_000.0  # 20 time buckets over the ts range
+    got = (
+        asof_join(
+            spark.createDataFrame(left, "k long, lts long, lval long"),
+            spark.createDataFrame(right, "k long, rts long, rval long"),
+            on=["k"], left_ts="lts", right_ts="rts",
+            time_bucket_width=width,
+        )
+        .toPandas()
+        .sort_values(["k", "lts", "lval"])
+        .reset_index(drop=True)
+    )
+    expected = (
+        pd.merge_asof(
+            left.sort_values("lts"), right.sort_values("rts"),
+            left_on="lts", right_on="rts", by="k",
+        )
+        .drop(columns=["rts"])
+        .sort_values(["k", "lts", "lval"])
+        .reset_index(drop=True)
+    )
+    for df in (got, expected):
+        df["rval"] = df["rval"].astype("float64")
+    assert got[["k", "lts", "lval", "rval"]].equals(
+        expected[["k", "lts", "lval", "rval"]]
+    )
+    # the window partition is (key, bucket): its size is bounded by the
+    # densest bucket of the hot key (+1 carry row), far below the hot
+    # key's ~2000 rows — the quantity the un-bucketed sort would see
+    hot_rows = left[left.k == 0]
+    per_bucket = hot_rows.groupby(hot_rows.lts // int(width)).size()
+    assert per_bucket.max() < 300
+    assert len(hot_rows) > 1800
+
+
+def test_range_join_end_on_bin_boundary(spark):
+    """An exclusive interval end just above a bin boundary must keep its
+    last bin: with end = 4.0 + 1e-10 and bin_width 2.0, the point 4.0 lies
+    in bin 2 and matches — an epsilon-subtracted end edge would floor to
+    bin 1 and silently drop it."""
+    from sap_spark.operators.joins import range_join
+
+    lf = spark.createDataFrame([(1, 4.0, 1)], "k long, p double, pid long")
+    rf = spark.createDataFrame(
+        [(1, 0.0, 4.0 + 1e-10, 10), (1, 0.0, 4.0, 11)],
+        "k long, s double, e double, iid long",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join(lf, rf, ["k"], "p", "s", "e", bin_width=2.0).collect()
+    }
+    assert got == {(1, 10)}  # p=4.0 < 4.0+1e-10; excluded by [0,4.0)
+
+
 def test_asof_value_collision_raises(spark):
     left = spark.createDataFrame([(1, 10, 5)], "k long, lts long, v long")
     right = spark.createDataFrame([(1, 5, 7)], "k long, rts long, v long")

@@ -258,15 +258,25 @@ def test_enum_property_end_to_end(spark):
 
     payload = (
         '{"value": [{"Id": 1, "Shade": "Red"}, {"Id": 2, "Shade": "Red,Blue"},'
-        ' {"Id": 3, "Shade": 2}, {"Id": 4, "Shade": null}]}'
+        ' {"Id": 3, "Shade": 2}, {"Id": 4, "Shade": null},'
+        ' {"Id": 5, "Shade": 5}, {"Id": 6, "Shade": 7}]}'
     )
     wire = parse_feed(spark, payload, entity, "4.0")
     rows = {r["Id"]: r["Shade"] for r in decode_entity(wire, entity).collect()}
-    assert rows == {1: "Red", 2: "Red,Blue", 3: "Green", 4: None}
+    assert rows == {
+        1: "Red", 2: "Red,Blue", 3: "Green", 4: None,
+        # numeric flags combinations decompose (symmetric with the string
+        # form): 5 = Red|Blue, 7 = Red|Green|Blue
+        5: "Red,Blue", 6: "Red,Green,Blue",
+    }
 
     bad = parse_feed(spark, '{"value": [{"Id": 9, "Shade": "Chartreuse"}]}', entity)
     with pytest.raises(Exception, match="enum"):
         decode_entity(bad, entity).collect()
+    # a numeric with bits outside the member set is NOT a valid combination
+    bad_num = parse_feed(spark, '{"value": [{"Id": 9, "Shade": 9}]}', entity)
+    with pytest.raises(Exception, match="enum"):
+        decode_entity(bad_num, entity).collect()
 
 
 DELTA_EDMX = """<?xml version="1.0" encoding="utf-8"?>
@@ -406,6 +416,34 @@ def test_collection_property_end_to_end(spark):
     assert rows[1]["Tags"] == ["a", "b"]
     assert rows[1]["Scores"] == [0.5, 1.25]
     assert rows[2]["Tags"] == [] and rows[2]["Scores"] is None
+
+
+def test_collection_int64_lexical_fidelity(spark):
+    """Integer elements inside a JSON collection keep their lexical form
+    through the wire re-serialization: '[1, 2]' must NOT become
+    '[1.0, 2.0]' (which from_json(array<long>) nulls out), and an Int64
+    above 2^53 must survive exactly (a float round-trip would corrupt it)."""
+    from sap_spark.schema.edm import EntityType, PropertyMetadata
+    from sap_spark.functions.decode import decode_entity
+
+    entity = EntityType(
+        "E",
+        [
+            PropertyMetadata("Id", "Edm.Int32", nullable=False),
+            PropertyMetadata("Ids", "Collection(Edm.Int64)"),
+            PropertyMetadata("Small", "Collection(Edm.Int32)"),
+        ],
+    )
+    payload = (
+        '{"value": [{"Id": 1, "Ids": [1, 2, 9223372036854775807, 9007199254740993],'
+        ' "Small": [1, 2]}]}'
+    )
+    wire = parse_feed(spark, payload, entity, "4.0")
+    wire_row = wire.collect()[0]
+    assert wire_row["Ids"] == "[1, 2, 9223372036854775807, 9007199254740993]"
+    row = decode_entity(wire, entity).collect()[0]
+    assert row["Ids"] == [1, 2, 9223372036854775807, 9007199254740993]
+    assert row["Small"] == [1, 2]
 
 
 def test_odata_delta_pipeline_end_to_end(spark, tmpdir_path):
