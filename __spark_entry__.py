@@ -915,6 +915,189 @@ _ODATA2_FEED_DECODE_SQL = """
 """
 
 
+_ODATA4_FIXTURES = "/root/reference/src/test/resources/odata4"
+
+
+def _odata4_feed_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/T-kernel V4 wire path: parse BOTH of the reference's V4 golden
+    feeds — the JSON document (GeoJSON geo payloads, @odata.media*
+    stream annotations) and the Atom-XML document (GML geo payloads,
+    edit-media link elements) — through parse_feed + decode_entity, and
+    render every V4-only kernel family to DuckDB-stateable columns:
+    geo structs (T15-T20, incl. GML→GeoJSON) via to_json, the
+    StreamProperty struct (T13/T14) flattened, Date/Duration/TimeOfDay
+    (T8/T11/T9), binary via sha256. Mirrors the reference's
+    etl/SapOData4SourceETLTest.java:75-168 fixture matrix."""
+    from sap_spark.functions.decode import decode_entity
+    from sap_spark.schema.metadata import resolve_entity_type
+    from sap_spark.sources.odata_feed import parse_feed
+
+    with open(f"{_ODATA4_FIXTURES}/metadata.xml") as f:
+        entity = resolve_entity_type(f.read(), "AllDataTypes")
+
+    outs = []
+    for fmt, fixture in (("json", "AllDataTypes.json"), ("xml", "AllDataTypes.xml")):
+        with open(f"{_ODATA4_FIXTURES}/{fixture}") as f:
+            wire = parse_feed(spark, f.read(), entity, "4.0")
+        d = decode_entity(wire, entity)
+        outs.append(
+            d.select(
+                F.lit(fmt).alias("fmt"),
+                F.col("Int32").alias("id"),
+                F.col("Boolean").alias("bool_v"),
+                F.col("Byte").alias("byte_v"),
+                F.col("SByte").alias("sbyte_v"),
+                F.col("Int16").alias("i16"),
+                F.col("Int64").alias("i64"),
+                F.col("Single").cast("double").alias("single_v"),
+                F.col("Double").alias("double_v"),
+                F.col("Decimal").cast("double").alias("dec_v"),
+                F.col("Guid").alias("guid"),
+                F.col("String").alias("str_v"),
+                F.col("Date").alias("date_ts"),
+                F.col("DateTimeOffset").alias("dto"),
+                F.col("Duration").alias("dur"),
+                F.col("TimeOfDay").alias("tod_micros"),
+                F.sha2(F.col("Binary"), 256).alias("binary_sha"),
+                F.col("Stream.mediaEtag").alias("stream_etag"),
+                F.col("Stream.mediaContentType").alias("stream_ctype"),
+                F.col("Stream.mediaReadLink").alias("stream_read"),
+                F.col("Stream.mediaEditLink").alias("stream_edit"),
+                F.to_json(F.col("GeographyPoint")).alias("g_point"),
+                F.to_json(F.col("GeographyLineString")).alias("g_line"),
+                F.to_json(F.col("GeographyPolygon")).alias("g_poly"),
+                F.to_json(F.col("GeographyMultiPoint")).alias("g_mpoint"),
+                F.to_json(F.col("GeographyMultiLineString")).alias("g_mline"),
+                F.to_json(F.col("GeographyMultiPolygon")).alias("g_mpoly"),
+                F.to_json(F.col("GeographyCollection")).alias("g_coll"),
+                F.to_json(F.col("GeometryPoint")).alias("m_point"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
+_ODATA4_FEED_DECODE_SQL = """
+    SELECT * FROM (VALUES
+        ('json',
+         1,
+         true,
+         127,
+         -128,
+         1,
+         9223372036854775807,
+         3.140000104904175,
+         9.402823466385289e+38,
+         123.456,
+         '484f2eb4-f60d-4652-8673-6517d7c64d0e',
+         'DEMO',
+         TIMESTAMP '2012-12-03 00:00:00',
+         '2002-10-10T17:00:01+01:00',
+         'P12DT23H59M59.999999999999S',
+         28799999000,
+         '96b66bff7c5b3054f1efa29d3deae34a22198772a90aeeaac87d70abf96fef93',
+         'W/"####"',
+         'image/jpeg',
+         'http://placehold.it/10x10.jpg?read',
+         'http://placehold.it/10x10.jpg?edit',
+         '{"dimension":"GEOGRAPHY","x":142.1,"y":64.1,"z":0.0}',
+         '{"type":"LineString","dimension":"GEOGRAPHY","coordinates":[{"dimension":"GEOGRAPHY","x":100.0,"y":0.0,"z":0.0},{"dimension":"GEOGRAPHY","x":101.0,"y":1.0,"z":0.0}]}',
+         '{"type":"Polygon","dimension":"GEOGRAPHY","exterior":[{"dimension":"GEOGRAPHY","x":100.0,"y":0.0,"z":0.0},{"dimension":"GEOGRAPHY","x":101.0,"y":0.0,"z":0.0},{"dimension":"GEOGRAPHY","x":101.0,"y":1.0,"z":0.0},{"dimension":"GEOGRAPHY","x":100.0,"y":1.0,"z":0.0},{"dimension":"GEOGRAPHY","x":100.0,"y":0.0,"z":0.0}],"interior":[{"type":"LineString","dimension":"GEOGRAPHY","coordinates":[{"dimension":"GEOGRAPHY","x":100.2,"y":0.2,"z":0.0},{"dimension":"GEOGRAPHY","x":100.8,"y":0.2,"z":0.0},{"dimension":"GEOGRAPHY","x":100.8,"y":0.8,"z":0.0},{"dimension":"GEOGRAPHY","x":100.2,"y":0.8,"z":0.0},{"dimension":"GEOGRAPHY","x":100.2,"y":0.2,"z":0.0}]}],"numberOfInteriorRings":1}',
+         '{"type":"MultiPoint","dimension":"GEOGRAPHY","coordinates":[{"dimension":"GEOGRAPHY","x":2.5,"y":3.125,"z":0.0},{"dimension":"GEOGRAPHY","x":3.5,"y":4.125,"z":0.0},{"dimension":"GEOGRAPHY","x":4.5,"y":5.125,"z":0.0}]}',
+         '{"type":"MultiLineString","dimension":"GEOGRAPHY","coordinates":[{"type":"LineString","dimension":"GEOGRAPHY","coordinates":[{"dimension":"GEOGRAPHY","x":1.0,"y":1.0,"z":0.0},{"dimension":"GEOGRAPHY","x":2.0,"y":2.0,"z":0.0},{"dimension":"GEOGRAPHY","x":3.0,"y":3.0,"z":0.0},{"dimension":"GEOGRAPHY","x":4.0,"y":4.0,"z":0.0},{"dimension":"GEOGRAPHY","x":5.0,"y":5.0,"z":0.0}]},{"type":"LineString","dimension":"GEOGRAPHY","coordinates":[{"dimension":"GEOGRAPHY","x":99.5,"y":101.5,"z":0.0},{"dimension":"GEOGRAPHY","x":150.0,"y":151.25,"z":0.0}]}]}',
+         '{"type":"MultiPolygon","dimension":"GEOGRAPHY","coordinates":[{"type":"Polygon","dimension":"GEOGRAPHY","exterior":[{"dimension":"GEOGRAPHY","x":0.0,"y":0.0,"z":0.0},{"dimension":"GEOGRAPHY","x":3.0,"y":0.0,"z":0.0},{"dimension":"GEOGRAPHY","x":3.0,"y":3.0,"z":0.0},{"dimension":"GEOGRAPHY","x":0.0,"y":3.0,"z":0.0},{"dimension":"GEOGRAPHY","x":0.0,"y":0.0,"z":0.0}],"interior":[{"type":"LineString","dimension":"GEOGRAPHY","coordinates":[{"dimension":"GEOGRAPHY","x":1.0,"y":1.0,"z":0.0},{"dimension":"GEOGRAPHY","x":1.0,"y":2.0,"z":0.0},{"dimension":"GEOGRAPHY","x":2.0,"y":2.0,"z":0.0},{"dimension":"GEOGRAPHY","x":2.0,"y":1.0,"z":0.0},{"dimension":"GEOGRAPHY","x":1.0,"y":1.0,"z":0.0}]}],"numberOfInteriorRings":1},{"type":"Polygon","dimension":"GEOGRAPHY","exterior":[{"dimension":"GEOGRAPHY","x":0.0,"y":0.0,"z":0.0},{"dimension":"GEOGRAPHY","x":30.0,"y":0.0,"z":0.0},{"dimension":"GEOGRAPHY","x":0.0,"y":30.0,"z":0.0},{"dimension":"GEOGRAPHY","x":0.0,"y":0.0,"z":0.0}],"interior":[{"type":"LineString","dimension":"GEOGRAPHY","coordinates":[{"dimension":"GEOGRAPHY","x":10.0,"y":10.0,"z":0.0},{"dimension":"GEOGRAPHY","x":10.0,"y":20.0,"z":0.0},{"dimension":"GEOGRAPHY","x":20.0,"y":10.0,"z":0.0},{"dimension":"GEOGRAPHY","x":10.0,"y":10.0,"z":0.0}]}],"numberOfInteriorRings":1}]}',
+         '{"type":"GeometryCollection","dimension":"GEOGRAPHY","points":[{"dimension":"GEOGRAPHY","x":100.0,"y":0.0,"z":0.0}],"lineStrings":[{"type":"LineString","dimension":"GEOGRAPHY","coordinates":[{"dimension":"GEOGRAPHY","x":101.0,"y":0.0,"z":0.0},{"dimension":"GEOGRAPHY","x":102.0,"y":1.0,"z":0.0}]}],"polygons":[],"multiPoints":[],"multiLineStrings":[],"multiPolygons":[]}',
+         '{"dimension":"GEOMETRY","x":142.1,"y":64.1,"z":0.0}'),
+        ('json',
+         2,
+         true,
+         127,
+         -128,
+         2,
+         9223372036854775807,
+         -3.140000104904175,
+         9.402823466385289e+38,
+         123.456,
+         '484f2eb4-f60d-4652-8673-6517d7c64d0e',
+         'DEMO',
+         TIMESTAMP '2012-12-03 00:00:00',
+         '2002-10-10T17:00:01+01:00',
+         'P12DT23H59M59.999999999999S',
+         28799999000,
+         '96b66bff7c5b3054f1efa29d3deae34a22198772a90aeeaac87d70abf96fef93',
+         'W/"####"',
+         'image/jpeg',
+         'http://placehold.it/10x10.jpg?read',
+         'http://placehold.it/10x10.jpg?edit',
+         '{"dimension":"GEOGRAPHY","x":142.1,"y":64.1,"z":0.0}',
+         '{"type":"LineString","dimension":"GEOGRAPHY","coordinates":[{"dimension":"GEOGRAPHY","x":100.0,"y":0.0,"z":0.0},{"dimension":"GEOGRAPHY","x":101.0,"y":1.0,"z":0.0}]}',
+         '{"type":"Polygon","dimension":"GEOGRAPHY","exterior":[{"dimension":"GEOGRAPHY","x":100.0,"y":0.0,"z":0.0},{"dimension":"GEOGRAPHY","x":101.0,"y":0.0,"z":0.0},{"dimension":"GEOGRAPHY","x":101.0,"y":1.0,"z":0.0},{"dimension":"GEOGRAPHY","x":100.0,"y":1.0,"z":0.0},{"dimension":"GEOGRAPHY","x":100.0,"y":0.0,"z":0.0}],"interior":[{"type":"LineString","dimension":"GEOGRAPHY","coordinates":[{"dimension":"GEOGRAPHY","x":100.2,"y":0.2,"z":0.0},{"dimension":"GEOGRAPHY","x":100.8,"y":0.2,"z":0.0},{"dimension":"GEOGRAPHY","x":100.8,"y":0.8,"z":0.0},{"dimension":"GEOGRAPHY","x":100.2,"y":0.8,"z":0.0},{"dimension":"GEOGRAPHY","x":100.2,"y":0.2,"z":0.0}]}],"numberOfInteriorRings":1}',
+         '{"type":"MultiPoint","dimension":"GEOGRAPHY","coordinates":[{"dimension":"GEOGRAPHY","x":2.5,"y":3.125,"z":0.0},{"dimension":"GEOGRAPHY","x":3.5,"y":4.125,"z":0.0},{"dimension":"GEOGRAPHY","x":4.5,"y":5.125,"z":0.0}]}',
+         '{"type":"MultiLineString","dimension":"GEOGRAPHY","coordinates":[{"type":"LineString","dimension":"GEOGRAPHY","coordinates":[{"dimension":"GEOGRAPHY","x":1.0,"y":1.0,"z":0.0},{"dimension":"GEOGRAPHY","x":2.0,"y":2.0,"z":0.0},{"dimension":"GEOGRAPHY","x":3.0,"y":3.0,"z":0.0},{"dimension":"GEOGRAPHY","x":4.0,"y":4.0,"z":0.0},{"dimension":"GEOGRAPHY","x":5.0,"y":5.0,"z":0.0}]},{"type":"LineString","dimension":"GEOGRAPHY","coordinates":[{"dimension":"GEOGRAPHY","x":99.5,"y":101.5,"z":0.0},{"dimension":"GEOGRAPHY","x":150.0,"y":151.25,"z":0.0}]}]}',
+         '{"type":"MultiPolygon","dimension":"GEOGRAPHY","coordinates":[{"type":"Polygon","dimension":"GEOGRAPHY","exterior":[{"dimension":"GEOGRAPHY","x":0.0,"y":0.0,"z":0.0},{"dimension":"GEOGRAPHY","x":3.0,"y":0.0,"z":0.0},{"dimension":"GEOGRAPHY","x":3.0,"y":3.0,"z":0.0},{"dimension":"GEOGRAPHY","x":0.0,"y":3.0,"z":0.0},{"dimension":"GEOGRAPHY","x":0.0,"y":0.0,"z":0.0}],"interior":[{"type":"LineString","dimension":"GEOGRAPHY","coordinates":[{"dimension":"GEOGRAPHY","x":1.0,"y":1.0,"z":0.0},{"dimension":"GEOGRAPHY","x":1.0,"y":2.0,"z":0.0},{"dimension":"GEOGRAPHY","x":2.0,"y":2.0,"z":0.0},{"dimension":"GEOGRAPHY","x":2.0,"y":1.0,"z":0.0},{"dimension":"GEOGRAPHY","x":1.0,"y":1.0,"z":0.0}]}],"numberOfInteriorRings":1},{"type":"Polygon","dimension":"GEOGRAPHY","exterior":[{"dimension":"GEOGRAPHY","x":0.0,"y":0.0,"z":0.0},{"dimension":"GEOGRAPHY","x":30.0,"y":0.0,"z":0.0},{"dimension":"GEOGRAPHY","x":0.0,"y":30.0,"z":0.0},{"dimension":"GEOGRAPHY","x":0.0,"y":0.0,"z":0.0}],"interior":[{"type":"LineString","dimension":"GEOGRAPHY","coordinates":[{"dimension":"GEOGRAPHY","x":10.0,"y":10.0,"z":0.0},{"dimension":"GEOGRAPHY","x":10.0,"y":20.0,"z":0.0},{"dimension":"GEOGRAPHY","x":20.0,"y":10.0,"z":0.0},{"dimension":"GEOGRAPHY","x":10.0,"y":10.0,"z":0.0}]}],"numberOfInteriorRings":1}]}',
+         '{"type":"GeometryCollection","dimension":"GEOGRAPHY","points":[{"dimension":"GEOGRAPHY","x":100.0,"y":0.0,"z":0.0}],"lineStrings":[{"type":"LineString","dimension":"GEOGRAPHY","coordinates":[{"dimension":"GEOGRAPHY","x":101.0,"y":0.0,"z":0.0},{"dimension":"GEOGRAPHY","x":102.0,"y":1.0,"z":0.0}]}],"polygons":[],"multiPoints":[],"multiLineStrings":[],"multiPolygons":[]}',
+         '{"dimension":"GEOMETRY","x":142.1,"y":64.1,"z":0.0}'),
+        ('xml',
+         3,
+         true,
+         127,
+         -128,
+         3,
+         9223372036854775807,
+         3.1410000324249268,
+         1.234,
+         123.456,
+         '484f2eb4-f60d-4652-8673-6517d7c64d0e',
+         'Jacob',
+         TIMESTAMP '2012-12-03 00:00:00',
+         '2010-12-13T00:00:00+00:00',
+         'P12DT23H59M59.999999999999S',
+         28799999000,
+         '242757acb8b577ac96443ba4ddcb92e9f6f9e4cd6087aafcc859d1b6ce1650c4',
+         NULL,
+         NULL,
+         NULL,
+         'AllDataTypes(3)/Stream',
+         '{"dimension":"GEOGRAPHY","x":15.0,"y":161.8,"z":0.0}',
+         '{"type":"LineString","dimension":"GEOGRAPHY","coordinates":[{"dimension":"GEOGRAPHY","x":10.0,"y":10.0,"z":0.0},{"dimension":"GEOGRAPHY","x":20.0,"y":20.0,"z":0.0},{"dimension":"GEOGRAPHY","x":40.0,"y":10.0,"z":0.0}]}',
+         '{"type":"Polygon","dimension":"GEOGRAPHY","exterior":[{"dimension":"GEOGRAPHY","x":10.0,"y":10.0,"z":0.0},{"dimension":"GEOGRAPHY","x":10.0,"y":40.0,"z":0.0},{"dimension":"GEOGRAPHY","x":40.0,"y":10.0,"z":0.0},{"dimension":"GEOGRAPHY","x":40.0,"y":40.0,"z":0.0}],"interior":[],"numberOfInteriorRings":0}',
+         '{"type":"MultiPoint","dimension":"GEOGRAPHY","coordinates":[{"dimension":"GEOGRAPHY","x":47.38,"y":-122.7,"z":0.0}]}',
+         '{"type":"MultiLineString","dimension":"GEOGRAPHY","coordinates":[{"type":"LineString","dimension":"GEOGRAPHY","coordinates":[{"dimension":"GEOGRAPHY","x":10.5,"y":10.5,"z":0.0},{"dimension":"GEOGRAPHY","x":20.5,"y":20.5,"z":0.0},{"dimension":"GEOGRAPHY","x":40.5,"y":10.5,"z":0.0}]},{"type":"LineString","dimension":"GEOGRAPHY","coordinates":[{"dimension":"GEOGRAPHY","x":40.5,"y":40.5,"z":0.0},{"dimension":"GEOGRAPHY","x":30.5,"y":30.5,"z":0.0},{"dimension":"GEOGRAPHY","x":20.5,"y":40.5,"z":0.0},{"dimension":"GEOGRAPHY","x":10.5,"y":30.5,"z":0.0}]}]}',
+         '{"type":"MultiPolygon","dimension":"GEOGRAPHY","coordinates":[{"type":"Polygon","dimension":"GEOGRAPHY","exterior":[{"dimension":"GEOGRAPHY","x":40.0,"y":40.0,"z":0.0},{"dimension":"GEOGRAPHY","x":45.0,"y":20.0,"z":0.0},{"dimension":"GEOGRAPHY","x":30.0,"y":45.0,"z":0.0},{"dimension":"GEOGRAPHY","x":40.0,"y":40.0,"z":0.0}],"interior":[],"numberOfInteriorRings":0},{"type":"Polygon","dimension":"GEOGRAPHY","exterior":[{"dimension":"GEOGRAPHY","x":35.0,"y":20.0,"z":0.0},{"dimension":"GEOGRAPHY","x":20.0,"y":45.0,"z":0.0},{"dimension":"GEOGRAPHY","x":5.0,"y":30.0,"z":0.0},{"dimension":"GEOGRAPHY","x":10.0,"y":10.0,"z":0.0},{"dimension":"GEOGRAPHY","x":30.0,"y":10.0,"z":0.0},{"dimension":"GEOGRAPHY","x":35.0,"y":20.0,"z":0.0}],"interior":[{"type":"LineString","dimension":"GEOGRAPHY","coordinates":[{"dimension":"GEOGRAPHY","x":20.0,"y":30.0,"z":0.0},{"dimension":"GEOGRAPHY","x":25.0,"y":20.0,"z":0.0},{"dimension":"GEOGRAPHY","x":15.0,"y":20.0,"z":0.0},{"dimension":"GEOGRAPHY","x":20.0,"y":30.0,"z":0.0}]}],"numberOfInteriorRings":1}]}',
+         '{"type":"GeometryCollection","dimension":"GEOGRAPHY","points":[],"lineStrings":[{"type":"LineString","dimension":"GEOGRAPHY","coordinates":[{"dimension":"GEOGRAPHY","x":10.0,"y":10.0,"z":0.0},{"dimension":"GEOGRAPHY","x":20.0,"y":20.0,"z":0.0},{"dimension":"GEOGRAPHY","x":40.0,"y":10.0,"z":0.0}]}],"polygons":[{"type":"Polygon","dimension":"GEOGRAPHY","exterior":[{"dimension":"GEOGRAPHY","x":10.0,"y":10.0,"z":0.0},{"dimension":"GEOGRAPHY","x":10.0,"y":40.0,"z":0.0},{"dimension":"GEOGRAPHY","x":40.0,"y":10.0,"z":0.0},{"dimension":"GEOGRAPHY","x":40.0,"y":40.0,"z":0.0}],"interior":[],"numberOfInteriorRings":0}],"multiPoints":[],"multiLineStrings":[],"multiPolygons":[]}',
+         '{"dimension":"GEOMETRY","x":15.0,"y":161.8,"z":0.0}'),
+        ('xml',
+         4,
+         true,
+         127,
+         -128,
+         4,
+         9223372036854775807,
+         3.1410000324249268,
+         1.234,
+         123.456,
+         '484f2eb4-f60d-4652-8673-6517d7c64d0e',
+         'Elmo',
+         TIMESTAMP '2012-12-03 00:00:00',
+         '2010-12-13T00:00:00+00:00',
+         'P12DT23H59M59.999999999999S',
+         28799999000,
+         '242757acb8b577ac96443ba4ddcb92e9f6f9e4cd6087aafcc859d1b6ce1650c4',
+         NULL,
+         NULL,
+         NULL,
+         'AllDataTypes(4)/Stream',
+         '{"dimension":"GEOGRAPHY","x":-15.0,"y":-61.8,"z":0.0}',
+         '{"type":"LineString","dimension":"GEOGRAPHY","coordinates":[{"dimension":"GEOGRAPHY","x":10.0,"y":10.0,"z":0.0},{"dimension":"GEOGRAPHY","x":20.0,"y":20.0,"z":0.0},{"dimension":"GEOGRAPHY","x":40.0,"y":10.0,"z":0.0}]}',
+         '{"type":"Polygon","dimension":"GEOGRAPHY","exterior":[{"dimension":"GEOGRAPHY","x":10.0,"y":10.0,"z":0.0},{"dimension":"GEOGRAPHY","x":10.0,"y":40.0,"z":0.0},{"dimension":"GEOGRAPHY","x":40.0,"y":10.0,"z":0.0},{"dimension":"GEOGRAPHY","x":40.0,"y":40.0,"z":0.0}],"interior":[],"numberOfInteriorRings":0}',
+         '{"type":"MultiPoint","dimension":"GEOGRAPHY","coordinates":[{"dimension":"GEOGRAPHY","x":47.38,"y":-122.7,"z":0.0}]}',
+         '{"type":"MultiLineString","dimension":"GEOGRAPHY","coordinates":[{"type":"LineString","dimension":"GEOGRAPHY","coordinates":[{"dimension":"GEOGRAPHY","x":10.5,"y":10.5,"z":0.0},{"dimension":"GEOGRAPHY","x":20.5,"y":20.5,"z":0.0},{"dimension":"GEOGRAPHY","x":40.5,"y":10.5,"z":0.0}]},{"type":"LineString","dimension":"GEOGRAPHY","coordinates":[{"dimension":"GEOGRAPHY","x":40.5,"y":40.5,"z":0.0},{"dimension":"GEOGRAPHY","x":30.5,"y":30.5,"z":0.0},{"dimension":"GEOGRAPHY","x":20.5,"y":40.5,"z":0.0},{"dimension":"GEOGRAPHY","x":10.5,"y":30.5,"z":0.0}]}]}',
+         '{"type":"MultiPolygon","dimension":"GEOGRAPHY","coordinates":[{"type":"Polygon","dimension":"GEOGRAPHY","exterior":[{"dimension":"GEOGRAPHY","x":40.0,"y":40.0,"z":0.0},{"dimension":"GEOGRAPHY","x":45.0,"y":20.0,"z":0.0},{"dimension":"GEOGRAPHY","x":30.0,"y":45.0,"z":0.0},{"dimension":"GEOGRAPHY","x":40.0,"y":40.0,"z":0.0}],"interior":[],"numberOfInteriorRings":0},{"type":"Polygon","dimension":"GEOGRAPHY","exterior":[{"dimension":"GEOGRAPHY","x":35.0,"y":20.0,"z":0.0},{"dimension":"GEOGRAPHY","x":20.0,"y":45.0,"z":0.0},{"dimension":"GEOGRAPHY","x":5.0,"y":30.0,"z":0.0},{"dimension":"GEOGRAPHY","x":10.0,"y":10.0,"z":0.0},{"dimension":"GEOGRAPHY","x":30.0,"y":10.0,"z":0.0},{"dimension":"GEOGRAPHY","x":35.0,"y":20.0,"z":0.0}],"interior":[{"type":"LineString","dimension":"GEOGRAPHY","coordinates":[{"dimension":"GEOGRAPHY","x":20.0,"y":30.0,"z":0.0},{"dimension":"GEOGRAPHY","x":25.0,"y":20.0,"z":0.0},{"dimension":"GEOGRAPHY","x":15.0,"y":20.0,"z":0.0},{"dimension":"GEOGRAPHY","x":20.0,"y":30.0,"z":0.0}]}],"numberOfInteriorRings":1}]}',
+         '{"type":"GeometryCollection","dimension":"GEOGRAPHY","points":[],"lineStrings":[{"type":"LineString","dimension":"GEOGRAPHY","coordinates":[{"dimension":"GEOGRAPHY","x":10.0,"y":10.0,"z":0.0},{"dimension":"GEOGRAPHY","x":20.0,"y":20.0,"z":0.0},{"dimension":"GEOGRAPHY","x":40.0,"y":10.0,"z":0.0}]}],"polygons":[{"type":"Polygon","dimension":"GEOGRAPHY","exterior":[{"dimension":"GEOGRAPHY","x":10.0,"y":10.0,"z":0.0},{"dimension":"GEOGRAPHY","x":10.0,"y":40.0,"z":0.0},{"dimension":"GEOGRAPHY","x":40.0,"y":10.0,"z":0.0},{"dimension":"GEOGRAPHY","x":40.0,"y":40.0,"z":0.0}],"interior":[],"numberOfInteriorRings":0}],"multiPoints":[],"multiLineStrings":[],"multiPolygons":[]}',
+         '{"dimension":"GEOMETRY","x":15.0,"y":161.8,"z":0.0}')
+    ) t(fmt, id, bool_v, byte_v, sbyte_v, i16, i64, single_v, double_v, dec_v, guid, str_v, date_ts, dto, dur, tod_micros, binary_sha, stream_etag, stream_ctype, stream_read, stream_edit, g_point, g_line, g_poly, g_mpoint, g_mline, g_mpoly, g_coll, m_point)
+"""
+
+
 def _decode_duration_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T11: ISO-8601 duration render from both wire forms (seconds decimal
     and duration literal), value-derived precision, trailing zeros trimmed."""
@@ -1049,6 +1232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": _events_asof_join,
         "events_range_join": _events_range_join,
         "odata2_feed_decode": _odata2_feed_decode,
+        "odata4_feed_decode": _odata4_feed_decode,
         "decode_duration_iso": _decode_duration_iso,
         "decode_datetimeoffset_render": _decode_datetimeoffset_render,
         "decode_decimal_strict": _decode_decimal_strict,
@@ -1094,6 +1278,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_join": _EVENTS_ASOF_SQL,
         "events_range_join": _EVENTS_RANGE_JOIN_SQL,
         "odata2_feed_decode": _ODATA2_FEED_DECODE_SQL,
+        "odata4_feed_decode": _ODATA4_FEED_DECODE_SQL,
         "decode_duration_iso": _DECODE_DURATION_SQL,
         "decode_datetimeoffset_render": _DECODE_DTO_SQL,
         "decode_decimal_strict": _DECODE_DECIMAL_SQL,

@@ -270,6 +270,11 @@ def _gml_to_geojson(el: ET.Element, siblings: list[ET.Element] | None = None):
                 exterior = _gml_ring(child)
             elif _local(child.tag) == "interior":
                 interiors.append(_gml_ring(child))
+        if not exterior:
+            # the fixture's other Polygon spelling: ring positions as
+            # direct children, no <gml:exterior> wrapper (odata4
+            # AllDataTypes.xml geometryMembers Polygon)
+            exterior = _gml_positions(el)
         if not exterior and siblings:
             exterior = [
                 [float(x) for x in s.text.split()]
