@@ -103,6 +103,15 @@ def run_ingest(args, spark=None) -> dict:
         expected_payload_bytes=expected_bytes,
         merge_mode=args.merge_mode,
     )
+    if table.merge_mode != args.merge_mode:
+        # if_not_exists resolved to an EXISTING table: the stored mode is
+        # a table-layout property and wins — surface the mismatch instead
+        # of silently ignoring the flag
+        raise SystemExit(
+            f"--merge-mode {args.merge_mode} conflicts with existing table "
+            f"at {args.table} (stored merge_mode={table.merge_mode}); "
+            "recreate the table to change its merge mode"
+        )
     cfg = EngineConfig(
         key_columns=tuple(keys),
         num_buckets=table.num_buckets,

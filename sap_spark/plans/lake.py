@@ -289,21 +289,38 @@ class LakeTable:
     def read_internal(self, buckets: list[int] | None = None) -> DataFrame:
         """Read rows incl. internal cols, optionally pruned to buckets.
         On a table with delta files (merge-on-read), the result is folded
-        to the latest row per key first."""
+        to the latest row per key — **per bucket**: a key lives in exactly
+        one hash bucket, so only delta-bearing buckets need the
+        payload-carrying fold shuffle; base-only buckets union in
+        verbatim. On a 100 TB table with one hot bucket's delta, a full
+        read pays the fold over that bucket alone, not O(table)."""
         wanted = (
             self.manifest["buckets"].items()
             if buckets is None
             else [(str(b), self.manifest["buckets"].get(str(b), [])) for b in buckets]
         )
-        files = [e for _, entries in wanted for e in entries]
-        df = self._read_files(files, self.manifest["current_schema_id"])
-        if df is None:
-            return self.spark.createDataFrame(
-                [], self._schema_with_internal(self.manifest["current_schema_id"])
-            )
-        if any(e.get("kind") == "delta" for e in files):
-            df = self._fold_latest(df)
-        return df
+        sid = self.manifest["current_schema_id"]
+        base_files: list[dict] = []
+        delta_bucket_files: list[dict] = []
+        for _, entries in wanted:
+            if any(e.get("kind") == "delta" for e in entries):
+                delta_bucket_files.extend(entries)
+            else:
+                base_files.extend(entries)
+        parts: list[DataFrame] = []
+        base_df = self._read_files(base_files, sid)
+        if base_df is not None:
+            parts.append(base_df)
+        delta_df = self._read_files(delta_bucket_files, sid)
+        if delta_df is not None:
+            parts.append(self._fold_latest(delta_df))
+        if not parts:
+            return self.spark.createDataFrame([], self._schema_with_internal(sid))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        # stable column order regardless of which part led the union
+        return out.select(*[f.name for f in self._schema_with_internal(sid).fields])
 
     def read(self) -> DataFrame:
         """The user-facing table: live rows, user columns only."""
@@ -582,15 +599,34 @@ class LakeTable:
         while v is not None and len(keep_versions) < keep_last:
             keep_versions.append(v)
             v = self._load_manifest(v)["parent"]
-        # every file referenced by a retained manifest survives
+        # every file referenced by a retained manifest survives. Compare
+        # REAL paths on both sides: manifest paths carry whatever spelling
+        # the table was created/merged under (relative vs absolute,
+        # symlinked dir, trailing slash) — an exact-string comparison
+        # would mark every live file unreferenced and delete the current
+        # snapshot.
         referenced: set[str] = set()
         for kv in keep_versions:
             m = self._load_manifest(kv)
             for entries in m["buckets"].values():
-                referenced.update(e["path"] for e in entries)
+                referenced.update(os.path.realpath(e["path"]) for e in entries)
+        scanned = {
+            os.path.realpath(f): f
+            for f in glob.glob(
+                os.path.join(self.path, "data", "*", "__bucket=*", "*.parquet")
+            )
+        }
+        missing = referenced - set(scanned)
+        if missing:
+            # a retained manifest references files the scan can't see —
+            # deleting anything now could destroy the current snapshot
+            raise FileNotFoundError(
+                "expire_snapshots aborted: retained manifests reference "
+                f"files absent from the data scan (first: {sorted(missing)[0]})"
+            )
         removed = 0
-        for f in glob.glob(os.path.join(self.path, "data", "*", "__bucket=*", "*.parquet")):
-            if f not in referenced:
+        for real, f in scanned.items():
+            if real not in referenced:
                 os.remove(f)
                 removed += 1
         # drop expired manifests (keep the retained chain intact)

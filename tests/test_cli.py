@@ -44,6 +44,19 @@ def test_cli_ingest_end_to_end(spark, tmp_path, capsys):
     summary2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary2["table_version"] == summary["table_version"]
 
+    # --merge-mode against an EXISTING table with a different stored mode
+    # must fail loudly (the stored mode wins; silent ignore is a trap)
+    import pytest
+
+    with pytest.raises(SystemExit, match="merge.mode|merge_mode"):
+        main([
+            "ingest",
+            "--log", log_dir,
+            "--table", str(tmp_path / "repos"),
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--merge-mode", "mor",
+        ])
+
 
 def test_cli_maintain_mor_table(spark, tmp_path, capsys):
     """maintain subcommand: MOR ingest → compact folds deltas to base,

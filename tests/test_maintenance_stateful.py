@@ -44,6 +44,38 @@ def test_expire_snapshots(spark, tmpdir_path):
     assert f"b-D0000000" in fresh.committed_batches()
 
 
+def test_expire_snapshots_path_spelling_safe(spark, tmpdir_path):
+    """expire must compare REAL paths: opening the table through a
+    different spelling (here: a symlinked directory) must not mark the
+    live files unreferenced and delete the current snapshot."""
+    events = gen_change_events(spark, n_events=1000, n_keys=100, events_per_token=500)
+    table = LakeTable.create(spark, f"{tmpdir_path}/t2", SCHEMA, ["repo", "path"], 4)
+    for tok in sorted(r[0] for r in events.select("delta_token").distinct().collect()):
+        ingest_batch(events.where(F.col("delta_token") == tok), table, CFG, f"b-{tok}")
+    before = table.read().orderBy("repo", "path").collect()
+
+    link = f"{tmpdir_path}/t2-link"
+    os.symlink(f"{tmpdir_path}/t2", link)
+    aliased = LakeTable(spark, link)
+    aliased.expire_snapshots(keep_last=1)
+    fresh = LakeTable(spark, f"{tmpdir_path}/t2")
+    assert fresh.read().orderBy("repo", "path").collect() == before
+
+
+def test_expire_snapshots_aborts_on_missing_referenced_file(spark, tmpdir_path):
+    """If a retained manifest references a file the scan can't see,
+    expire must raise instead of deleting anything."""
+    import pytest
+
+    events = gen_change_events(spark, n_events=500, n_keys=50, events_per_token=500)
+    table = LakeTable.create(spark, f"{tmpdir_path}/t3", SCHEMA, ["repo", "path"], 4)
+    ingest_batch(events, table, CFG, "b0")
+    victim = glob.glob(f"{table.path}/data/*/__bucket=*/*.parquet")[0]
+    os.remove(victim)
+    with pytest.raises(FileNotFoundError, match="aborted"):
+        table.expire_snapshots(keep_last=1)
+
+
 def test_salted_repartition_spreads_hot_key(spark):
     events = gen_change_events(spark, n_events=5000, n_keys=300, events_per_token=5000)
     salted = salted_repartition(events, CFG, num_partitions=8)

@@ -114,6 +114,68 @@ def test_bucket_pruned_merge_reads_only_affected_files(spark, tmpdir_path):
     assert full_files == n_all_files
 
 
+def test_mor_read_folds_only_delta_buckets(spark, tmpdir_path):
+    """MOR read-path scale guard: the latest-row fold (a payload-carrying
+    aggregate shuffle) must cover ONLY delta-bearing buckets — base-only
+    buckets union in verbatim. A key lives in exactly one hash bucket, so
+    this is semantics-preserving; without it a 100 TB table with one hot
+    bucket's delta pays an O(table) shuffle on every read."""
+    from pyspark.sql import types as T
+    from sap_spark.plans.lake import LakeTable, bucket_expr
+    from sap_spark.streaming.pipeline import ingest_batch
+
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("content", T.StringType(), True),
+        ]
+    )
+    cfg = EngineConfig(payload_columns=("content",), num_buckets=8).validate()
+    table = LakeTable.create(
+        spark, f"{tmpdir_path}/t", schema, ["repo", "path"], 8, merge_mode="mor"
+    )
+    seed = spark.createDataFrame(
+        [(f"r{i}", f"p{i}", f"c{i}") for i in range(200)],
+        "repo string, path string, content string",
+    )
+    table.overwrite(seed, batch_id="b0")  # base files in every bucket
+    one = spark.createDataFrame(
+        [("r1", "p1", 999, "U", "new")],
+        "repo string, path string, event_seq long, op string, content string",
+    )
+    ingest_batch(one, table, cfg, "b1")
+    table = LakeTable(spark, table.path)  # reload manifest
+    delta_buckets = [
+        int(b)
+        for b, entries in table.manifest["buckets"].items()
+        if any(e.get("kind") == "delta" for e in entries)
+    ]
+    assert len(delta_buckets) == 1  # the single-key batch touched one bucket
+    base_bucket = next(
+        int(b) for b in table.manifest["buckets"] if int(b) not in delta_buckets
+    )
+
+    # a base-only bucket's read has NO aggregate above its scan
+    plan_base = plan_of(table.read_internal(buckets=[base_bucket]))
+    assert "Aggregate" not in plan_base
+
+    # the full read folds — but only the delta bucket's files feed the
+    # aggregate: the base buckets' bytes don't cross the fold shuffle
+    full = table.read_internal()
+    plan_full = plan_of(full)
+    assert "max_by" in plan_full or "Aggregate" in plan_full
+    assert plan_full.count("Scan parquet") >= 2  # split read: base ∪ folded(delta)
+
+    # correctness: the merged row wins, everything else intact
+    rows = {(r["repo"], r["path"]): r["content"] for r in table.read().collect()}
+    assert rows[("r1", "p1")] == "new"
+    assert len(rows) == 200
+    # bucket-pruned read of the delta bucket still folds
+    plan_delta = plan_of(table.read_internal(buckets=delta_buckets))
+    assert "max_by" in plan_delta or "Aggregate" in plan_delta
+
+
 def test_lww_fetch_prunes_payload_and_broadcasts(spark, tmpdir_path):
     """The default fetch fold must (a) never read payload columns in the
     winner-selection branch — visible as a second scan whose ReadSchema
