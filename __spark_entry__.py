@@ -915,6 +915,34 @@ _ODATA2_FEED_DECODE_SQL = """
 """
 
 
+def _events_filter_odata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 in the reference's own grammar: a $filter written in the OData
+    expression language (substringof, eq/gt/ge, and/not, datetime'...'
+    literal — the surface of docs/SapEcc-batchsource.md:30-33) translated
+    to Catalyst by sources/odata_filter.py; predicates reach the parquet
+    scan as PushedFilters (plan-asserted in tests/test_odata_filter.py)."""
+    from sap_spark.sources.changelog import ODataQueryOptions, apply_query_options
+
+    ev = _t(spark, sf_dir, "events")
+    opts = ODataQueryOptions.parse(
+        "?$filter=substringof('ck', event_type) and value gt 10.0"
+        " and user_id ne null and ts ge datetime'2024-01-10T00:00:00'"
+        "&$orderby=event_id asc&$top=100&$select=event_id,event_type,value"
+    )
+    out = apply_query_options(ev, opts)
+    return out.withColumn("value", F.round("value", 6))
+
+
+_EVENTS_FILTER_ODATA_SQL = """
+    SELECT event_id, event_type, round(value, 6) AS value
+    FROM events
+    WHERE event_type LIKE '%ck%' AND value > 10.0
+      AND user_id IS NOT NULL AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+    ORDER BY event_id ASC
+    LIMIT 100
+"""
+
+
 _ODATA4_FIXTURES = "/root/reference/src/test/resources/odata4"
 
 
@@ -1211,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_latest": _cdc_lww_events,
         "cdc_lww_window_salted": _cdc_lww_events_window,
         "events_filter_topn": _events_filter_topn,
+        "events_filter_odata": _events_filter_odata,
         "events_page": _events_page,
         "pricing_summary": _pricing_summary,
         "revenue_by_nation": _revenue_by_nation,
@@ -1257,6 +1286,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lww_latest": _CDC_LWW_SQL,
         "cdc_lww_window_salted": _CDC_LWW_WINDOW_SQL,
         "events_filter_topn": _EVENTS_FILTER_TOPN_SQL,
+        "events_filter_odata": _EVENTS_FILTER_ODATA_SQL,
         "events_page": _EVENTS_PAGE_SQL,
         "pricing_summary": _PRICING_SUMMARY_SQL,
         "revenue_by_nation": _REVENUE_BY_NATION_SQL,

@@ -43,9 +43,12 @@ class ODataQueryOptions:
 
     Mirrors the reference's pass-through surface (SapODataConfig.getQuery,
     SapODataConfig.java:117-134: leading '?'s stripped; $select list parsed
-    out at :136-155). $filter/$orderby accept Spark SQL expression syntax
-    (the reference never parses them either — it forwards an opaque string
-    to an engine; our engine is Catalyst).
+    out at :136-155). $filter accepts the OData expression language the
+    reference's server consumes (`BuyerName eq 'TECUM'`,
+    odata/ODataClient.java:58; docs/SapEcc-batchsource.md:30-33) —
+    translated to Catalyst by sources/odata_filter.py — and falls back to
+    Spark SQL expression syntax when the string is not valid OData (so
+    both a ported OData query and a native Spark predicate work).
     """
 
     select: list[str] | None = None
@@ -91,7 +94,16 @@ def apply_query_options(df: DataFrame, opts: ODataQueryOptions) -> DataFrame:
     → select.
     """
     if opts.filter:
-        df = df.filter(opts.filter)
+        from sap_spark.sources.odata_filter import (
+            ODataFilterError,
+            parse_odata_filter,
+        )
+
+        try:
+            df = df.filter(parse_odata_filter(opts.filter))
+        except ODataFilterError:
+            # not OData grammar — treat as a native Spark SQL predicate
+            df = df.filter(opts.filter)
     if opts.orderby:
         df = df.orderBy(
             *[F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in opts.orderby]

@@ -1,0 +1,324 @@
+"""OData expression-language → Catalyst Column translator.
+
+The reference forwards OData query strings verbatim to the SAP server —
+its documented `$filter` surface is the OData V2 expression language
+(`BuyerName eq 'TECUM'`: odata/ODataClient.java:58; operator/function
+survey in docs/SapEcc-batchsource.md:30-33). This engine's "server" is
+Catalyst, so a user porting a real OData query needs that grammar parsed
+into Column expressions — Catalyst then pushes the predicates into the
+parquet scan exactly as native filters (PushedFilters in explain).
+
+Supported surface (the OData V2 common set + the V4 `contains`):
+
+- comparisons: ``eq ne gt ge lt le`` (with ``X eq null`` → IS NULL,
+  ``X ne null`` → IS NOT NULL — OData null-test semantics, not SQL
+  three-valued ``=``);
+- logical: ``and or not``, parentheses;
+- arithmetic: ``add sub mul div mod``, unary ``-``;
+- string functions: ``substringof(needle, hay)`` (V2 argument order),
+  ``contains(hay, needle)`` (V4), ``startswith endswith tolower toupper
+  trim length indexof concat substring`` (OData's 0-based offsets mapped
+  to Spark's 1-based);
+- temporal extractors: ``year month day hour minute second``;
+- numeric: ``round floor ceiling``;
+- literals: strings with ``''`` escapes, integers/decimals with OData
+  type suffixes (``1.5m 2L 3f``), ``true false null``,
+  ``datetime'...'`` / ``datetimeoffset'...'`` (→ timestamp literal),
+  ``guid'...'`` / ``time'...'`` (→ string literal).
+
+Property paths (``a/b``), lambda operators (``any/all``) and the rest of
+the V4 grammar are out of scope and raise ``ODataFilterError`` with the
+offending token, so callers can fall back or surface a clean message.
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+class ODataFilterError(ValueError):
+    """Unparseable / unsupported OData expression."""
+
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+      (?P<typed>(?:datetimeoffset|datetime|guid|time)'(?:[^']|'')*')
+    | (?P<string>'(?:[^']|'')*')
+    | (?P<number>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?[mMdDfFlL]?)
+    | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<lparen>\()
+    | (?P<rparen>\))
+    | (?P<comma>,)
+    | (?P<minus>-)
+    | (?P<other>\S)
+    )""",
+    re.X,
+)
+
+_NULL = object()  # sentinel: the literal `null`
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    out: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m or m.end() == m.start():
+            raise ODataFilterError(f"unrecognized input at {text[pos:pos+20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        value = m.group(kind)
+        if kind == "other":
+            raise ODataFilterError(
+                f"unsupported character {value!r} in OData expression"
+            )
+        if value.strip() or kind in ("lparen", "rparen", "comma"):
+            out.append((kind, value.strip()))
+    return out
+
+
+def _unquote(s: str) -> str:
+    return s[1:-1].replace("''", "'")
+
+
+class _Parser:
+    """Recursive-descent over the precedence ladder
+    or < and < not < cmp < add/sub < mul/div/mod < unary < primary."""
+
+    def __init__(self, tokens: list[tuple[str, str]]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self) -> tuple[str, str] | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> tuple[str, str]:
+        t = self.peek()
+        if t is None:
+            raise ODataFilterError("unexpected end of expression")
+        self.i += 1
+        return t
+
+    def expect(self, kind: str) -> None:
+        t = self.next()
+        if t[0] != kind:
+            raise ODataFilterError(f"expected {kind}, got {t[1]!r}")
+
+    def at_keyword(self, *words: str) -> str | None:
+        t = self.peek()
+        if t and t[0] == "name" and t[1].lower() in words:
+            return t[1].lower()
+        return None
+
+    # -- precedence ladder ------------------------------------------------
+
+    def parse(self) -> Column:
+        col = self.or_expr()
+        if self.peek() is not None:
+            raise ODataFilterError(f"trailing input at {self.peek()[1]!r}")
+        return self._col(col)
+
+    def or_expr(self):
+        left = self.and_expr()
+        while self.at_keyword("or"):
+            self.next()
+            left = self._col(left) | self._col(self.and_expr())
+        return left
+
+    def and_expr(self):
+        left = self.not_expr()
+        while self.at_keyword("and"):
+            self.next()
+            left = self._col(left) & self._col(self.not_expr())
+        return left
+
+    def not_expr(self):
+        if self.at_keyword("not"):
+            self.next()
+            return ~self._col(self.not_expr())
+        return self.cmp_expr()
+
+    def cmp_expr(self):
+        left = self.add_expr()
+        op = self.at_keyword("eq", "ne", "gt", "ge", "lt", "le")
+        if op is None:
+            return left
+        self.next()
+        right = self.add_expr()
+        if right is _NULL or left is _NULL:
+            operand = left if right is _NULL else right
+            if operand is _NULL:  # null eq null
+                return F.lit(op == "eq")
+            if op == "eq":
+                return self._col(operand).isNull()
+            if op == "ne":
+                return self._col(operand).isNotNull()
+            raise ODataFilterError(f"cannot order against null with '{op}'")
+        lc, rc = self._col(left), self._col(right)
+        return {
+            "eq": lambda: lc == rc,
+            "ne": lambda: lc != rc,
+            "gt": lambda: lc > rc,
+            "ge": lambda: lc >= rc,
+            "lt": lambda: lc < rc,
+            "le": lambda: lc <= rc,
+        }[op]()
+
+    def add_expr(self):
+        left = self.mul_expr()
+        while True:
+            op = self.at_keyword("add", "sub")
+            if op is None:
+                return left
+            self.next()
+            right = self.mul_expr()
+            lc, rc = self._col(left), self._col(right)
+            left = lc + rc if op == "add" else lc - rc
+
+    def mul_expr(self):
+        left = self.unary()
+        while True:
+            op = self.at_keyword("mul", "div", "mod")
+            if op is None:
+                return left
+            self.next()
+            right = self.unary()
+            lc, rc = self._col(left), self._col(right)
+            left = {"mul": lc * rc, "div": lc / rc, "mod": lc % rc}[op]
+        return left
+
+    def unary(self):
+        t = self.peek()
+        if t and t[0] == "minus":
+            self.next()
+            return -self._col(self.unary())
+        return self.primary()
+
+    # -- primaries --------------------------------------------------------
+
+    def primary(self):
+        kind, value = self.next()
+        if kind == "lparen":
+            inner = self.or_expr()
+            self.expect("rparen")
+            return inner
+        if kind == "string":
+            return F.lit(_unquote(value))
+        if kind == "typed":
+            prefix, lit = value.split("'", 1)
+            lit = _unquote("'" + lit)
+            if prefix in ("datetime", "datetimeoffset"):
+                try:
+                    return F.lit(datetime.fromisoformat(lit))
+                except ValueError as e:
+                    raise ODataFilterError(f"bad {prefix} literal {lit!r}") from e
+            return F.lit(lit)  # guid / time carry their text
+        if kind == "number":
+            suffix = value[-1] if value[-1] in "mMdDfFlL" else ""
+            num = value[:-1] if suffix else value
+            if suffix.lower() == "m":
+                import decimal
+
+                return F.lit(decimal.Decimal(num))
+            if "." in num or "e" in num.lower() or suffix.lower() in ("d", "f"):
+                return F.lit(float(num))
+            return F.lit(int(num))
+        if kind == "name":
+            word = value.lower()
+            if word == "null":
+                return _NULL
+            if word == "true":
+                return F.lit(True)
+            if word == "false":
+                return F.lit(False)
+            nxt = self.peek()
+            if nxt and nxt[0] == "lparen":
+                return self._function(word)
+            return F.col(value)
+        raise ODataFilterError(f"unexpected token {value!r}")
+
+    def _function(self, name: str) -> Column:
+        self.expect("lparen")
+        args: list = []
+        if self.peek() and self.peek()[0] != "rparen":
+            args.append(self.or_expr())
+            while self.peek() and self.peek()[0] == "comma":
+                self.next()
+                args.append(self.or_expr())
+        self.expect("rparen")
+        cols = [self._col(a) for a in args]
+
+        def need(n: int, m: int | None = None):
+            hi = m if m is not None else n
+            if not (n <= len(cols) <= hi):
+                raise ODataFilterError(f"{name}() takes {n} argument(s)")
+
+        if name == "substringof":  # V2: substringof(needle, hay)
+            need(2)
+            return cols[1].contains(cols[0])
+        if name == "contains":  # V4: contains(hay, needle)
+            need(2)
+            return cols[0].contains(cols[1])
+        if name == "startswith":
+            need(2)
+            return cols[0].startswith(cols[1])
+        if name == "endswith":
+            need(2)
+            return cols[0].endswith(cols[1])
+        if name == "tolower":
+            need(1)
+            return F.lower(cols[0])
+        if name == "toupper":
+            need(1)
+            return F.upper(cols[0])
+        if name == "trim":
+            need(1)
+            return F.trim(cols[0])
+        if name == "length":
+            need(1)
+            return F.length(cols[0])
+        if name == "indexof":  # OData is 0-based; instr is 1-based
+            need(2)
+            return F.instr(cols[0], cols[1]) - F.lit(1)
+        if name == "concat":
+            need(2, 99)
+            return F.concat(*cols)
+        if name == "substring":  # OData 0-based start [, length]
+            need(2, 3)
+            start = cols[1] + F.lit(1)
+            if len(cols) == 3:
+                return F.substring(cols[0], start, cols[2])
+            return F.substring(cols[0], start, F.lit(2_147_483_647))
+        if name in ("year", "month", "day", "hour", "minute", "second"):
+            need(1)
+            return getattr(F, name)(cols[0])
+        if name == "round":
+            need(1)
+            return F.round(cols[0])
+        if name == "floor":
+            need(1)
+            return F.floor(cols[0])
+        if name == "ceiling":
+            need(1)
+            return F.ceil(cols[0])
+        raise ODataFilterError(f"unsupported OData function {name}()")
+
+    @staticmethod
+    def _col(v) -> Column:
+        if v is _NULL:
+            raise ODataFilterError(
+                "null is only allowed as an eq/ne comparison operand"
+            )
+        return v
+
+
+def parse_odata_filter(expression: str) -> Column:
+    """OData `$filter` expression → Catalyst Column (raises
+    :class:`ODataFilterError` on anything outside the supported grammar)."""
+    if not expression or not expression.strip():
+        raise ODataFilterError("empty $filter expression")
+    return _Parser(_tokenize(expression)).parse()

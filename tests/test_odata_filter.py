@@ -1,0 +1,146 @@
+"""OData $filter expression language → Catalyst (sources/odata_filter.py).
+
+The reference forwards this grammar to the SAP server
+(odata/ODataClient.java:58, docs/SapEcc-batchsource.md:30-33); here it
+must parse into Column expressions that Catalyst pushes into the scan.
+"""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from sap_spark.sources.changelog import ODataQueryOptions, apply_query_options
+from sap_spark.sources.odata_filter import ODataFilterError, parse_odata_filter
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    rows = [
+        (1, "click", 10.0, "en", datetime.datetime(2024, 1, 1, 12, 0, 0)),
+        (2, "view", 25.5, "de", datetime.datetime(2024, 1, 5, 8, 30, 0)),
+        (3, "click", 3.25, None, datetime.datetime(2024, 2, 1, 0, 0, 0)),
+        (4, "purchase", 99.0, "en", datetime.datetime(2024, 3, 1, 23, 59, 0)),
+        (5, "error", -4.0, "fr", datetime.datetime(2023, 12, 31, 0, 0, 0)),
+    ]
+    return spark.createDataFrame(
+        rows, "id long, event_type string, value double, lang string, ts timestamp"
+    )
+
+
+def ids(df, expr):
+    return sorted(r["id"] for r in df.filter(parse_odata_filter(expr)).collect())
+
+
+def test_comparisons_and_logic(df):
+    assert ids(df, "event_type eq 'click'") == [1, 3]
+    assert ids(df, "event_type ne 'click'") == [2, 4, 5]
+    assert ids(df, "value gt 10.0") == [2, 4]
+    assert ids(df, "value ge 10.0") == [1, 2, 4]
+    assert ids(df, "value lt 0") == [5]
+    assert ids(df, "value le 3.25") == [3, 5]
+    assert ids(df, "event_type eq 'click' and value ge 10.0") == [1]
+    assert ids(df, "event_type eq 'click' or event_type eq 'error'") == [1, 3, 5]
+    assert ids(df, "not (event_type eq 'click')") == [2, 4, 5]
+    # and binds tighter than or
+    assert ids(
+        df, "event_type eq 'error' or event_type eq 'click' and value gt 5"
+    ) == [1, 5]
+
+
+def test_null_semantics(df):
+    # OData null tests, not SQL three-valued '='
+    assert ids(df, "lang eq null") == [3]
+    assert ids(df, "lang ne null") == [1, 2, 4, 5]
+    with pytest.raises(ODataFilterError, match="null"):
+        parse_odata_filter("value gt null")
+
+
+def test_arithmetic_precedence(df):
+    # mul binds tighter than add: value add 1 mul 2 == value + 2
+    assert ids(df, "value add 1 mul 2 gt 30") == [4]
+    assert ids(df, "(value add 1) mul 2 gt 30") == [2, 4]
+    assert ids(df, "value sub 5 lt 0") == [3, 5]
+    assert ids(df, "value mod 2 eq 0") == [1, 5]  # -4 mod 2 = -0.0 == 0
+    assert ids(df, "-value gt 0") == [5]
+    assert ids(df, "value div 2 ge 12") == [2, 4]
+
+
+def test_string_functions(df):
+    assert ids(df, "substringof('ck', event_type)") == [1, 3]  # V2 arg order
+    assert ids(df, "contains(event_type, 'ck')") == [1, 3]  # V4 arg order
+    assert ids(df, "startswith(event_type, 'cl')") == [1, 3]
+    assert ids(df, "endswith(event_type, 'se')") == [4]
+    assert ids(df, "tolower('CLICK') eq event_type") == [1, 3]
+    assert ids(df, "toupper(event_type) eq 'VIEW'") == [2]
+    assert ids(df, "length(event_type) eq 5") == [1, 3, 5]
+    assert ids(df, "indexof(event_type, 'i') eq 2") == [1, 3]  # 0-based
+    assert ids(df, "concat(event_type, lang) eq 'clicken'") == [1]
+    assert ids(df, "substring(event_type, 1) eq 'iew'") == [2]  # 0-based start
+    assert ids(df, "substring(event_type, 0, 2) eq 'cl'") == [1, 3]
+    assert ids(df, "trim('  click  ') eq event_type") == [1, 3]
+
+
+def test_temporal_and_numeric_functions(df):
+    assert ids(df, "ts ge datetime'2024-02-01T00:00:00'") == [3, 4]
+    assert ids(df, "year(ts) eq 2023") == [5]
+    assert ids(df, "month(ts) eq 1") == [1, 2]
+    assert ids(df, "day(ts) eq 31") == [5]
+    assert ids(df, "hour(ts) eq 23") == [4]
+    assert ids(df, "minute(ts) eq 30") == [2]
+    assert ids(df, "round(value) eq 26") == [2]
+    assert ids(df, "floor(value) eq 25") == [2]
+    assert ids(df, "ceiling(value) eq 26") == [2]
+
+
+def test_literal_suffixes(df):
+    assert ids(df, "value gt 10L") == [2, 4]
+    assert ids(df, "value gt 10.5m") == [2, 4]
+    assert ids(df, "value gt 1.0e1d") == [2, 4]
+    assert ids(df, "event_type eq 'it''s'") == []  # '' escape parses
+
+
+def test_unsupported_raises(df):
+    for bad in (
+        "value = 10",            # SQL operator, not OData
+        "a/b eq 1",              # property path
+        "items/any(i: i gt 1)",  # lambda
+        "frobnicate(value)",     # unknown function
+        "value gt",              # truncated
+        "value gt 1 extra",      # trailing garbage
+        "",
+    ):
+        with pytest.raises(ODataFilterError):
+            parse_odata_filter(bad)
+
+
+def test_apply_query_options_accepts_both_grammars(df):
+    odata = apply_query_options(
+        df, ODataQueryOptions.parse("$filter=event_type eq 'click' and value gt 5")
+    )
+    sparksql = apply_query_options(
+        df, ODataQueryOptions.parse("$filter=event_type = 'click' and value > 5")
+    )
+    assert {r["id"] for r in odata.collect()} == {1}
+    assert {r["id"] for r in sparksql.collect()} == {1}
+
+
+def test_odata_filter_pushes_down(spark, sf_dir):
+    """Translated predicates must reach the parquet scan: PushedFilters
+    carries the comparison, ReadSchema drops unselected columns."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = apply_query_options(
+        ev,
+        ODataQueryOptions.parse(
+            "$filter=event_type eq 'click' and value gt 10.0"
+            "&$select=event_id,event_type,value"
+        ),
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "event_type" in pushed and "value" in pushed
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "user_id" not in read_schema and "props" not in read_schema
