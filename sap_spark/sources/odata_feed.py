@@ -565,6 +565,11 @@ def stage_feed_pages(
     seq_start: int = 0,
     seq_stride: int = 1_000_000,
     max_pages: int = 100_000,
+    spool_pages: int = 64,
+    retries: int = 3,
+    retry_backoff: float = 0.5,
+    auth: "callable | None" = None,
+    sleep: "callable" = None,
 ) -> dict:
     """The stager loop: follow server paging from ``first_url`` via
     ``fetch(url) → payload`` (the single I/O-bound, driver-side step —
@@ -574,33 +579,71 @@ def stage_feed_pages(
     ``parse_feed_documents`` / ``odata_delta_pipeline`` consume in
     parallel. Returns {"pages", "next_seq", "delta_link"}.
 
-    Scale note: fetching is inherently sequential per delta link (each
-    page names the next), so the loop is a thin driver-side spool; ALL
-    parsing/decoding happens later, distributed over the staged corpus.
-    Each page gets a disjoint ``event_seq_base`` range (stride =
-    max entries per page the service can emit).
+    Scale notes:
+
+    - fetching is inherently sequential per delta link (each page names
+      the next), so the loop is a thin driver-side spool; ALL parsing/
+      decoding happens later, distributed over the staged corpus. Each
+      page gets a disjoint ``event_seq_base`` range (stride = max
+      entries per page the service can emit).
+    - **bounded memory**: at most ``spool_pages`` payloads are ever held;
+      each full spool is appended to ``out_dir`` and the buffer cleared,
+      so a 100k-page chain streams through constant driver memory
+      instead of accumulating GBs before one write.
+    - **retry/backoff**: each page fetch is retried ``retries`` times
+      with exponential backoff (``retry_backoff * 2^attempt`` seconds)
+      before the chain aborts; already-spooled pages stay staged, so a
+      rerun resumes from the delta link without re-staging them.
+    - **auth hook**: when ``auth`` is given, each attempt calls
+      ``fetch(url, auth())`` — ``auth()`` returning fresh headers (e.g.
+      a renewed bearer token, the SapODataConfig user/password analog);
+      otherwise ``fetch(url)``.
     """
+    import time as _time
+
+    sleep = sleep or _time.sleep
+
+    def fetch_with_retry(url: str) -> str:
+        last_exc: Exception | None = None
+        for attempt in range(retries + 1):
+            try:
+                return fetch(url, auth()) if auth is not None else fetch(url)
+            except Exception as e:  # noqa: BLE001 — transient transport errors
+                last_exc = e
+                if attempt < retries:
+                    sleep(retry_backoff * (2 ** attempt))
+        raise last_exc
+
+    def spool(rows: list[tuple[str, str, int]]) -> None:
+        (
+            spark.createDataFrame(
+                rows, "payload string, delta_token string, event_seq_base long"
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .partitionBy("delta_token")
+            .parquet(out_dir)
+        )
+
     rows: list[tuple[str, str, int]] = []
     url: str | None = first_url
     seq = seq_start
+    pages = 0
     delta_link = None
-    while url is not None and len(rows) < max_pages:
-        payload = fetch(url)
+    while url is not None and pages < max_pages:
+        payload = fetch_with_retry(url)
         rows.append((payload, token, seq))
         seq += seq_stride
+        pages += 1
         control = feed_control(payload)
         url = control["next_link"]
         delta_link = control["delta_link"] or delta_link
-    (
-        spark.createDataFrame(
-            rows, "payload string, delta_token string, event_seq_base long"
-        )
-        .coalesce(1)
-        .write.mode("append")
-        .partitionBy("delta_token")
-        .parquet(out_dir)
-    )
-    return {"pages": len(rows), "next_seq": seq, "delta_link": delta_link}
+        if len(rows) >= spool_pages:
+            spool(rows)
+            rows.clear()
+    if rows or pages == 0:
+        spool(rows)
+    return {"pages": pages, "next_seq": seq, "delta_link": delta_link}
 
 
 def parse_feed(

@@ -580,6 +580,76 @@ def test_stage_feed_pages_then_pipeline(spark, tmpdir_path):
     assert got == {("r1", "a"): "v2", ("r1", "b"): "v1"}  # page 3 supersedes 1
 
 
+def test_stage_feed_pages_bounded_spool_retry_auth(spark, tmpdir_path):
+    """Bounded-memory stager: with spool_pages=3 over a 10-page chain the
+    buffer never holds more than 3 payloads (each spool appends its own
+    file group); flaky fetches retry with backoff; the auth hook supplies
+    fresh headers per attempt; a permanently failing fetch raises after
+    exhausting retries with earlier spools still staged."""
+    from sap_spark.sources.odata_feed import stage_feed_pages
+
+    n = 10
+    pages = {
+        f"u{i}": (
+            '{"value": [{"Repo": "r", "Path": "p%d", "Content": "c"}]%s}'
+            % (i, f', "@odata.nextLink": "u{i+1}"' if i < n else "")
+        )
+        for i in range(1, n + 1)
+    }
+    failed_once: set = set()
+    seen_headers = []
+    sleeps = []
+
+    def fetch(url, headers):
+        seen_headers.append(headers)
+        if url in ("u2", "u7") and url not in failed_once:
+            failed_once.add(url)
+            raise ConnectionError("transient")
+        return pages[url]
+
+    calls = [0]
+
+    def auth():
+        calls[0] += 1
+        return {"Authorization": f"Bearer tok-{calls[0]}"}
+
+    stage = f"{tmpdir_path}/pages"
+    result = stage_feed_pages(
+        spark, fetch, "u1", stage, token="T1",
+        spool_pages=3, retries=2, retry_backoff=0.25,
+        auth=auth, sleep=sleeps.append,
+    )
+    assert result["pages"] == n
+    assert sleeps == [0.25, 0.25]  # one backoff per transient failure
+    # every attempt (12 = 10 pages + 2 retries) got fresh auth headers
+    assert len(seen_headers) == n + 2
+    assert seen_headers[0] != seen_headers[-1]
+    # the staged corpus is complete and each spool wrote its own file:
+    # ceil(10/3) = 4 appends → ≥4 parquet files proves ≤3 pages buffered
+    staged = spark.read.parquet(stage)
+    assert staged.count() == n
+    assert len(staged.inputFiles()) >= 4
+    bases = sorted(r["event_seq_base"] for r in staged.collect())
+    assert bases == [i * 1_000_000 for i in range(n)]  # disjoint seq ranges
+
+    # permanent failure: raises after retries, earlier spools survive
+    def always_fail(url, headers):
+        if url == "u5":
+            raise ConnectionError("down")
+        return pages[url]
+
+    stage2 = f"{tmpdir_path}/pages2"
+    import pytest as _pytest
+
+    with _pytest.raises(ConnectionError):
+        stage_feed_pages(
+            spark, always_fail, "u1", stage2, token="T1",
+            spool_pages=2, retries=1, retry_backoff=0.0,
+            auth=auth, sleep=sleeps.append,
+        )
+    assert spark.read.parquet(stage2).count() == 4  # two spools of 2 staged
+
+
 def test_enum_catalog_parsed_from_edmx():
     cat = parse_edmx(
         """<?xml version="1.0"?>
