@@ -401,7 +401,9 @@ def ann_ivf(
     n_centroids is tiny), scan only the ``nprobe`` nearest inverted lists,
     exact-cosine re-rank within them. Recall rises with nprobe; with the
     assigned table written partitioned by ``__cluster``, the isin filter
-    prunes partitions and the probe reads nprobe/n_centroids of the data.
+    prunes partitions and the probe reads nprobe/n_centroids of the data
+    (plan-proven: tests/test_text_similarity.py asserts the physical
+    scan's selectedPartitions is exactly nprobe of n_centroids).
     """
     import math
 

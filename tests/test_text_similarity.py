@@ -282,6 +282,43 @@ def test_ann_ivf_recall_and_pruning(spark, sf_dir):
         assigned.unpersist()
 
 
+def test_ann_ivf_partitioned_probe_prunes_scan(spark, sf_dir, tmpdir_path):
+    """The IVF scale claim made concrete: with the assigned table WRITTEN
+    partitioned by __cluster and re-read, the nprobe probe's plan prunes
+    partitions (PartitionFilters on __cluster) and reads only the probed
+    lists' files — nprobe/n_centroids of the corpus, not a full scan."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    assigned, centroids = build_ivf_index(
+        emb, "vec_id", "embedding", n_centroids=16, seed=7
+    )
+    index_path = f"{tmpdir_path}/ivf_index"
+    assigned.write.partitionBy("__cluster").parquet(index_path)
+    on_disk = spark.read.parquet(index_path)
+
+    probe = ann_ivf(
+        on_disk, centroids, "vec_id", "embedding", list(q), k=10, nprobe=4
+    )
+    plan = probe._sc._jvm.PythonSQLUtils.explainString(
+        probe._jdf.queryExecution(), "formatted"
+    )
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "__cluster" in pf and ("IN" in pf or "isin" in pf.lower()), pf
+    # the physical scan's selected file listing: 4 of 16 partitions read
+    # (inputFiles() can't show this — it lists the logical relation)
+    scan = probe._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    full = on_disk._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    assert scan.selectedPartitions().partitionCount() == 4
+    assert full.selectedPartitions().partitionCount() == 16
+    assert (
+        scan.selectedPartitions().totalNumberOfFiles()
+        < full.selectedPartitions().totalNumberOfFiles()
+    )
+    # and the pruned probe still returns sane neighbors (query itself first)
+    top = [r["vec_id"] for r in probe.collect()]
+    assert top and top[0] == 0
+
+
 def test_dedup_embedding_cosine(spark):
     base = [float(x) for x in np.random.RandomState(7).normal(size=16)]
     near = [x * 1.001 for x in base]
