@@ -1,0 +1,203 @@
+"""TableBackend contract suite (sap_spark/plans/backend.py).
+
+Every backend implementation — today LakeTable in both merge modes,
+tomorrow a real Iceberg binding — must pass this suite UNCHANGED: add a
+factory to BACKENDS and nothing else. The tests encode the semantic laws
+the CDC pipeline relies on (atomic visibility, exactly-once, version
+gate, evolution gate, key/bucket stability, maintenance safety), not
+LakeTable internals.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sap_spark.plans.backend import TableBackend
+from sap_spark.plans.lake import LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+
+
+def _lake_factory(merge_mode):
+    def make(spark, path):
+        return LakeTable.create(
+            spark, path, SCHEMA, key_columns=["repo", "path"],
+            num_buckets=8, merge_mode=merge_mode,
+        )
+
+    return make
+
+
+BACKENDS = {
+    "lake-cow": _lake_factory("cow"),
+    "lake-mor": _lake_factory("mor"),
+    # a future Iceberg binding registers its factory here and must pass
+    # this suite unchanged
+}
+
+
+@pytest.fixture(params=sorted(BACKENDS), scope="module")
+def backend_name(request):
+    return request.param
+
+
+@pytest.fixture
+def make_table(spark, tmpdir_path, backend_name):
+    counter = [0]
+
+    def make():
+        counter[0] += 1
+        return BACKENDS[backend_name](
+            spark, f"{tmpdir_path}/{backend_name}-{counter[0]}"
+        )
+
+    return make
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(
+        rows, "repo string, path string, content string, op string, event_seq long"
+    )
+
+
+def _state(table):
+    return {
+        (r["repo"], r["path"]): r["content"] for r in table.read().collect()
+    }
+
+
+def test_implements_protocol(make_table):
+    assert isinstance(make_table(), TableBackend)
+
+
+def test_atomic_visibility(spark, make_table):
+    table = make_table()
+    old = type(table)(spark, table.path, version=table.version)
+    table.merge_cdc(_changes(spark, [("r", "a", "v1", "I", 1)]), "b1")
+    assert _state(table) == {("r", "a"): "v1"}
+    # snapshot isolation: the old handle still reads the old (empty) state
+    assert _state(old) == {}
+    # a FRESH handle sees the commit (the pointer flip is the publish)
+    assert _state(type(table)(spark, table.path)) == {("r", "a"): "v1"}
+
+
+def test_exactly_once_replay(spark, make_table):
+    table = make_table()
+    assert table.merge_cdc(_changes(spark, [("r", "a", "v1", "I", 1)]), "b1") is True
+    v = table.version
+    # replay with the same batch id: no-op, False, version unchanged
+    assert (
+        table.merge_cdc(_changes(spark, [("r", "a", "OTHER", "U", 99)]), "b1")
+        is False
+    )
+    assert table.version == v
+    assert _state(table) == {("r", "a"): "v1"}
+    assert "b1" in table.committed_batches()
+
+
+def test_version_gate_and_tombstones(spark, make_table):
+    table = make_table()
+    table.merge_cdc(_changes(spark, [("r", "a", "v2", "U", 20)]), "b1")
+    # an OLDER event for the same key must not regress the row
+    table.merge_cdc(_changes(spark, [("r", "a", "v1", "U", 10)]), "b2")
+    assert _state(table) == {("r", "a"): "v2"}
+    # delete wins over the stored version…
+    table.merge_cdc(_changes(spark, [("r", "a", None, "D", 30)]), "b3")
+    assert _state(table) == {}
+    # …and its tombstone shields against a stale re-insert
+    table.merge_cdc(_changes(spark, [("r", "a", "stale", "I", 25)]), "b4")
+    assert _state(table) == {}
+    # a genuinely newer insert resurrects the key
+    table.merge_cdc(_changes(spark, [("r", "a", "v3", "I", 40)]), "b5")
+    assert _state(table) == {("r", "a"): "v3"}
+
+
+def test_evolution_gate(spark, make_table):
+    table = make_table()
+    table.merge_cdc(_changes(spark, [("r", "a", "v1", "I", 1)]), "b1")
+    # a new nullable column arrives with a later batch: schema evolves,
+    # old rows read as null
+    widened = spark.createDataFrame(
+        [("r", "b", "v1", "py", "U", 2)],
+        "repo string, path string, content string, lang string, "
+        "op string, event_seq long",
+    )
+    table.merge_cdc(widened, "b2")
+    assert "lang" in [f.name for f in table.schema.fields]
+    rows = {(r["repo"], r["path"]): r["lang"] for r in table.read().collect()}
+    assert rows == {("r", "a"): None, ("r", "b"): "py"}
+    # incompatible drift (string column arriving as long) raises
+    bad = spark.createDataFrame(
+        [("r", "c", 5, "U", 3)],
+        "repo string, path string, content long, op string, event_seq long",
+    )
+    with pytest.raises(Exception, match="content|incompat|widen"):
+        table.merge_cdc(bad, "b3")
+
+
+def test_type_widening(spark, make_table):
+    table = make_table()
+    widened_schema = T.StructType(
+        list(SCHEMA.fields) + [T.StructField("size", T.IntegerType(), True)]
+    )
+    assert table.evolve_schema(widened_schema) is True
+    assert table.evolve_schema(widened_schema) is False  # idempotent
+    wider = T.StructType(
+        list(SCHEMA.fields) + [T.StructField("size", T.LongType(), True)]
+    )
+    assert table.evolve_schema(wider) is True  # int → long widens
+    assert dict(
+        (f.name, f.dataType) for f in table.schema.fields
+    )["size"] == T.LongType()
+
+
+def test_bucket_stability(spark, make_table):
+    table = make_table()
+    batch = _changes(
+        spark, [(f"r{i}", f"p{i}", "c", "I", i + 1) for i in range(50)]
+    )
+    affected = table.affected_buckets(batch.select("repo", "path"))
+    assert affected == sorted(set(affected))
+    assert all(0 <= b < table.num_buckets for b in affected)
+    # deterministic: same keys, same buckets
+    assert affected == table.affected_buckets(batch.select("repo", "path"))
+    # merging with the precomputed set equals merging without it
+    table.merge_cdc(batch, "b1", affected_buckets=affected)
+    assert len(_state(table)) == 50
+
+
+def test_maintenance_preserves_state(spark, make_table):
+    table = make_table()
+    table.merge_cdc(
+        _changes(spark, [(f"r{i}", f"p{i}", f"c{i}", "I", i + 1) for i in range(30)]),
+        "b1",
+    )
+    table.merge_cdc(
+        _changes(spark, [("r1", "p1", None, "D", 100), ("r2", "p2", "new", "U", 101)]),
+        "b2",
+    )
+    before = _state(table)
+    table.compact()
+    assert _state(table) == before
+    table.expire_snapshots(keep_last=1)
+    fresh = type(table)(table.read().sparkSession, table.path)
+    assert _state(fresh) == before
+    assert "b2" in fresh.committed_batches()  # exactly-once survives expiry
+
+
+def test_history_chain(spark, make_table):
+    table = make_table()
+    table.merge_cdc(_changes(spark, [("r", "a", "v1", "I", 1)]), "b1")
+    table.merge_cdc(_changes(spark, [("r", "a", "v2", "U", 2)]), "b2")
+    h = table.history()
+    assert [e["version"] for e in h] == sorted(
+        (e["version"] for e in h), reverse=True
+    )
+    assert h[0]["version"] == table.version
+    assert h[-1]["parent"] is None
