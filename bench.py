@@ -282,7 +282,12 @@ def _task_run_seconds(evdir: str, window_ms: tuple[float, float]) -> float:
     return total_ms / 1000.0
 
 
-def run_scaling(n_events: int, sf_dir: str, pair: tuple[int, int] = (1, 4)) -> dict:
+def run_scaling(
+    n_events: int,
+    sf_dir: str,
+    pair: tuple[int, int] = (1, 4),
+    out_name: str = "BASELINE.md",
+) -> dict:
     """local[N] vs local[4N] on byte-identical input → efficiency.
 
     The change log is generated ONCE (layout a function of n_events only)
@@ -325,7 +330,7 @@ def run_scaling(n_events: int, sf_dir: str, pair: tuple[int, int] = (1, 4)) -> d
     all_tp = {
         c: [r["cdc_events_per_sec"] for r in rs] for c, rs in samples.items()
     }
-    eff = (r_hi["cdc_events_per_sec"] / r_lo["cdc_events_per_sec"]) / 4
+    eff = (r_hi["cdc_events_per_sec"] / r_lo["cdc_events_per_sec"]) / (n_hi / n_lo)
     report = {
         "n_events": n_events,
         "pair": list(pair),
@@ -358,7 +363,7 @@ def run_scaling(n_events: int, sf_dir: str, pair: tuple[int, int] = (1, 4)) -> d
             "cpu_inflation_4n_over_n": cpu_inflation,
         }
     )
-    md = f"""# BENCH/BASELINE.md — measured numbers
+    md = f"""# BENCH/{out_name} — measured numbers
 
 Protocol: BASELINE.md (two parallelism levels substitute for two cluster
 sizes). Job: full CDC replay — deterministic {n_events:,}-event change log
@@ -406,7 +411,7 @@ Full per-query timings (local[{n_hi}]): {json.dumps(r_hi['queries'])}
 """
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
     os.makedirs(bench_dir, exist_ok=True)
-    with open(os.path.join(bench_dir, "BASELINE.md"), "w") as f:
+    with open(os.path.join(bench_dir, out_name), "w") as f:
         f.write(md)
     return report
 
@@ -418,6 +423,9 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--pair", default=os.environ.get("SPARK_GRAFT_SCALING_PAIR", "1,4"),
                     help="N,4N core counts for --scaling")
+    ap.add_argument("--scaling-out", default="BASELINE.md",
+                    help="report filename under BENCH/ for --scaling "
+                         "(use SCALING_r3.md etc. to keep prior evidence)")
     ap.add_argument("--cdc-only", action="store_true")
     ap.add_argument("--log", default=None, help="prebuilt change-log dir for the timed replay")
     ap.add_argument("--warmup-log", default=None, help="prebuilt change-log dir for the warmup replay")
@@ -440,7 +448,8 @@ def main() -> None:
         return
     if args.scaling:
         pair = tuple(int(x) for x in args.pair.split(","))
-        print(json.dumps(run_scaling(args.events, SF_DIR, pair=pair)))
+        print(json.dumps(run_scaling(args.events, SF_DIR, pair=pair,
+                                     out_name=args.scaling_out)))
     else:
         print(json.dumps(run_bench(args.cores, args.events, SF_DIR,
                                    log=args.log, warmup_log=args.warmup_log,

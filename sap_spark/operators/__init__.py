@@ -9,7 +9,7 @@ from sap_spark.operators.dedup import (
     fold_changes,
     replay,
 )
-from sap_spark.operators.joins import asof_join
+from sap_spark.operators.joins import asof_join, range_join
 from sap_spark.operators.textdedup import (
     ann_brute_force,
     ann_ivf,
@@ -31,6 +31,7 @@ __all__ = [
     "fold_changes",
     "replay",
     "asof_join",
+    "range_join",
     "ann_brute_force",
     "ann_ivf",
     "ann_lsh",

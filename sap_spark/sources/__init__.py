@@ -13,9 +13,14 @@ from sap_spark.sources.odata_feed import (
     feed_control,
     parse_feed,
     parse_feed_documents,
+    stage_feed_pages,
 )
+from sap_spark.sources.odata_filter import ODataFilterError, parse_odata_filter
 
 __all__ = [
+    "ODataFilterError",
+    "parse_odata_filter",
+    "stage_feed_pages",
     "gen_change_events",
     "gen_repos",
     "read_changelog",
