@@ -915,6 +915,92 @@ _ODATA2_FEED_DECODE_SQL = """
 """
 
 
+def _orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (SURVEY §2.5 aggregations: hash/rollup/pivot/cube):
+    all grouping-set combinations of (status, priority) in one pass —
+    map-side partial aggregation, one shuffle."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_price"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "n_orders",
+            F.col("sum_price").cast("double").alias("sum_price"),
+        )
+    )
+
+
+_ORDERS_CUBE_SQL = """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def _orders_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead window + date arithmetic: per customer, days since the
+    previous order (the sessionization building block on business data)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("days_since_prev"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+_ORDERS_LAG_GAP_SQL = """
+    SELECT o_custkey, o_orderkey,
+           date_diff('day',
+                     lag(CAST(o_orderdate AS DATE)) OVER w,
+                     CAST(o_orderdate AS DATE)) AS days_since_prev,
+           lead(o_orderkey) OVER w AS next_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def _lineitem_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-frame window: cumulative revenue per supplier in ship
+    order plus the per-supplier line rank. Decimal-cast before the sum so
+    the accumulation is exact (bit-stable across engines)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.row_number().over(w).alias("line_rank"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .over(running)
+        .cast("double")
+        .alias("running_revenue"),
+    )
+
+
+_LINEITEM_RUNNING_SQL = """
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           row_number() OVER w AS line_rank,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY l_suppkey
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_revenue
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+"""
+
+
 def _events_filter_odata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3 in the reference's own grammar: a $filter written in the OData
     expression language (substringof, eq/gt/ge, and/not, datetime'...'
@@ -1252,6 +1338,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": _emb_cosine_topk,
         "events_hourly_window": _events_hourly_window,
         "orders_rollup": _orders_rollup,
+        "orders_cube": _orders_cube,
+        "orders_lag_gap": _orders_lag_gap,
+        "lineitem_running_totals": _lineitem_running_totals,
         "events_type_pivot": _events_type_pivot,
         "nations_customers_only": _nations_customers_only,
         "lineitem_decimal_totals": _lineitem_decimal_totals,
@@ -1299,6 +1388,9 @@ def oracle_sql() -> dict[str, str]:
         "emb_cosine_topk": _EMB_COSINE_TOPK_SQL,
         "events_hourly_window": _EVENTS_HOURLY_WINDOW_SQL,
         "orders_rollup": _ORDERS_ROLLUP_SQL,
+        "orders_cube": _ORDERS_CUBE_SQL,
+        "orders_lag_gap": _ORDERS_LAG_GAP_SQL,
+        "lineitem_running_totals": _LINEITEM_RUNNING_SQL,
         "events_type_pivot": _EVENTS_TYPE_PIVOT_SQL,
         "nations_customers_only": _NATIONS_CUSTOMERS_ONLY_SQL,
         "lineitem_decimal_totals": _LINEITEM_DECIMAL_TOTALS_SQL,
