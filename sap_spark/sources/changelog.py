@@ -76,11 +76,16 @@ class ODataQueryOptions:
             elif key == "$orderby":
                 parsed = []
                 for part in value.split(","):
-                    toks = part.strip().split()
-                    if not toks:
+                    part = part.strip()
+                    if not part:
                         continue
-                    direction = toks[1].lower() if len(toks) > 1 else "asc"
-                    parsed.append((toks[0], "desc" if direction == "desc" else "asc"))
+                    direction = "asc"
+                    lowered = part.lower()
+                    if lowered.endswith(" desc"):
+                        part, direction = part[: -len(" desc")].rstrip(), "desc"
+                    elif lowered.endswith(" asc"):
+                        part = part[: -len(" asc")].rstrip()
+                    parsed.append((part, direction))
                 opts.orderby = parsed or None
             elif key == "$format":
                 pass  # response-encoding choice; irrelevant for parquet
@@ -105,8 +110,26 @@ def apply_query_options(df: DataFrame, opts: ODataQueryOptions) -> DataFrame:
             # not OData grammar — treat as a native Spark SQL predicate
             df = df.filter(opts.filter)
     if opts.orderby:
+        from sap_spark.sources.odata_filter import (
+            ODataFilterError,
+            parse_odata_filter,
+        )
+
+        def sort_key(expr: str):
+            # plain column fast-path; otherwise an OData expression
+            # (`length(name)`, `value mul -1`, …), same grammar as $filter
+            if expr in df.columns:
+                return F.col(expr)
+            try:
+                return parse_odata_filter(expr)
+            except ODataFilterError:
+                return F.col(expr)
+
         df = df.orderBy(
-            *[F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in opts.orderby]
+            *[
+                sort_key(c).desc() if d == "desc" else sort_key(c).asc()
+                for c, d in opts.orderby
+            ]
         )
     if opts.skip:
         df = df.offset(opts.skip)

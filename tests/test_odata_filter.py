@@ -125,6 +125,19 @@ def test_apply_query_options_accepts_both_grammars(df):
     assert {r["id"] for r in sparksql.collect()} == {1}
 
 
+def test_orderby_accepts_expressions(df):
+    """$orderby takes the same grammar as $filter: plain columns, multi-
+    key with asc/desc, and OData expressions like length(...)."""
+    out = apply_query_options(
+        df, ODataQueryOptions.parse("$orderby=length(event_type) desc, id asc&$top=2")
+    )
+    assert [r["id"] for r in out.collect()] == [4, 1]  # purchase(8), click(5)
+    out2 = apply_query_options(
+        df, ODataQueryOptions.parse("$orderby=value mul -1&$top=1")
+    )
+    assert [r["id"] for r in out2.collect()] == [4]  # largest value first
+
+
 def test_odata_filter_pushes_down(spark, sf_dir):
     """Translated predicates must reach the parquet scan: PushedFilters
     carries the comparison, ReadSchema drops unselected columns."""
