@@ -626,6 +626,39 @@ def _docs_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (training-data pipeline tail): documents in doc_id
+    order chunked into ~512-token context bins by greedy offset chunking
+    (operators/packing.py) — bin = floor(start_offset / 512)."""
+    from sap_spark.functions import text as TX
+    from sap_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", TX.token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(
+        docs, "n_tokens", 512, order_cols=["doc_id"]
+    ).select("doc_id", "n_tokens", "pack_offset", "pack_id")
+
+
+_DOCS_PACK_SEQUENCES_SQL = r"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                   AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                - n_tokens AS BIGINT) AS pack_offset,
+           CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING)
+                       - n_tokens) / 512) AS BIGINT) AS pack_id
+    FROM t
+"""
+
+
 def _docs_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup groups over documents."""
     from sap_spark.operators.textdedup import dedup_minhash_lsh
@@ -1335,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_exact_dedup": _docs_exact_dedup,
         "docs_lang_profile": _docs_lang_profile,
         "docs_token_stats": _docs_token_stats,
+        "docs_pack_sequences": _docs_pack_sequences,
         "emb_cosine_topk": _emb_cosine_topk,
         "events_hourly_window": _events_hourly_window,
         "orders_rollup": _orders_rollup,
@@ -1385,6 +1419,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_exact_dedup": _DOCS_EXACT_DEDUP_SQL,
         "docs_lang_profile": _DOCS_LANG_PROFILE_SQL,
         "docs_token_stats": _DOCS_TOKEN_STATS_SQL,
+        "docs_pack_sequences": _DOCS_PACK_SEQUENCES_SQL,
         "emb_cosine_topk": _EMB_COSINE_TOPK_SQL,
         "events_hourly_window": _EVENTS_HOURLY_WINDOW_SQL,
         "orders_rollup": _ORDERS_ROLLUP_SQL,

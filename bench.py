@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "emb_cosine_topk",
     "events_sessionize",
     "events_asof_join",
+    "events_range_join",
+    "lineitem_running_totals",
 ]
 
 

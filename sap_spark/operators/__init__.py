@@ -10,6 +10,7 @@ from sap_spark.operators.dedup import (
     replay,
 )
 from sap_spark.operators.joins import asof_join, range_join
+from sap_spark.operators.packing import pack_sequences
 from sap_spark.operators.textdedup import (
     ann_brute_force,
     ann_ivf,
@@ -32,6 +33,7 @@ __all__ = [
     "replay",
     "asof_join",
     "range_join",
+    "pack_sequences",
     "ann_brute_force",
     "ann_ivf",
     "ann_lsh",
