@@ -948,6 +948,32 @@ _ODATA2_FEED_DECODE_SQL = """
 """
 
 
+def _events_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed percentiles (sort-based interpolated quantiles —
+    the ordered-aggregate class): per-type quartiles of the value column."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", 0.25), 6).alias("q1"),
+            F.round(F.percentile("value", 0.5), 6).alias("med"),
+            F.round(F.percentile("value", 0.75), 6).alias("q3"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+_EVENTS_VALUE_QUARTILES_SQL = """
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS q1,
+           round(quantile_cont(value, 0.5), 6) AS med,
+           round(quantile_cont(value, 0.75), 6) AS q3,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+"""
+
+
 def _orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregation (SURVEY §2.5 aggregations: hash/rollup/pivot/cube):
     all grouping-set combinations of (status, priority) in one pass —
@@ -1373,6 +1399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_window": _events_hourly_window,
         "orders_rollup": _orders_rollup,
         "orders_cube": _orders_cube,
+        "events_value_quartiles": _events_value_quartiles,
         "orders_lag_gap": _orders_lag_gap,
         "lineitem_running_totals": _lineitem_running_totals,
         "events_type_pivot": _events_type_pivot,
@@ -1424,6 +1451,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_window": _EVENTS_HOURLY_WINDOW_SQL,
         "orders_rollup": _ORDERS_ROLLUP_SQL,
         "orders_cube": _ORDERS_CUBE_SQL,
+        "events_value_quartiles": _EVENTS_VALUE_QUARTILES_SQL,
         "orders_lag_gap": _ORDERS_LAG_GAP_SQL,
         "lineitem_running_totals": _LINEITEM_RUNNING_SQL,
         "events_type_pivot": _EVENTS_TYPE_PIVOT_SQL,
