@@ -659,6 +659,23 @@ _DOCS_PACK_SEQUENCES_SQL = r"""
 """
 
 
+def _docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic identity-hash stratified sampling + train/eval split
+    (operators/sampling.py): membership is a pure function of doc_id, so
+    retries/repartitions/cluster sizes reproduce the same corpus.
+    Rows-only: xxhash64 has no DuckDB equivalent; determinism, nesting,
+    and per-stratum rates are pinned in tests/test_sampling.py."""
+    from sap_spark.operators.sampling import split_train_eval, stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    sampled = stratified_sample(
+        docs, ["doc_id"], 0.5, strata_col=None, seed=1
+    )
+    return split_train_eval(sampled, ["doc_id"], 0.1, seed=2).select(
+        "doc_id", "lang", "split"
+    )
+
+
 def _docs_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup groups over documents."""
     from sap_spark.operators.textdedup import dedup_minhash_lsh
@@ -1419,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (non-SQL-expressible; pytest-verified semantics)
         "cdc_replay_synthetic": _cdc_replay_synthetic,
         "docs_quality_lang": _docs_quality_lang,
+        "docs_stratified_sample": _docs_stratified_sample,
         "docs_minhash_dedup": _docs_minhash_dedup,
         "docs_simhash_dedup": _docs_simhash_dedup,
         "docs_ngram_dedup": _docs_ngram_dedup,

@@ -1,0 +1,71 @@
+"""Deterministic sampling (operators/sampling.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sap_spark.operators.sampling import split_train_eval, stratified_sample
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_uniform_rate_and_determinism(spark, docs):
+    s1 = {r["doc_id"] for r in stratified_sample(docs, ["doc_id"], 0.3).collect()}
+    s2 = {
+        r["doc_id"]
+        for r in stratified_sample(
+            docs.repartition(7), ["doc_id"], 0.3
+        ).collect()
+    }
+    assert s1 == s2  # identity-hash membership: partitioning-independent
+    n = docs.count()
+    assert 0.2 * n < len(s1) < 0.4 * n
+
+
+def test_threshold_nesting(spark, docs):
+    small = {r["doc_id"] for r in stratified_sample(docs, ["doc_id"], 0.2).collect()}
+    big = {r["doc_id"] for r in stratified_sample(docs, ["doc_id"], 0.5).collect()}
+    assert small <= big  # growing the rate never drops kept rows
+
+
+def test_stratified_rates_per_group(spark, docs):
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    rates = {langs[0]: 1.0, langs[1]: 0.0}
+    out = stratified_sample(
+        docs, ["doc_id"], rates, strata_col="lang", default_rate=0.5
+    )
+    got = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    full = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert got[langs[0]] == full[langs[0]]  # rate 1.0 keeps everything
+    assert langs[1] not in got  # rate 0.0 drops the stratum
+    for other in langs[2:]:
+        assert 0.25 * full[other] < got.get(other, 0) < 0.75 * full[other]
+
+
+def test_split_train_eval_stable_and_disjoint(spark, docs):
+    tagged = split_train_eval(docs, ["doc_id"], 0.1)
+    counts = {
+        r["split"]: r["n"]
+        for r in tagged.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    n = docs.count()
+    assert counts["eval"] + counts["train"] == n
+    assert 0.05 * n < counts["eval"] < 0.15 * n
+    # incremental growth: tagging a subset agrees with tagging the whole
+    sub = split_train_eval(docs.where(F.col("doc_id") % 2 == 0), ["doc_id"], 0.1)
+    whole = {r["doc_id"]: r["split"] for r in tagged.collect()}
+    for r in sub.collect():
+        assert whole[r["doc_id"]] == r["split"]
+
+
+def test_rates_map_requires_strata_col(spark, docs):
+    with pytest.raises(ValueError, match="strata_col"):
+        stratified_sample(docs, ["doc_id"], {"en": 0.5})
