@@ -668,10 +668,8 @@ def _docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sap_spark.operators.sampling import split_train_eval, stratified_sample
 
     docs = _t(spark, sf_dir, "documents")
-    sampled = stratified_sample(
-        docs, ["doc_id"], 0.5, strata_col=None, seed=1
-    )
-    return split_train_eval(sampled, ["doc_id"], 0.1, seed=2).select(
+    sampled = stratified_sample(docs, ["doc_id"], 0.5)
+    return split_train_eval(sampled, ["doc_id"], 0.1).select(
         "doc_id", "lang", "split"
     )
 

@@ -101,12 +101,14 @@ def run_ingest(args, spark=None) -> dict:
         spark, args.table, schema, key_columns=keys,
         num_buckets=args.buckets, if_not_exists=True,
         expected_payload_bytes=expected_bytes,
-        merge_mode=args.merge_mode,
+        merge_mode=args.merge_mode or "cow",
     )
-    if table.merge_mode != args.merge_mode:
-        # if_not_exists resolved to an EXISTING table: the stored mode is
-        # a table-layout property and wins — surface the mismatch instead
-        # of silently ignoring the flag
+    if args.merge_mode is not None and table.merge_mode != args.merge_mode:
+        # an EXPLICIT --merge-mode against an existing table with a
+        # different stored mode: the stored mode is a table-layout
+        # property and wins — surface the mismatch instead of silently
+        # ignoring the flag. (Omitting the flag on re-ingest is the
+        # normal resume workflow and uses the stored mode.)
         raise SystemExit(
             f"--merge-mode {args.merge_mode} conflicts with existing table "
             f"at {args.table} (stored merge_mode={table.merge_mode}); "
@@ -195,10 +197,12 @@ def main(argv: list[str] | None = None) -> None:
                         "(~payload/256MB, min 8)")
     i.add_argument("--strategy", default="fetch",
                    choices=["fetch", "agg", "window", "window_salted"])
-    i.add_argument("--merge-mode", default="cow", choices=["cow", "mor"],
-                   help="cow: rewrite touched buckets per merge (read-"
-                        "optimal); mor: append delta files, fold at read "
-                        "(write cost O(batch), compact() to fold back)")
+    i.add_argument("--merge-mode", default=None, choices=["cow", "mor"],
+                   help="cow (default for new tables): rewrite touched "
+                        "buckets per merge (read-optimal); mor: append "
+                        "delta files, fold at read (write cost O(batch), "
+                        "compact() to fold back). Omitted on an existing "
+                        "table: its stored mode is used")
     i.add_argument("--max-files-per-trigger", type=int, default=None)
     i.add_argument("--pipeline-id", default=None)
     i.add_argument("--timeout", type=float, default=None)

@@ -566,28 +566,45 @@ def decode_enum(field: str, raw: Column, members: dict[str, int]) -> Column:
     all_members = F.forall(
         parts, lambda p: F.array_contains(names_arr, F.trim(p))
     )
-    # numeric flags combination: members whose value-bits are all set,
-    # accepted only if together they cover the whole number (no stray bits)
+    # numeric flags combination: greedy largest-value-first cover (the
+    # .NET Enum.ToString flags algorithm) — picks a MINIMAL member set,
+    # so a composite alias member (ReadWrite=3) is preferred over its
+    # constituent parts rather than emitted alongside them. Accepted only
+    # if the picked members cover the whole number (no stray bits).
     num = raw.try_cast("long")
-    pairs = F.array(
+    by_value_desc = sorted(members.items(), key=lambda kv: -int(kv[1]))
+    pairs_desc = F.array(
         *[
             F.struct(F.lit(n).alias("n"), F.lit(int(v)).cast("long").alias("v"))
-            for n, v in members.items()
+            for n, v in by_value_desc
         ]
     )
-    set_members = F.filter(
-        pairs, lambda p: (p["v"] != 0) & (num.bitwiseAND(p["v"]) == p["v"])
+    acc0 = F.struct(
+        F.coalesce(num, F.lit(-1)).alias("rem"),
+        F.array().cast("array<string>").alias("sel"),
     )
-    covered = F.aggregate(
-        set_members, F.lit(0).cast("long"), lambda acc, p: acc.bitwiseOR(p["v"])
+    picked = F.aggregate(
+        pairs_desc,
+        acc0,
+        lambda acc, p: F.when(
+            (p["v"] != 0) & (acc["rem"].bitwiseAND(p["v"]) == p["v"]),
+            F.struct(
+                acc["rem"].bitwiseAND(F.bitwise_not(p["v"])).alias("rem"),
+                F.array_append(acc["sel"], p["n"]).alias("sel"),
+            ),
+        ).otherwise(acc),
     )
     flags_ok = (
-        num.isNotNull() & (F.size(set_members) > 0) & (covered == num)
+        num.isNotNull() & (picked["rem"] == 0) & (F.size(picked["sel"]) > 0)
+    )
+    # emit in declaration order (member-name parity with the string form)
+    flags_str = F.concat_ws(
+        ",", F.filter(names_arr, lambda n: F.array_contains(picked["sel"], n))
     )
     parsed = (
         F.when(all_members, F.concat_ws(",", F.transform(parts, F.trim)))
         .when(value_map[raw].isNotNull(), value_map[raw])
-        .when(flags_ok, F.concat_ws(",", F.transform(set_members, lambda p: p["n"])))
+        .when(flags_ok, flags_str)
     )
     return _checked(field, "enum", raw, parsed)
 

@@ -23,8 +23,16 @@ from pyspark.sql import functions as F
 _SCALE = 1_000_000
 
 
-def _bucket(id_cols: list[str], seed: int) -> Column:
-    return F.pmod(F.xxhash64(*[F.col(c) for c in id_cols], F.lit(seed)), F.lit(_SCALE))
+def _bucket(id_cols: list[str], seed: int, domain: str) -> Column:
+    """Identity hash bucket, domain-separated per operator: without the
+    domain tag, stratified_sample and split_train_eval at the same seed
+    would share hash ranges — composing them would make the eval split a
+    fixed prefix of the sample (e.g. a 0.1 split of a 0.2 sample tags
+    50% of rows eval, not 10%)."""
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in id_cols], F.lit(domain), F.lit(seed)),
+        F.lit(_SCALE),
+    )
 
 
 def stratified_sample(
@@ -43,7 +51,7 @@ def stratified_sample(
     """
     if isinstance(rates, dict) and strata_col is None:
         raise ValueError("strata_col is required when rates is a map")
-    b = _bucket(id_cols, seed)
+    b = _bucket(id_cols, seed, "sample")
     if isinstance(rates, dict):
         rate_map = F.create_map(
             *[
@@ -70,7 +78,7 @@ def split_train_eval(
     between splits as data is added)."""
     if not (0.0 <= eval_fraction <= 1.0):
         raise ValueError("eval_fraction must be in [0, 1]")
-    b = _bucket(id_cols, seed)
+    b = _bucket(id_cols, seed, "split")
     return df.withColumn(
         split_col,
         F.when(b < F.lit(eval_fraction * _SCALE), F.lit("eval")).otherwise(

@@ -599,19 +599,24 @@ class LakeTable:
         while v is not None and len(keep_versions) < keep_last:
             keep_versions.append(v)
             v = self._load_manifest(v)["parent"]
-        # every file referenced by a retained manifest survives. Compare
-        # REAL paths on both sides: manifest paths carry whatever spelling
-        # the table was created/merged under (relative vs absolute,
-        # symlinked dir, trailing slash) — an exact-string comparison
-        # would mark every live file unreferenced and delete the current
-        # snapshot.
-        referenced: set[str] = set()
+        # every file referenced by a retained manifest survives. Manifest
+        # paths carry whatever spelling the table was created/merged
+        # under (relative to a long-gone CWD, absolute, symlinked,
+        # trailing slash), so neither exact-string nor realpath
+        # comparison is safe across processes. Compare by the
+        # table-internal suffix instead — data/<commit-uuid>/__bucket=N/
+        # <file>.parquet is unique within a table and independent of how
+        # the table root was spelled.
+        def file_key(p: str) -> tuple:
+            return tuple(os.path.normpath(p).split(os.sep)[-4:])
+
+        referenced: set[tuple] = set()
         for kv in keep_versions:
             m = self._load_manifest(kv)
             for entries in m["buckets"].values():
-                referenced.update(os.path.realpath(e["path"]) for e in entries)
+                referenced.update(file_key(e["path"]) for e in entries)
         scanned = {
-            os.path.realpath(f): f
+            file_key(f): f
             for f in glob.glob(
                 os.path.join(self.path, "data", "*", "__bucket=*", "*.parquet")
             )
@@ -625,8 +630,8 @@ class LakeTable:
                 f"files absent from the data scan (first: {sorted(missing)[0]})"
             )
         removed = 0
-        for real, f in scanned.items():
-            if real not in referenced:
+        for key, f in scanned.items():
+            if key not in referenced:
                 os.remove(f)
                 removed += 1
         # drop expired manifests (keep the retained chain intact)

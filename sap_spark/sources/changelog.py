@@ -13,12 +13,15 @@ single NoOpSplit (ODataEntityInputFormat.java:33-36).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from urllib.parse import parse_qsl
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from sap_spark.sources.odata_filter import ODataFilterError, parse_odata_filter
 
 # Change-event envelope schema (FIXTURES.md §2).
 CHANGE_EVENT_SCHEMA = T.StructType(
@@ -35,6 +38,35 @@ CHANGE_EVENT_SCHEMA = T.StructType(
         T.StructField("content", T.StringType(), True),
     ]
 )
+
+
+def _split_orderby(value: str) -> list[str]:
+    """Split an $orderby list on commas NOT inside parentheses or string
+    literals, so multi-argument sort expressions (`substring(name, 2)
+    desc`) stay whole."""
+    parts: list[str] = []
+    depth = 0
+    in_str = False
+    cur: list[str] = []
+    for ch in value:
+        if in_str:
+            cur.append(ch)
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(0, depth - 1)
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+            continue
+        cur.append(ch)
+    parts.append("".join(cur))
+    return parts
 
 
 @dataclass
@@ -75,16 +107,15 @@ class ODataQueryOptions:
                 opts.skip = int(value)
             elif key == "$orderby":
                 parsed = []
-                for part in value.split(","):
+                for part in _split_orderby(value):
                     part = part.strip()
                     if not part:
                         continue
                     direction = "asc"
-                    lowered = part.lower()
-                    if lowered.endswith(" desc"):
-                        part, direction = part[: -len(" desc")].rstrip(), "desc"
-                    elif lowered.endswith(" asc"):
-                        part = part[: -len(" asc")].rstrip()
+                    m = re.search(r"\s+(asc|desc)\s*$", part, re.IGNORECASE)
+                    if m:
+                        direction = m.group(1).lower()
+                        part = part[: m.start()].rstrip()
                     parsed.append((part, direction))
                 opts.orderby = parsed or None
             elif key == "$format":
@@ -99,22 +130,12 @@ def apply_query_options(df: DataFrame, opts: ODataQueryOptions) -> DataFrame:
     → select.
     """
     if opts.filter:
-        from sap_spark.sources.odata_filter import (
-            ODataFilterError,
-            parse_odata_filter,
-        )
-
         try:
             df = df.filter(parse_odata_filter(opts.filter))
         except ODataFilterError:
             # not OData grammar — treat as a native Spark SQL predicate
             df = df.filter(opts.filter)
     if opts.orderby:
-        from sap_spark.sources.odata_filter import (
-            ODataFilterError,
-            parse_odata_filter,
-        )
-
         def sort_key(expr: str):
             # plain column fast-path; otherwise an OData expression
             # (`length(name)`, `value mul -1`, …), same grammar as $filter

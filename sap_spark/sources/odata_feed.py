@@ -74,6 +74,26 @@ class FeedParseError(ValueError):
     """Malformed feed document."""
 
 
+class StagerError(RuntimeError):
+    """A page fetch failed permanently mid-chain. Carries the resume
+    state so the caller can continue WITHOUT re-staging (already-spooled
+    pages stay staged; re-running from the first URL would append
+    duplicate payload rows):
+
+    - ``resume_url``: the page that failed — pass as ``first_url``;
+    - ``next_seq``: pass as ``seq_start`` (keeps event_seq ranges disjoint);
+    - ``pages_staged``: pages successfully spooled before the failure;
+    - ``delta_link``: the last delta link seen, if any.
+    """
+
+    def __init__(self, message, resume_url, next_seq, pages_staged, delta_link):
+        super().__init__(message)
+        self.resume_url = resume_url
+        self.next_seq = next_seq
+        self.pages_staged = pages_staged
+        self.delta_link = delta_link
+
+
 def detect_format(payload: str) -> str:
     """'json' or 'atom-xml' — the $format dispatch (P6)."""
     head = payload.lstrip()[:1]
@@ -591,9 +611,11 @@ def stage_feed_pages(
       so a 100k-page chain streams through constant driver memory
       instead of accumulating GBs before one write.
     - **retry/backoff**: each page fetch is retried ``retries`` times
-      with exponential backoff (``retry_backoff * 2^attempt`` seconds)
-      before the chain aborts; already-spooled pages stay staged, so a
-      rerun resumes from the delta link without re-staging them.
+      with exponential backoff (``retry_backoff * 2^attempt`` seconds).
+      On permanent failure the buffered pages are spooled first, then a
+      :class:`StagerError` is raised carrying ``resume_url`` /
+      ``next_seq`` — rerun with those as ``first_url`` / ``seq_start``
+      to continue the chain without duplicating staged pages.
     - **auth hook**: when ``auth`` is given, each attempt calls
       ``fetch(url, auth())`` — ``auth()`` returning fresh headers (e.g.
       a renewed bearer token, the SapODataConfig user/password analog);
@@ -612,7 +634,7 @@ def stage_feed_pages(
                 last_exc = e
                 if attempt < retries:
                     sleep(retry_backoff * (2 ** attempt))
-        raise last_exc
+        raise last_exc  # re-raised as StagerError by the loop (with state)
 
     def spool(rows: list[tuple[str, str, int]]) -> None:
         (
@@ -631,7 +653,18 @@ def stage_feed_pages(
     pages = 0
     delta_link = None
     while url is not None and pages < max_pages:
-        payload = fetch_with_retry(url)
+        try:
+            payload = fetch_with_retry(url)
+        except Exception as e:  # noqa: BLE001
+            if rows:
+                spool(rows)  # nothing buffered is lost
+            raise StagerError(
+                f"page fetch failed after {retries} retries at {url!r}: {e}",
+                resume_url=url,
+                next_seq=seq,
+                pages_staged=pages,
+                delta_link=delta_link,
+            ) from e
         rows.append((payload, token, seq))
         seq += seq_stride
         pages += 1

@@ -189,7 +189,6 @@ class _Parser:
             right = self.unary()
             lc, rc = self._col(left), self._col(right)
             left = {"mul": lc * rc, "div": lc / rc, "mod": lc % rc}[op]
-        return left
 
     def unary(self):
         t = self.peek()

@@ -76,6 +76,17 @@ def test_cli_maintain_mor_table(spark, tmp_path, capsys):
     before = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert before["epochs_applied"] >= 2
 
+    # resume ingest WITHOUT repeating --merge-mode (the normal incremental
+    # workflow): the stored mor mode applies, no mismatch error
+    main([
+        "ingest",
+        "--log", log_dir,
+        "--table", str(tmp_path / "repos"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+    ])
+    resumed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert resumed["table_version"] == before["table_version"]  # no new data
+
     from sap_spark.plans.lake import LakeTable
     state_before = (
         LakeTable(spark, str(tmp_path / "repos")).read()

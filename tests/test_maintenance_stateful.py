@@ -62,6 +62,42 @@ def test_expire_snapshots_path_spelling_safe(spark, tmpdir_path):
     assert fresh.read().orderBy("repo", "path").collect() == before
 
 
+def test_expire_snapshots_spelling_independent_of_cwd(spark, tmpdir_path):
+    """Manifest paths may carry a spelling from a long-gone working
+    directory (relative creation path, different mount). Expiry compares
+    the table-internal suffix, so live files survive regardless of how
+    the recorded prefix reads."""
+    import json
+
+    events = gen_change_events(spark, n_events=1000, n_keys=100, events_per_token=500)
+    table = LakeTable.create(spark, f"{tmpdir_path}/t4", SCHEMA, ["repo", "path"], 4)
+    for tok in sorted(r[0] for r in events.select("delta_token").distinct().collect()):
+        ingest_batch(events.where(F.col("delta_token") == tok), table, CFG, f"b-{tok}")
+    before = table.read().orderBy("repo", "path").collect()
+
+    # rewrite the CURRENT manifest's file paths to an alien prefix,
+    # keeping the data/<uuid>/__bucket=N/<file> suffix (what a relative
+    # creation path from another cwd looks like at maintenance time)
+    mpath = table._manifest_path(table.version)
+    with open(mpath) as f:
+        manifest = json.load(f)
+    for entries in manifest["buckets"].values():
+        for e in entries:
+            suffix = e["path"].split(f"{tmpdir_path}/t4/", 1)[1]
+            e["path"] = f"some/other/cwd/t4/{suffix}"
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+
+    fresh = LakeTable(spark, f"{tmpdir_path}/t4")
+    removed = fresh.expire_snapshots(keep_last=1)
+    assert removed > 0  # old snapshots' files reclaimed
+    # live files survived the alien spelling
+    assert LakeTable(spark, f"{tmpdir_path}/t4").version == fresh.version
+    n_live = len(glob.glob(f"{tmpdir_path}/t4/data/*/__bucket=*/*.parquet"))
+    live_refs = {e["path"] for es in manifest["buckets"].values() for e in es}
+    assert n_live == len(live_refs)
+
+
 def test_expire_snapshots_aborts_on_missing_referenced_file(spark, tmpdir_path):
     """If a retained manifest references a file the scan can't see,
     expire must raise instead of deleting anything."""

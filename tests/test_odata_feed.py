@@ -279,6 +279,26 @@ def test_enum_property_end_to_end(spark):
         decode_entity(bad_num, entity).collect()
 
 
+def test_enum_numeric_flags_prefer_composite_members(spark):
+    """Greedy largest-first decomposition: a composite alias member
+    (ReadWrite=3) subsumes its parts instead of being emitted alongside
+    them (.NET flags-ToString behavior)."""
+    from sap_spark.functions.decode import decode_enum
+
+    members = {"Read": 1, "Write": 2, "ReadWrite": 3, "Delete": 4}
+    df = spark.createDataFrame(
+        [(1, "7"), (2, "5"), (3, "6")], "id int, wire string"
+    )
+    out = {
+        r["id"]: r["e"]
+        for r in df.select(
+            "id", decode_enum("wire", F.col("wire"), members).alias("e")
+        ).collect()
+    }
+    # 7 = Delete|ReadWrite (greedy picks 4 then 3), declaration order
+    assert out == {1: "ReadWrite,Delete", 2: "Read,Delete", 3: "Write,Delete"}
+
+
 DELTA_EDMX = """<?xml version="1.0" encoding="utf-8"?>
 <edmx:Edmx Version="4.0" xmlns:edmx="http://docs.oasis-open.org/odata/ns/edmx">
   <edmx:DataServices>
@@ -632,8 +652,12 @@ def test_stage_feed_pages_bounded_spool_retry_auth(spark, tmpdir_path):
     bases = sorted(r["event_seq_base"] for r in staged.collect())
     assert bases == [i * 1_000_000 for i in range(n)]  # disjoint seq ranges
 
-    # permanent failure: raises after retries, earlier spools survive
-    def always_fail(url, headers):
+    # permanent failure: StagerError carries the resume state, earlier
+    # spools survive, and resuming from it completes the corpus with no
+    # duplicate pages
+    from sap_spark.sources.odata_feed import StagerError
+
+    def fail_at_5(url, headers):
         if url == "u5":
             raise ConnectionError("down")
         return pages[url]
@@ -641,13 +665,26 @@ def test_stage_feed_pages_bounded_spool_retry_auth(spark, tmpdir_path):
     stage2 = f"{tmpdir_path}/pages2"
     import pytest as _pytest
 
-    with _pytest.raises(ConnectionError):
+    with _pytest.raises(StagerError) as exc:
         stage_feed_pages(
-            spark, always_fail, "u1", stage2, token="T1",
+            spark, fail_at_5, "u1", stage2, token="T1",
             spool_pages=2, retries=1, retry_backoff=0.0,
             auth=auth, sleep=sleeps.append,
         )
+    err = exc.value
+    assert err.resume_url == "u5" and err.pages_staged == 4
     assert spark.read.parquet(stage2).count() == 4  # two spools of 2 staged
+    resumed = stage_feed_pages(
+        spark, fetch, err.resume_url, stage2, token="T1",
+        seq_start=err.next_seq, spool_pages=2, retries=1,
+        auth=auth, sleep=sleeps.append,
+    )
+    assert resumed["pages"] == 6
+    staged2 = spark.read.parquet(stage2)
+    assert staged2.count() == n
+    assert sorted(r["event_seq_base"] for r in staged2.collect()) == [
+        i * 1_000_000 for i in range(n)
+    ]
 
 
 def test_enum_catalog_parsed_from_edmx():

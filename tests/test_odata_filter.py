@@ -136,6 +136,19 @@ def test_orderby_accepts_expressions(df):
         df, ODataQueryOptions.parse("$orderby=value mul -1&$top=1")
     )
     assert [r["id"] for r in out2.collect()] == [4]  # largest value first
+    # commas inside function calls must not split the orderby list
+    out3 = apply_query_options(
+        df,
+        ODataQueryOptions.parse(
+            "$orderby=substring(event_type, 0, 1) asc, value desc&$top=2"
+        ),
+    )
+    assert [r["id"] for r in out3.collect()] == [1, 3]  # 'c'-first, value desc
+    # whitespace other than a single space still separates the direction
+    out4 = apply_query_options(
+        df, ODataQueryOptions.parse("$orderby=value\tdesc&$top=1")
+    )
+    assert [r["id"] for r in out4.collect()] == [4]
 
 
 def test_odata_filter_pushes_down(spark, sf_dir):

@@ -66,6 +66,21 @@ def test_split_train_eval_stable_and_disjoint(spark, docs):
         assert whole[r["doc_id"]] == r["split"]
 
 
+def test_sample_then_split_composition(spark, docs):
+    """Domain separation: splitting a sampled corpus at DEFAULT seeds must
+    still yield ~eval_fraction eval rows — without per-operator hash
+    domains the eval split would be a fixed prefix of the sample (0.1 of
+    a 0.5 sample would tag 20% eval, and of a 0.2 sample 50%)."""
+    sampled = stratified_sample(docs, ["doc_id"], 0.5)
+    tagged = split_train_eval(sampled, ["doc_id"], 0.1)
+    counts = {
+        r["split"]: r["n"]
+        for r in tagged.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    n = sampled.count()
+    assert 0.04 * n < counts.get("eval", 0) < 0.18 * n
+
+
 def test_rates_map_requires_strata_col(spark, docs):
     with pytest.raises(ValueError, match="strata_col"):
         stratified_sample(docs, ["doc_id"], {"en": 0.5})
