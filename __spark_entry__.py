@@ -659,6 +659,52 @@ _DOCS_PACK_SEQUENCES_SQL = r"""
 """
 
 
+def _docs_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff CDC bootstrap (operators/snapshot.py): two derived
+    images of the documents table (deletions = doc_id%5 keys, inserts =
+    doc_id%7 keys, updates = '!' appended at doc_id%3) diffed into the
+    I/U/D change events that transform one into the other — one
+    full-outer join, null-safe struct comparison."""
+    from sap_spark.operators.snapshot import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 7 != 0).select("doc_id", "text")
+    new = (
+        docs.where(F.col("doc_id") % 5 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit("!"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    return snapshot_diff(old, new, ["doc_id"]).select(
+        "doc_id", F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("text_sha"), "op"
+    )
+
+
+_DOCS_SNAPSHOT_DIFF_SQL = """
+    WITH old AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+    ), new AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN text || '!' ELSE text END AS text
+        FROM documents WHERE doc_id % 5 <> 0
+    ), d AS (
+        SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id,
+               n.text AS text,
+               CASE WHEN o.doc_id IS NULL THEN 'I'
+                    WHEN n.doc_id IS NULL THEN 'D'
+                    WHEN n.text IS DISTINCT FROM o.text THEN 'U' END AS op
+        FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    )
+    SELECT doc_id, sha256(COALESCE(text, '')) AS text_sha, op
+    FROM d WHERE op IS NOT NULL
+"""
+
+
 def _docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic identity-hash stratified sampling + train/eval split
     (operators/sampling.py): membership is a pure function of doc_id, so
@@ -1410,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lang_profile": _docs_lang_profile,
         "docs_token_stats": _docs_token_stats,
         "docs_pack_sequences": _docs_pack_sequences,
+        "docs_snapshot_diff": _docs_snapshot_diff,
         "emb_cosine_topk": _emb_cosine_topk,
         "events_hourly_window": _events_hourly_window,
         "orders_rollup": _orders_rollup,
@@ -1463,6 +1510,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_lang_profile": _DOCS_LANG_PROFILE_SQL,
         "docs_token_stats": _DOCS_TOKEN_STATS_SQL,
         "docs_pack_sequences": _DOCS_PACK_SEQUENCES_SQL,
+        "docs_snapshot_diff": _DOCS_SNAPSHOT_DIFF_SQL,
         "emb_cosine_topk": _EMB_COSINE_TOPK_SQL,
         "events_hourly_window": _EVENTS_HOURLY_WINDOW_SQL,
         "orders_rollup": _ORDERS_ROLLUP_SQL,

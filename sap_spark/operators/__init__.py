@@ -12,6 +12,7 @@ from sap_spark.operators.dedup import (
 from sap_spark.operators.joins import asof_join, range_join
 from sap_spark.operators.packing import pack_sequences
 from sap_spark.operators.sampling import split_train_eval, stratified_sample
+from sap_spark.operators.snapshot import snapshot_diff
 from sap_spark.operators.textdedup import (
     ann_brute_force,
     ann_ivf,
@@ -37,6 +38,7 @@ __all__ = [
     "pack_sequences",
     "stratified_sample",
     "split_train_eval",
+    "snapshot_diff",
     "ann_brute_force",
     "ann_ivf",
     "ann_lsh",
