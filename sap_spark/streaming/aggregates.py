@@ -65,3 +65,36 @@ def token_progress(events: DataFrame) -> DataFrame:
         )
         .orderBy("delta_token")
     )
+
+
+def session_rollup(
+    events: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap-based session aggregation via Spark's native session_window —
+    the STREAMING form of the batch sessionization operator
+    (__spark_entry__.events_sessionize): sessions merge as events arrive,
+    the watermark finalizes a session once no event can extend it, and
+    state is bounded by (keys × open sessions), not history.
+
+    Works on batch frames too (same code path, no watermark) — the
+    parity between the two is pinned in tests/test_streaming_aggregates.
+    """
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(time_col, watermark)
+    return (
+        df.groupBy(
+            F.session_window(F.col(time_col), gap).alias("s"), *key_cols
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            *key_cols,
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -49,3 +49,43 @@ def test_op_rates_streaming_matches_batch(spark, tmpdir_path):
     got = sorted(map(tuple, spark.sql("select * from rates").collect()))
     assert got == expected
     assert len(got) > 1  # multiple windows actually formed
+
+
+def test_session_rollup_streaming_matches_batch(spark, tmpdir_path):
+    """Native session_window sessions: streaming (watermarked, availableNow)
+    equals the batch run on the same frame, and gaps actually split."""
+    from sap_spark.streaming.aggregates import session_rollup
+
+    events = gen_change_events(spark, n_events=1500, n_keys=40, events_per_token=1500)
+    # per-key bursts with >10-minute gaps between bursts
+    with_ts = events.withColumn(
+        "ingest_ts",
+        F.timestamp_seconds(
+            F.lit(1_700_000_000)
+            + (F.col("event_seq") % 7) * 30          # 30s intra-burst spacing
+            + (F.col("event_seq") / 200).cast("long") * 3600  # hourly bursts
+        ),
+    )
+    log_dir = f"{tmpdir_path}/sess_log"
+    with_ts.write.mode("overwrite").parquet(log_dir)
+
+    batch_out = session_rollup(
+        spark.read.parquet(log_dir), ["repo", "path"], "ingest_ts", gap="10 minutes"
+    )
+    expected = sorted(map(tuple, batch_out.collect()))
+
+    stream = spark.readStream.schema(with_ts.schema).parquet(log_dir)
+    q = (
+        session_rollup(stream, ["repo", "path"], "ingest_ts", gap="10 minutes")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sessions")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("select * from sessions").collect()))
+    assert got == expected
+    # sessions split on the hourly gaps: more sessions than keys
+    keys = {(t[0], t[1]) for t in got}
+    assert len(got) > len(keys)
