@@ -573,20 +573,115 @@ class LakeTable:
         phases["n_affected_buckets"] = len(affected)
         return True
 
+    def changes_between(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Row-level change feed between two snapshots (Iceberg
+        changelog-read analog): the I/U/D events that transform the
+        ``from_version`` image into ``to_version``'s (default: current).
+
+        Bucket-pruned by construction: only buckets whose file sets
+        differ between the two manifests are read — an epoch that
+        touched one bucket yields a diff that scans one bucket twice,
+        not the table. The diff itself is operators/snapshot.snapshot_diff
+        (one full-outer join on the key, null-safe change detection).
+        """
+        from sap_spark.operators.snapshot import snapshot_diff
+
+        to_version = self.version if to_version is None else to_version
+        old_t = LakeTable(self.spark, self.path, version=from_version)
+        new_t = LakeTable(self.spark, self.path, version=to_version)
+        all_buckets = set(old_t.manifest["buckets"]) | set(new_t.manifest["buckets"])
+        changed = sorted(
+            int(b)
+            for b in all_buckets
+            if old_t.manifest["buckets"].get(b) != new_t.manifest["buckets"].get(b)
+        )
+
+        def live_user_rows(t: "LakeTable") -> DataFrame:
+            df = t.read_internal(buckets=changed).where(
+                ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+            )
+            # conform to the NEW schema (evolution adds nullable columns)
+            target = [f for f in new_t.schema.fields]
+            return df.select(
+                *[
+                    F.col(f.name)
+                    if f.name in df.columns
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in target
+                ]
+            )
+
+        return snapshot_diff(
+            live_user_rows(old_t), live_user_rows(new_t), self.key_columns
+        )
+
     # -- maintenance ------------------------------------------------------
 
-    def compact(self) -> None:
-        """Rewrite all buckets dropping tombstones (checkpoint-barrier op:
+    def _tombstone_buckets(self, candidates: list[int]) -> list[int]:
+        """Buckets among ``candidates`` holding at least one tombstone —
+        a column-pruned scan (keys + deleted flag only, the payload never
+        leaves parquet) returning ≤ num_buckets ints."""
+        entries = [
+            e
+            for b in candidates
+            for e in self.manifest["buckets"].get(str(b), [])
+        ]
+        df = self._read_files(entries, self.manifest["current_schema_id"])
+        if df is None:
+            return []
+        hits = (
+            df.where(F.coalesce(F.col(DELETED_COL), F.lit(False)))
+            .select(
+                bucket_expr(self.key_columns, self.num_buckets).alias("__bucket")
+            )
+            .distinct()
+            .collect()
+        )
+        return sorted(r["__bucket"] for r in hits)
+
+    def compact(self, only_dirty: bool = True) -> list[int]:
+        """Fold MOR deltas and purge tombstones (checkpoint-barrier op:
         safe once no out-of-order events older than any tombstone can
-        arrive, i.e. below the low-watermark delta token)."""
-        live = self.read_internal().where(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        arrive, i.e. below the low-watermark delta token).
+
+        By default only DIRTY buckets are rewritten — those holding delta
+        files or tombstones (tombstones found by a key/flag-pruned scan)
+        — and clean buckets carry over by reference, so compaction cost
+        is O(dirty data), not O(table). A fully-clean table is a no-op
+        (no new version). ``only_dirty=False`` rewrites everything (full
+        file-count reset). Returns the bucket ids rewritten."""
+        if only_dirty:
+            delta = sorted(
+                int(b)
+                for b, entries in self.manifest["buckets"].items()
+                if any(e.get("kind") == "delta" for e in entries)
+            )
+            clean_candidates = [
+                int(b) for b in self.manifest["buckets"] if int(b) not in delta
+            ]
+            dirty = sorted(set(delta) | set(self._tombstone_buckets(clean_candidates)))
+            if not dirty:
+                return []
+        else:
+            dirty = sorted(int(b) for b in self.manifest["buckets"])
+            if not dirty:
+                return []
+        live = self.read_internal(buckets=dirty).where(
+            ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+        )
         prepared = live.withColumn(
             "__bucket", bucket_expr(self.key_columns, self.num_buckets)
         )
-        new_buckets = self._write_buckets(prepared)
+        new_buckets = self._write_buckets(prepared, n_partitions=len(dirty))
         manifest = json.loads(json.dumps(self.manifest))
-        manifest["buckets"] = new_buckets
+        for b in dirty:
+            manifest["buckets"].pop(str(b), None)
+        for b, entries in new_buckets.items():
+            manifest["buckets"][b] = entries
         self._commit(manifest)
+        return dirty
 
     def expire_snapshots(self, keep_last: int = 1) -> int:
         """Delete manifests older than the newest `keep_last` and any data
