@@ -171,6 +171,61 @@ def run_maintain(args, spark=None) -> dict:
     return summary
 
 
+def run_bootstrap(args, spark=None) -> dict:
+    """Snapshot-diff bootstrap: derive the I/U/D change log that turns
+    the --old table image into --new, written in the change-event layout
+    `ingest` consumes (delta_token-partitioned parquet with op/event_seq/
+    delta_token/rocancel envelope). The on-ramp for sources that can only
+    be polled: poll → diff → same pipeline as a real change log."""
+    from sap_spark.config import tuned_builder
+    from sap_spark.operators.snapshot import snapshot_diff
+
+    import pyspark.sql.functions as F
+
+    own_session = False
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        own_session = SparkSession.getActiveSession() is None
+        spark = tuned_builder(
+            app_name="sap_spark-bootstrap", master=args.master,
+            shuffle_partitions=args.shuffle_partitions,
+        ).getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+
+    keys = args.keys.split(",")
+    old = spark.read.parquet(args.old)
+    new = spark.read.parquet(args.new)
+    diff = snapshot_diff(old, new, keys)
+    # constant event_seq per bootstrap token: the diff is ≤1 row/key by
+    # construction, so no LWW ordering is needed within it, and later
+    # tokens use higher bases — no global window, scale-safe
+    events = (
+        diff.withColumn("delta_token", F.lit(args.token))
+        .withColumn("event_seq", F.lit(int(args.seq_base)))
+        .withColumn("rocancel", F.lit(False))
+        .withColumn("cancel_seq", F.lit(None).cast("long"))
+    )
+    (
+        events.repartition("delta_token")
+        .write.mode("append")
+        .partitionBy("delta_token")
+        .parquet(args.out)
+    )
+    n = spark.read.parquet(args.out).where(
+        F.col("delta_token") == args.token
+    ).count()
+    by_op = {
+        r["op"]: r["n"]
+        for r in spark.read.parquet(args.out)
+        .where(F.col("delta_token") == args.token)
+        .groupBy("op").agg(F.count("*").alias("n")).collect()
+    }
+    if own_session:
+        spark.stop()
+    return {"token": args.token, "events": n, "by_op": by_op}
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="sap_spark.cli")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -185,6 +240,17 @@ def main(argv: list[str] | None = None) -> None:
                    help="keep only the newest N snapshots, delete orphaned files")
     m.add_argument("--master", default=None)
     m.add_argument("--shuffle-partitions", type=int, default=None)
+
+    b = sub.add_parser("bootstrap", help="diff two table snapshots into a change log")
+    b.add_argument("--old", required=True, help="parquet dir of the previous image")
+    b.add_argument("--new", required=True, help="parquet dir of the current image")
+    b.add_argument("--out", required=True, help="change-log dir to append to")
+    b.add_argument("--keys", default="repo,path")
+    b.add_argument("--token", required=True, help="delta token for this diff")
+    b.add_argument("--seq-base", default=0, help="event_seq for this token "
+                   "(use a higher base per successive token)")
+    b.add_argument("--master", default=None)
+    b.add_argument("--shuffle-partitions", type=int, default=None)
 
     i = sub.add_parser("ingest", help="replay a change log into a LakeTable")
     i.add_argument("--log", required=True, help="change-log directory (parquet, delta_token-partitioned)")
@@ -218,6 +284,10 @@ def main(argv: list[str] | None = None) -> None:
         import json
 
         print(json.dumps(run_maintain(args)))
+    elif args.cmd == "bootstrap":
+        import json
+
+        print(json.dumps(run_bootstrap(args)))
     else:
         summary = run_ingest(args)
         import json

@@ -213,16 +213,6 @@ class LakeTable:
     def merge_mode(self) -> str:
         return self.manifest.get("properties", {}).get("merge_mode", "cow")
 
-    def _has_deltas(self, buckets: list[int] | None = None) -> bool:
-        wanted = (
-            self.manifest["buckets"].values()
-            if buckets is None
-            else [self.manifest["buckets"].get(str(b), []) for b in buckets]
-        )
-        return any(
-            e.get("kind") == "delta" for entries in wanted for e in entries
-        )
-
     def _schema_with_internal(self, schema_id: int | None = None) -> T.StructType:
         sid = self.manifest["current_schema_id"] if schema_id is None else schema_id
         base = T.StructType.fromJson(json.loads(self.manifest["schemas"][sid]))

@@ -58,6 +58,59 @@ def test_cli_ingest_end_to_end(spark, tmp_path, capsys):
         ])
 
 
+def test_cli_bootstrap_then_ingest(spark, tmp_path, capsys):
+    """Poll-source on-ramp: two snapshots → bootstrap diff log → ingest
+    → table equals the new snapshot."""
+    old = spark.createDataFrame(
+        [(f"r{i % 5}", f"p{i}", f"c{i}", "py", f"body{i}") for i in range(60)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    new = spark.createDataFrame(
+        [
+            (f"r{i % 5}", f"p{i}", f"c{i}", "py",
+             f"body{i}-v2" if i % 4 == 0 else f"body{i}")
+            for i in range(10, 70)
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    old.write.parquet(str(tmp_path / "snap_old"))
+    new.write.parquet(str(tmp_path / "snap_new"))
+
+    main([
+        "bootstrap",
+        "--old", str(tmp_path / "snap_old"),
+        "--new", str(tmp_path / "snap_new"),
+        "--out", str(tmp_path / "bootlog"),
+        "--keys", "repo,path",
+        "--token", "B0",
+    ])
+    boot = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # overlap p10..p59; i%4==0 → 12,16,...,56 = 12 updates
+    assert boot["by_op"] == {"I": 10, "D": 10, "U": 12}
+
+    # seed a table with the old image, then ingest the bootstrap log
+    from sap_spark.plans.lake import LakeTable
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "boot_table"),
+        old.schema, key_columns=["repo", "path"], num_buckets=8,
+    )
+    table.overwrite(old, batch_id="seed")
+    main([
+        "ingest",
+        "--log", str(tmp_path / "bootlog"),
+        "--table", str(tmp_path / "boot_table"),
+        "--checkpoint", str(tmp_path / "boot_ckpt"),
+    ])
+    json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    got = {
+        (r["repo"], r["path"]): r["content"]
+        for r in LakeTable(spark, str(tmp_path / "boot_table")).read().collect()
+    }
+    want = {(r["repo"], r["path"]): r["content"] for r in new.collect()}
+    assert got == want
+
+
 def test_cli_maintain_mor_table(spark, tmp_path, capsys):
     """maintain subcommand: MOR ingest → compact folds deltas to base,
     expire reclaims files, state unchanged."""
