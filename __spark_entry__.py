@@ -1035,6 +1035,31 @@ _EVENTS_VALUE_QUARTILES_SQL = """
 """
 
 
+def _events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured path: JSON property extraction from the events
+    props column (get_json_object — JVM-side JSON path, no UDF),
+    aggregated per type."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+_EVENTS_PROPS_JSON_SQL = """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+"""
+
+
 def _orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregation (SURVEY §2.5 aggregations: hash/rollup/pivot/cube):
     all grouping-set combinations of (status, priority) in one pass —
@@ -1462,6 +1487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_rollup": _orders_rollup,
         "orders_cube": _orders_cube,
         "events_value_quartiles": _events_value_quartiles,
+        "events_props_json": _events_props_json,
         "orders_lag_gap": _orders_lag_gap,
         "lineitem_running_totals": _lineitem_running_totals,
         "events_type_pivot": _events_type_pivot,
@@ -1516,6 +1542,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_rollup": _ORDERS_ROLLUP_SQL,
         "orders_cube": _ORDERS_CUBE_SQL,
         "events_value_quartiles": _EVENTS_VALUE_QUARTILES_SQL,
+        "events_props_json": _EVENTS_PROPS_JSON_SQL,
         "orders_lag_gap": _ORDERS_LAG_GAP_SQL,
         "lineitem_running_totals": _LINEITEM_RUNNING_SQL,
         "events_type_pivot": _EVENTS_TYPE_PIVOT_SQL,
