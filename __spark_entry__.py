@@ -1035,6 +1035,40 @@ _EVENTS_VALUE_QUARTILES_SQL = """
 """
 
 
+def _events_apply_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OData aggregation extension ($apply — the grammar SAP
+    analytics services speak): filter/groupby/aggregate pipeline
+    translated to DataFrame ops by sources/odata_filter.parse_odata_apply."""
+    from sap_spark.sources.changelog import ODataQueryOptions, apply_query_options
+
+    ev = _t(spark, sf_dir, "events")
+    opts = ODataQueryOptions.parse(
+        "?$apply=filter(value gt 5.0)/groupby((event_type),"
+        "aggregate(value with sum as total,value with average as avg_v,"
+        "user_id with countdistinct as users,$count as n))"
+    )
+    out = apply_query_options(ev, opts)
+    return out.select(
+        "event_type",
+        F.round("total", 6).alias("total"),
+        F.round("avg_v", 6).alias("avg_v"),
+        "users",
+        "n",
+    )
+
+
+_EVENTS_APPLY_AGGREGATE_SQL = """
+    SELECT event_type,
+           round(SUM(value), 6) AS total,
+           round(AVG(value), 6) AS avg_v,
+           COUNT(DISTINCT user_id) AS users,
+           COUNT(*) AS n
+    FROM events
+    WHERE value > 5.0
+    GROUP BY event_type
+"""
+
+
 def _events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured path: JSON property extraction from the events
     props column (get_json_object — JVM-side JSON path, no UDF),
@@ -1488,6 +1522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cube": _orders_cube,
         "events_value_quartiles": _events_value_quartiles,
         "events_props_json": _events_props_json,
+        "events_apply_aggregate": _events_apply_aggregate,
         "orders_lag_gap": _orders_lag_gap,
         "lineitem_running_totals": _lineitem_running_totals,
         "events_type_pivot": _events_type_pivot,
@@ -1543,6 +1578,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_cube": _ORDERS_CUBE_SQL,
         "events_value_quartiles": _EVENTS_VALUE_QUARTILES_SQL,
         "events_props_json": _EVENTS_PROPS_JSON_SQL,
+        "events_apply_aggregate": _EVENTS_APPLY_AGGREGATE_SQL,
         "orders_lag_gap": _ORDERS_LAG_GAP_SQL,
         "lineitem_running_totals": _LINEITEM_RUNNING_SQL,
         "events_type_pivot": _EVENTS_TYPE_PIVOT_SQL,

@@ -88,6 +88,7 @@ class ODataQueryOptions:
     top: int | None = None
     skip: int | None = None
     orderby: list[tuple[str, str]] | None = None  # (column, 'asc'|'desc')
+    apply: str | None = None  # OData $apply aggregation pipeline
 
     @classmethod
     def parse(cls, query: str | None) -> "ODataQueryOptions":
@@ -118,6 +119,8 @@ class ODataQueryOptions:
                         part = part[: m.start()].rstrip()
                     parsed.append((part, direction))
                 opts.orderby = parsed or None
+            elif key == "$apply":
+                opts.apply = value
             elif key == "$format":
                 pass  # response-encoding choice; irrelevant for parquet
         return opts
@@ -126,9 +129,14 @@ class ODataQueryOptions:
 def apply_query_options(df: DataFrame, opts: ODataQueryOptions) -> DataFrame:
     """Apply OData-style options as DataFrame ops (Catalyst pushes them down).
 
-    Order matches OData evaluation semantics: filter → orderby → skip → top
-    → select.
+    Order matches OData evaluation semantics: apply → filter → orderby →
+    skip → top → select ($apply is the aggregation-extension pipeline,
+    evaluated before the system query options per the spec).
     """
+    if opts.apply:
+        from sap_spark.sources.odata_filter import parse_odata_apply
+
+        df = parse_odata_apply(opts.apply)(df)
     if opts.filter:
         try:
             df = df.filter(parse_odata_filter(opts.filter))

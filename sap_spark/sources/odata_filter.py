@@ -26,6 +26,11 @@ Supported surface (the OData V2 common set + the V4 `contains`):
   ``datetime'...'`` / ``datetimeoffset'...'`` (→ timestamp literal),
   ``guid'...'`` / ``time'...'`` (→ string literal).
 
+Also here: :func:`parse_odata_apply` for the OData aggregation extension
+(``$apply=filter(...)/groupby((A,B),aggregate(C with sum as T))`` — the
+grammar SAP analytics services speak), translated to a DataFrame
+pipeline (filter → groupBy().agg() → limit/offset).
+
 Property paths (``a/b``), lambda operators (``any/all``) and the rest of
 the V4 grammar are out of scope and raise ``ODataFilterError`` with the
 offending token, so callers can fall back or surface a clean message.
@@ -321,3 +326,131 @@ def parse_odata_filter(expression: str) -> Column:
     if not expression or not expression.strip():
         raise ODataFilterError("empty $filter expression")
     return _Parser(_tokenize(expression)).parse()
+
+
+# -- $apply (OData aggregation extension) ------------------------------------
+#
+# SAP analytics services speak the OData "Extension for Data Aggregation":
+# `$apply=filter(...)/groupby((A,B),aggregate(C with sum as Total))`. The
+# reference forwards the string to the server; here each transformation
+# becomes a DataFrame operation (filter → groupBy().agg() → ...), so a
+# ported SAP analytical query runs on Catalyst unchanged.
+
+_AGG_FUNCS = {
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "average": F.avg,
+    "countdistinct": F.count_distinct,
+}
+
+
+def _split_top_level(text: str, sep: str) -> list[str]:
+    """Split on `sep` outside parentheses/string literals."""
+    parts: list[str] = []
+    depth = 0
+    in_str = False
+    cur: list[str] = []
+    for ch in text:
+        if in_str:
+            cur.append(ch)
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(0, depth - 1)
+        elif ch == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+            continue
+        cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
+def _parse_aggregate_clause(body: str) -> list:
+    """aggregate( expr with func as alias, ... | $count as alias )."""
+    cols = []
+    for item in _split_top_level(body, ","):
+        item = item.strip()
+        m = re.match(r"^\$count\s+as\s+(\w+)$", item, re.IGNORECASE)
+        if m:
+            cols.append(F.count(F.lit(1)).alias(m.group(1)))
+            continue
+        m = re.match(r"^(.*?)\s+with\s+(\w+)\s+as\s+(\w+)$", item, re.IGNORECASE | re.S)
+        if not m:
+            raise ODataFilterError(f"bad aggregate item {item!r}")
+        expr_text, func, alias = m.groups()
+        fn = _AGG_FUNCS.get(func.lower())
+        if fn is None:
+            raise ODataFilterError(f"unsupported aggregation method {func!r}")
+        cols.append(fn(parse_odata_filter(expr_text)).alias(alias))
+    if not cols:
+        raise ODataFilterError("empty aggregate()")
+    return cols
+
+
+def parse_odata_apply(expression: str):
+    """OData ``$apply`` pipeline → ``Callable[[DataFrame], DataFrame]``.
+
+    Supported transformations (the SAP-relevant core):
+    ``filter(<filter expr>)``, ``groupby((c1,c2))``,
+    ``groupby((c1,...),aggregate(...))``, ``aggregate(...)``,
+    ``top(n)``, ``skip(n)``; chained with ``/``.
+    Aggregation methods: sum, min, max, average, countdistinct, $count.
+    """
+    if not expression or not expression.strip():
+        raise ODataFilterError("empty $apply expression")
+    steps = []
+    for raw_step in _split_top_level(expression.strip(), "/"):
+        step = raw_step.strip()
+        m = re.match(r"^(\w+)\((.*)\)$", step, re.S)
+        if not m:
+            raise ODataFilterError(f"bad $apply transformation {step!r}")
+        name, body = m.group(1).lower(), m.group(2)
+        if name == "filter":
+            cond = parse_odata_filter(body)
+            steps.append(lambda df, c=cond: df.filter(c))
+        elif name == "aggregate":
+            aggs = _parse_aggregate_clause(body)
+            steps.append(lambda df, a=aggs: df.agg(*a))
+        elif name == "groupby":
+            # step regex already stripped groupby's own parens: body is
+            # "(c1,c2)" or "(c1,c2),aggregate(...)" — try the aggregate
+            # form first (the plain pattern would swallow it greedily)
+            inner_agg = None
+            gm = re.match(
+                r"^\s*\((.*?)\)\s*,\s*aggregate\s*\((.*)\)\s*$", body, re.S
+            )
+            if gm is not None:
+                inner_agg = _parse_aggregate_clause(gm.group(2))
+            else:
+                gm = re.match(r"^\s*\(\s*([^()]*?)\s*\)\s*$", body, re.S)
+                if gm is None:
+                    raise ODataFilterError(f"bad groupby body {body!r}")
+            cols = [c.strip() for c in gm.group(1).split(",") if c.strip()]
+            if not cols:
+                raise ODataFilterError("groupby with no columns")
+            if inner_agg is None:
+                steps.append(lambda df, c=cols: df.select(*c).distinct())
+            else:
+                steps.append(
+                    lambda df, c=cols, a=inner_agg: df.groupBy(*c).agg(*a)
+                )
+        elif name == "top":
+            steps.append(lambda df, n=int(body): df.limit(n))
+        elif name == "skip":
+            steps.append(lambda df, n=int(body): df.offset(n))
+        else:
+            raise ODataFilterError(f"unsupported $apply transformation {name!r}")
+
+    def run(df):
+        for s in steps:
+            df = s(df)
+        return df
+
+    return run

@@ -151,6 +151,62 @@ def test_orderby_accepts_expressions(df):
     assert [r["id"] for r in out4.collect()] == [4]
 
 
+def test_apply_groupby_aggregate(df):
+    """$apply (OData aggregation extension): filter/groupby/aggregate
+    chains become DataFrame ops."""
+    from sap_spark.sources.odata_filter import parse_odata_apply
+
+    out = parse_odata_apply(
+        "filter(value gt 0)/groupby((event_type),"
+        "aggregate(value with sum as total,$count as n))"
+    )(df)
+    got = {r["event_type"]: (r["total"], r["n"]) for r in out.collect()}
+    assert got == {
+        "click": (13.25, 2), "view": (25.5, 1), "purchase": (99.0, 1),
+    }
+    # bare aggregate over the whole frame
+    tot = parse_odata_apply(
+        "aggregate(value with max as mx,value with average as avg_v)"
+    )(df).collect()[0]
+    assert tot["mx"] == 99.0
+    assert abs(tot["avg_v"] - (10.0 + 25.5 + 3.25 + 99.0 - 4.0) / 5) < 1e-9
+    # distinct groupby without aggregate
+    kinds = parse_odata_apply("groupby((event_type))")(df)
+    assert kinds.count() == 4
+    # countdistinct + top
+    one = parse_odata_apply(
+        "groupby((event_type),aggregate(lang with countdistinct as langs))/top(1)"
+    )(df)
+    assert one.count() == 1
+
+
+def test_apply_via_query_options(df):
+    out = apply_query_options(
+        df,
+        ODataQueryOptions.parse(
+            "$apply=groupby((event_type),aggregate(value with sum as total))"
+            "&$filter=total gt 20&$orderby=total desc&$select=event_type,total"
+        ),
+    )
+    rows = [(r["event_type"], r["total"]) for r in out.collect()]
+    assert rows == [("purchase", 99.0), ("view", 25.5)]
+
+
+def test_apply_errors(df):
+    from sap_spark.sources.odata_filter import parse_odata_apply
+
+    for bad in (
+        "",
+        "explode(x)",
+        "groupby(())",
+        "aggregate()",
+        "aggregate(value with frobnicate as x)",
+        "groupby((a),aggregate(value sum as x))",
+    ):
+        with pytest.raises(ODataFilterError):
+            parse_odata_apply(bad)
+
+
 def test_odata_filter_pushes_down(spark, sf_dir):
     """Translated predicates must reach the parquet scan: PushedFilters
     carries the comparison, ReadSchema drops unselected columns."""
