@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "events_asof_join",
     "events_range_join",
     "lineitem_running_totals",
+    "docs_snapshot_diff",
 ]
 
 

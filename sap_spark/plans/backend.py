@@ -34,6 +34,9 @@ Contract laws (each has a test of the same name in the contract suite):
     hash to.
 6.  **maintenance safety** — ``compact`` and ``expire_snapshots`` never
     change the user-visible row set.
+7.  **change-feed fidelity** — ``changes_between(v1, v2)`` returns the
+    net I/U/D feed whose application to the v1 image reproduces the v2
+    image exactly (Iceberg changelog-read analog).
 """
 
 from __future__ import annotations
@@ -86,6 +89,10 @@ class TableBackend(Protocol):
     ) -> bool: ...
 
     def evolve_schema(self, incoming: T.StructType) -> bool: ...
+
+    def changes_between(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame: ...
 
     # maintenance ---------------------------------------------------------
     def compact(self) -> None: ...

@@ -191,6 +191,41 @@ def test_maintenance_preserves_state(spark, make_table):
     assert "b2" in fresh.committed_batches()  # exactly-once survives expiry
 
 
+def test_change_feed_reproduces_transitions(spark, make_table):
+    table = make_table()
+    table.merge_cdc(
+        _changes(spark, [(f"r{i}", f"p{i}", f"c{i}", "I", i + 1) for i in range(20)]),
+        "b1",
+    )
+    v1 = table.version
+    table.merge_cdc(
+        _changes(
+            spark,
+            [
+                ("r1", "p1", "updated", "U", 100),
+                ("r2", "p2", None, "D", 101),
+                ("rN", "pN", "inserted", "I", 102),
+            ],
+        ),
+        "b2",
+    )
+    feed = table.changes_between(v1)
+    got = {
+        (r["repo"], r["path"]): (r["op"], r["content"]) for r in feed.collect()
+    }
+    assert got == {
+        ("r1", "p1"): ("U", "updated"),
+        ("r2", "p2"): ("D", None),
+        ("rN", "pN"): ("I", "inserted"),
+    }
+    # applying the feed to a replica of the v1 image reproduces v2
+    replica = type(table)(spark, table.path, version=v1).read()
+    target = BACKENDS["lake-cow"](spark, f"{table.path}-replica")
+    target.overwrite(replica, batch_id="seed")
+    target.merge_cdc(feed.withColumn("event_seq", F.lit(1)), "feed")
+    assert _state(target) == _state(table)
+
+
 def test_history_chain(spark, make_table):
     table = make_table()
     table.merge_cdc(_changes(spark, [("r", "a", "v1", "I", 1)]), "b1")
