@@ -206,21 +206,19 @@ def run_bootstrap(args, spark=None) -> dict:
         .withColumn("rocancel", F.lit(False))
         .withColumn("cancel_seq", F.lit(None).cast("long"))
     )
-    (
-        events.repartition("delta_token")
-        .write.mode("append")
-        .partitionBy("delta_token")
-        .parquet(args.out)
-    )
-    n = spark.read.parquet(args.out).where(
-        F.col("delta_token") == args.token
-    ).count()
+    # reuse the canonical log writer: token-aligned layout plus the 8 MB
+    # parquet row groups that keep a one-file token splittable into many
+    # scan tasks — a bootstrap diff is the largest token a log ever gets
+    from sap_spark.sources.datagen import write_change_log
+
+    write_change_log(events, args.out, mode="append")
     by_op = {
         r["op"]: r["n"]
         for r in spark.read.parquet(args.out)
         .where(F.col("delta_token") == args.token)
         .groupBy("op").agg(F.count("*").alias("n")).collect()
     }
+    n = sum(by_op.values())
     if own_session:
         spark.stop()
     return {"token": args.token, "events": n, "by_op": by_op}

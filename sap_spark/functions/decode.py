@@ -601,10 +601,31 @@ def decode_enum(field: str, raw: Column, members: dict[str, int]) -> Column:
     flags_str = F.concat_ws(
         ",", F.filter(names_arr, lambda n: F.array_contains(picked["sel"], n))
     )
+    # fallback cover: greedy can miss a valid decomposition when member
+    # values overlap without nesting (e.g. {A:6, B:3} and 7 — greedy
+    # takes A, strands bit 0); if the OR of ALL bit-subset members covers
+    # the number, emit that full set rather than raising
+    all_pairs = F.array(
+        *[
+            F.struct(F.lit(n).alias("n"), F.lit(int(v)).cast("long").alias("v"))
+            for n, v in members.items()
+        ]
+    )
+    subset_members = F.filter(
+        all_pairs, lambda p: (p["v"] != 0) & (num.bitwiseAND(p["v"]) == p["v"])
+    )
+    or_cover = F.aggregate(
+        subset_members, F.lit(0).cast("long"), lambda acc, p: acc.bitwiseOR(p["v"])
+    )
+    cover_ok = num.isNotNull() & (F.size(subset_members) > 0) & (or_cover == num)
+    cover_str = F.concat_ws(
+        ",", F.transform(subset_members, lambda p: p["n"])
+    )
     parsed = (
         F.when(all_members, F.concat_ws(",", F.transform(parts, F.trim)))
         .when(value_map[raw].isNotNull(), value_map[raw])
         .when(flags_ok, flags_str)
+        .when(cover_ok, cover_str)
     )
     return _checked(field, "enum", raw, parsed)
 

@@ -40,9 +40,12 @@ def snapshot_diff(
     compare_columns = compare_columns or [
         c for c in new.columns if c not in key_columns
     ]
-    missing = [c for c in key_columns + compare_columns if c not in old.columns]
-    if missing:
-        raise ValueError(f"columns absent from old snapshot: {missing}")
+    for side, frame in (("old", old), ("new", new)):
+        missing = [
+            c for c in key_columns + compare_columns if c not in frame.columns
+        ]
+        if missing:
+            raise ValueError(f"columns absent from {side} snapshot: {missing}")
 
     o = old.select(
         *key_columns, *compare_columns, F.lit(True).alias("__in_old")

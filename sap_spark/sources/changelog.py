@@ -44,29 +44,9 @@ def _split_orderby(value: str) -> list[str]:
     """Split an $orderby list on commas NOT inside parentheses or string
     literals, so multi-argument sort expressions (`substring(name, 2)
     desc`) stay whole."""
-    parts: list[str] = []
-    depth = 0
-    in_str = False
-    cur: list[str] = []
-    for ch in value:
-        if in_str:
-            cur.append(ch)
-            if ch == "'":
-                in_str = False
-            continue
-        if ch == "'":
-            in_str = True
-        elif ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth = max(0, depth - 1)
-        elif ch == "," and depth == 0:
-            parts.append("".join(cur))
-            cur = []
-            continue
-        cur.append(ch)
-    parts.append("".join(cur))
-    return parts
+    from sap_spark.sources.odata_filter import _split_top_level
+
+    return _split_top_level(value, ",")
 
 
 @dataclass

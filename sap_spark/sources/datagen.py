@@ -203,6 +203,7 @@ def write_change_log(
     path: str,
     token_aligned: bool = True,
     files_per_token: int = 1,
+    mode: str = "overwrite",
 ) -> None:
     """Materialize a change log as parquet, partitioned by delta_token so a
     file/streaming source consumes tokens as resumable micro-batch units.
@@ -233,7 +234,7 @@ def write_change_log(
         # (data, files_per_token), never of cores.
         df = df.repartition(files_per_token, F.xxhash64("event_seq"))
     (
-        df.write.mode("overwrite")
+        df.write.mode(mode)
         .option("parquet.block.size", str(8 * 1024 * 1024))
         .partitionBy("delta_token")
         .parquet(path)

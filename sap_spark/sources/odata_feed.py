@@ -652,17 +652,28 @@ def stage_feed_pages(
     seq = seq_start
     pages = 0
     delta_link = None
+    # resume point if the buffer is lost: the first buffered page's URL
+    buffer_url: str | None = first_url
+    buffer_seq = seq_start
     while url is not None and pages < max_pages:
+        if not rows:
+            buffer_url, buffer_seq = url, seq
         try:
             payload = fetch_with_retry(url)
         except Exception as e:  # noqa: BLE001
-            if rows:
-                spool(rows)  # nothing buffered is lost
+            try:
+                if rows:
+                    spool(rows)  # nothing buffered is lost
+                resume_url, resume_seq, staged = url, seq, pages
+            except Exception:  # noqa: BLE001 — spool itself failed:
+                # buffered pages are gone; resume from the buffer's start
+                resume_url, resume_seq = buffer_url, buffer_seq
+                staged = pages - len(rows)
             raise StagerError(
                 f"page fetch failed after {retries} retries at {url!r}: {e}",
-                resume_url=url,
-                next_seq=seq,
-                pages_staged=pages,
+                resume_url=resume_url,
+                next_seq=resume_seq,
+                pages_staged=staged,
                 delta_link=delta_link,
             ) from e
         rows.append((payload, token, seq))
@@ -675,7 +686,16 @@ def stage_feed_pages(
             spool(rows)
             rows.clear()
     if rows or pages == 0:
-        spool(rows)
+        try:
+            spool(rows)
+        except Exception as e:  # noqa: BLE001
+            raise StagerError(
+                f"final spool failed: {e}",
+                resume_url=buffer_url,
+                next_seq=buffer_seq,
+                pages_staged=pages - len(rows),
+                delta_link=delta_link,
+            ) from e
     return {"pages": pages, "next_seq": seq, "delta_link": delta_link}
 
 

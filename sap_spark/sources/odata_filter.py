@@ -441,10 +441,15 @@ def parse_odata_apply(expression: str):
                 steps.append(
                     lambda df, c=cols, a=inner_agg: df.groupBy(*c).agg(*a)
                 )
-        elif name == "top":
-            steps.append(lambda df, n=int(body): df.limit(n))
-        elif name == "skip":
-            steps.append(lambda df, n=int(body): df.offset(n))
+        elif name in ("top", "skip"):
+            try:
+                count = int(body.strip())
+            except ValueError as e:
+                raise ODataFilterError(f"bad {name}() count {body!r}") from e
+            if name == "top":
+                steps.append(lambda df, n=count: df.limit(n))
+            else:
+                steps.append(lambda df, n=count: df.offset(n))
         else:
             raise ODataFilterError(f"unsupported $apply transformation {name!r}")
 

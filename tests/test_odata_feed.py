@@ -298,6 +298,21 @@ def test_enum_numeric_flags_prefer_composite_members(spark):
     # 7 = Delete|ReadWrite (greedy picks 4 then 3), declaration order
     assert out == {1: "ReadWrite,Delete", 2: "Read,Delete", 3: "Write,Delete"}
 
+    # overlapping (non-nested) member values: greedy strands a bit, but
+    # the OR-cover fallback still decodes what the value legitimately is
+    overlap = {"A": 6, "B": 3}
+    df2 = spark.createDataFrame([(1, "7"), (2, "8")], "id int, wire string")
+    got = df2.select(
+        "id", decode_enum("wire", F.col("wire"), overlap).alias("e")
+    ).where(F.col("id") == 1).collect()
+    assert got[0]["e"] == "A,B"  # 6|3 == 7
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="enum"):
+        df2.select(
+            decode_enum("wire", F.col("wire"), overlap).alias("e")
+        ).collect()  # 8 has a stray bit → still raises
+
 
 DELTA_EDMX = """<?xml version="1.0" encoding="utf-8"?>
 <edmx:Edmx Version="4.0" xmlns:edmx="http://docs.oasis-open.org/odata/ns/edmx">
