@@ -406,24 +406,73 @@ def resize_images(
     return pruned.mapInPandas(run, out_schema)
 
 
+def _gen_asset_payload(i: int) -> tuple[bytes, str]:
+    """Deterministic payload for asset ``i``: every 3rd asset is a REAL
+    netpbm image, every 3rd+1 a REAL PCM WAV (both decode through the
+    real codec tier), the rest opaque bytes (stub tier)."""
+    if i % 3 == 0:
+        w, h = 8 + (i % 5) * 4, 6 + (i % 7) * 2
+        arr = (
+            (np.arange(h * w * 3, dtype=np.uint64) * (13 + i) % 256)
+            .astype("uint8")
+        )
+        return (b"P6\n%d %d\n255\n" % (w, h)) + arr.tobytes(), "image/x-portable-pixmap"
+    if i % 3 == 1:
+        import io
+        import wave
+
+        rate = (8000, 16000)[i % 2]
+        t = np.arange(rate // 10)  # 100 ms
+        samples = (
+            (0.1 + (i % 8) / 10.0)
+            * 32767
+            * np.sin(2 * np.pi * (220 + i) * t / rate)
+        ).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(rate)
+            wf.writeframes(samples.tobytes())
+        return buf.getvalue(), "audio/wav"
+    return (
+        hashlib.blake2b(b"asset-%d" % i, digest_size=64).digest(),
+        ("image/jpeg", "video/mp4")[i % 2],
+    )
+
+
 def gen_assets(spark, n: int = 100) -> DataFrame:
-    """Deterministic fake asset table (binary payloads + metadata struct) —
-    the multimodal analog of sources/datagen.py."""
-    df = spark.range(n)
-    payload = F.sha2(F.concat(F.lit("asset"), F.col("id").cast("string")), 512).cast(
-        "binary"
+    """Deterministic asset table (binary payloads + metadata struct) —
+    the multimodal analog of sources/datagen.py. A third of the payloads
+    are real netpbm images and a third real PCM WAV clips, so the real
+    codec tier is exercised wherever this table flows (incl. the driver
+    contract queries); the rest are opaque bytes for the stub tier."""
+    out_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("meta", ASSET_META_SCHEMA, True),
+        ]
     )
-    ct = F.element_at(
-        F.array(F.lit("image/png"), F.lit("image/jpeg"), F.lit("video/mp4")),
-        (F.pmod(F.col("id"), 3) + 1).cast("int"),
-    )
-    return df.select(
-        F.col("id").alias("asset_id"),
-        payload.alias("payload"),
-        F.struct(
-            ct.alias("content_type"),
-            F.md5(payload.cast("string")).alias("etag"),
-            F.concat(F.lit("synthetic://asset/"), F.col("id")).alias("source_uri"),
-            F.length(payload).cast("long").alias("size_bytes"),
-        ).alias("meta"),
-    )
+
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                blob, ct = _gen_asset_payload(i)
+                rows.append(
+                    {
+                        "asset_id": i,
+                        "payload": blob,
+                        "meta": {
+                            "content_type": ct,
+                            "etag": hashlib.md5(blob).hexdigest(),
+                            "source_uri": f"synthetic://asset/{i}",
+                            "size_bytes": len(blob),
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["asset_id", "payload", "meta"])
+
+    return spark.range(n).mapInPandas(make, out_schema)
