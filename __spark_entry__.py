@@ -785,17 +785,21 @@ def _emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _assets_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: Arrow-batched feature extraction over binary
-    assets (decode stubbed — no codecs in this image; see
-    functions/multimodal.py)."""
+    """Multimodal image features over binary assets, Arrow-batched.
+    A third of the generated payloads are REAL netpbm images decoded by
+    the pure-numpy codec tier (true dims/luma/a-hash); the opaque rest
+    exercise the env-gated stub tier (compressed codecs absent from this
+    image). See functions/multimodal.py."""
     from sap_spark.functions.multimodal import extract_image_features, gen_assets
 
     return extract_image_features(gen_assets(spark, 200))
 
 
 def _assets_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal audio plumbing: Arrow-batched clip features (decode
-    stubbed — no codecs in this image; see functions/multimodal.py)."""
+    """Multimodal audio features, Arrow-batched. A third of the generated
+    payloads are REAL PCM WAV clips decoded via the stdlib wave codec
+    tier (true duration/rate/RMS); the opaque rest exercise the env-gated
+    stub tier. See functions/multimodal.py."""
     from sap_spark.functions.multimodal import extract_audio_features, gen_assets
 
     return extract_audio_features(gen_assets(spark, 200))

@@ -104,7 +104,7 @@ def _parse_ppm(blob: bytes) -> "np.ndarray | None":
     except ValueError:
         return None
     if maxval > 255:
-        raise CodecUnavailableError("16-bit netpbm not supported")
+        raise ValueError("16-bit netpbm not supported")  # → null features
     i += 1  # the single whitespace after maxval
     channels = 3 if blob[:2] == b"P6" else 1
     need = width * height * channels
@@ -124,25 +124,39 @@ def _ahash64(gray: "np.ndarray") -> int:
     return v - (1 << 64) if v >= (1 << 63) else v  # two's-complement long
 
 
+_NULL_IMAGE = {
+    "width": None, "height": None, "channels": None,
+    "mean_luma": None, "phash": None,
+}
+
+
 def _decode_image_real(blob: bytes) -> "dict | None":
-    """Real decode for uncompressed netpbm images; None → not netpbm
-    (caller falls through to the stub tier)."""
-    arr = _parse_ppm(blob)
-    if arr is None:
+    """Real decode for uncompressed netpbm images. None → not netpbm
+    (caller falls through to the stub tier). A blob that IS netpbm by
+    magic but corrupt/truncated/unsupported-depth yields the all-null
+    feature row: one bad upload must null out, never kill the job
+    (production feature-extraction semantics)."""
+    if blob is None or len(blob) < 2 or blob[:2] not in (b"P6", b"P5"):
         return None
-    if arr.shape[2] == 3:
-        luma = (
-            0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
-        )
-    else:
-        luma = arr[:, :, 0].astype(np.float64)
-    return {
-        "width": int(arr.shape[1]),
-        "height": int(arr.shape[0]),
-        "channels": int(arr.shape[2]),
-        "mean_luma": round(float(luma.mean()) / 255.0, 6),
-        "phash": _ahash64(luma),
-    }
+    try:
+        arr = _parse_ppm(blob)
+        if arr is None or arr.shape[0] <= 0 or arr.shape[1] <= 0:
+            return dict(_NULL_IMAGE)
+        if arr.shape[2] == 3:
+            luma = (
+                0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
+            )
+        else:
+            luma = arr[:, :, 0].astype(np.float64)
+        return {
+            "width": int(arr.shape[1]),
+            "height": int(arr.shape[0]),
+            "channels": int(arr.shape[2]),
+            "mean_luma": round(float(luma.mean()) / 255.0, 6),
+            "phash": _ahash64(luma),
+        }
+    except Exception:  # noqa: BLE001 — corrupt media nulls out
+        return dict(_NULL_IMAGE)
 
 
 def _resize_ppm_real(blob: bytes, target_px: int) -> "bytes | None":
@@ -162,38 +176,51 @@ def _resize_ppm_real(blob: bytes, target_px: int) -> "bytes | None":
     return header + out.tobytes()
 
 
+_NULL_AUDIO = {
+    "duration_sec": None, "sample_rate": None, "n_channels": None,
+    "rms_db": None, "clip_fraction": None,
+}
+
+
 def _decode_audio_real(blob: bytes) -> "dict | None":
-    """Real decode for PCM WAV via the stdlib wave module; None → not
-    RIFF/WAVE (caller falls through to the stub tier)."""
+    """Real decode for PCM WAV via the stdlib wave module. None → not
+    RIFF/WAVE (stub tier). RIFF/WAVE blobs that are truncated, non-PCM
+    (mu-law/float/ADPCM) or an unsupported sample width yield the
+    all-null feature row — bad media nulls out, never kills the job."""
     if blob is None or len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
         return None
     import io
     import wave
 
-    with wave.open(io.BytesIO(blob)) as wf:
-        n_channels = wf.getnchannels()
-        rate = wf.getframerate()
-        n_frames = wf.getnframes()
-        sampwidth = wf.getsampwidth()
-        raw = wf.readframes(n_frames)
-    if sampwidth == 2:
-        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
-        clip_at = 32767 / 32768.0
-    elif sampwidth == 1:
-        samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128) / 128.0
-        clip_at = 127 / 128.0
-    else:
-        raise CodecUnavailableError(f"{8 * sampwidth}-bit WAV not supported")
-    rms = float(np.sqrt(np.mean(samples**2))) if samples.size else 0.0
-    rms_db = 20.0 * np.log10(rms) if rms > 0 else -120.0
-    clip = float(np.mean(np.abs(samples) >= clip_at)) if samples.size else 0.0
-    return {
-        "duration_sec": round(n_frames / rate, 6) if rate else None,
-        "sample_rate": rate,
-        "n_channels": n_channels,
-        "rms_db": round(rms_db, 6),
-        "clip_fraction": round(clip, 6),
-    }
+    try:
+        with wave.open(io.BytesIO(blob)) as wf:
+            n_channels = wf.getnchannels()
+            rate = wf.getframerate()
+            n_frames = wf.getnframes()
+            sampwidth = wf.getsampwidth()
+            raw = wf.readframes(n_frames)
+        if sampwidth == 2:
+            samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+            clip_at = 32767 / 32768.0
+        elif sampwidth == 1:
+            samples = (
+                np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128
+            ) / 128.0
+            clip_at = 127 / 128.0
+        else:
+            return dict(_NULL_AUDIO)  # 24/32-bit: unsupported depth
+        rms = float(np.sqrt(np.mean(samples**2))) if samples.size else 0.0
+        rms_db = 20.0 * np.log10(rms) if rms > 0 else -120.0
+        clip = float(np.mean(np.abs(samples) >= clip_at)) if samples.size else 0.0
+        return {
+            "duration_sec": round(n_frames / rate, 6) if rate else None,
+            "sample_rate": rate,
+            "n_channels": n_channels,
+            "rms_db": round(rms_db, 6),
+            "clip_fraction": round(clip, 6),
+        }
+    except Exception:  # noqa: BLE001 — corrupt/non-PCM media nulls out
+        return dict(_NULL_AUDIO)
 
 
 def _decode_image_stub(blob: bytes, deterministic_fake: bool) -> dict:
@@ -373,6 +400,7 @@ def resize_images(
         [
             T.StructField("asset_id", T.LongType(), False),
             T.StructField("resized_png", T.BinaryType(), True),
+            T.StructField("format", T.StringType(), True),
             T.StructField("target_px", T.IntegerType(), False),
         ]
     )
@@ -380,13 +408,20 @@ def resize_images(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             blobs = []
+            fmts = []
             for b in pdf["payload"]:
                 if b is None:
                     blobs.append(None)
+                    fmts.append(None)
                     continue
-                real = _resize_ppm_real(b, target_px)  # netpbm: real resize
-                if real is not None:
-                    blobs.append(real)
+                b = bytes(b)
+                if b[:2] in (b"P6", b"P5"):
+                    try:
+                        blobs.append(_resize_ppm_real(b, target_px))
+                        fmts.append("ppm")
+                    except Exception:  # noqa: BLE001 — corrupt nulls out
+                        blobs.append(None)
+                        fmts.append(None)
                     continue
                 if not deterministic_fake:
                     raise CodecUnavailableError("image codec not available")
@@ -395,10 +430,12 @@ def resize_images(
                         b + int(target_px).to_bytes(4, "big"), digest_size=32
                     ).digest()
                 )
+                fmts.append("stub-digest")
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"].values,
                     "resized_png": pd.Series(blobs, dtype=object),
+                    "format": pd.Series(fmts, dtype=object),
                     "target_px": target_px,
                 }
             )

@@ -683,7 +683,17 @@ def stage_feed_pages(
         url = control["next_link"]
         delta_link = control["delta_link"] or delta_link
         if len(rows) >= spool_pages:
-            spool(rows)
+            try:
+                spool(rows)
+            except Exception as e:  # noqa: BLE001 — same guarantee as the
+                # fetch-failure and final-spool paths: resume state survives
+                raise StagerError(
+                    f"spool failed after {pages} pages: {e}",
+                    resume_url=buffer_url,
+                    next_seq=buffer_seq,
+                    pages_staged=pages - len(rows),
+                    delta_link=delta_link,
+                ) from e
             rows.clear()
     if rows or pages == 0:
         try:

@@ -442,10 +442,9 @@ def parse_odata_apply(expression: str):
                     lambda df, c=cols, a=inner_agg: df.groupBy(*c).agg(*a)
                 )
         elif name in ("top", "skip"):
-            try:
-                count = int(body.strip())
-            except ValueError as e:
-                raise ODataFilterError(f"bad {name}() count {body!r}") from e
+            if not re.fullmatch(r"\d+", body.strip()):
+                raise ODataFilterError(f"bad {name}() count {body!r}")
+            count = int(body.strip())
             if name == "top":
                 steps.append(lambda df, n=count: df.limit(n))
             else:

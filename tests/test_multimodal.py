@@ -203,3 +203,57 @@ def test_real_wav_decode_end_to_end(spark):
     assert got[2]["n_channels"] == 2 and got[2]["sample_rate"] == 16000
     assert got[2]["clip_fraction"] > 0.4  # ~half the samples at -32768
     assert got[3]["sample_rate"] is not None  # stub tier for non-RIFF
+
+
+def test_corrupt_media_nulls_out_never_kills_the_job(spark):
+    """Production semantics: a blob that matches a real format's magic but
+    is truncated/corrupt/unsupported-depth yields an all-null feature row
+    — it must never abort the job, in either mode."""
+    from sap_spark.functions.multimodal import (
+        extract_audio_features,
+        extract_image_features,
+    )
+
+    bad_rows = [
+        (1, bytearray(b"P6\n100 100\n255\n" + b"xy")),   # truncated pixels
+        (2, bytearray(b"P6\n-3 4\n255\n" + b"\x00" * 40)),  # negative dim
+        (3, bytearray(b"P6\n2 2\n65535\n" + b"\x00" * 24)),  # 16-bit depth
+        (4, bytearray(_make_ppm(4, 4)[0])),               # one good one
+    ]
+    df = spark.createDataFrame(bad_rows, "asset_id long, payload binary")
+    got = {r["asset_id"]: r for r in extract_image_features(df).collect()}
+    for bad_id in (1, 2, 3):
+        assert got[bad_id]["width"] is None and got[bad_id]["phash"] is None
+    assert got[4]["width"] == 4
+    # strict mode: corrupt REAL-format blobs still null out (only the
+    # stub tier raises CodecUnavailable)
+    strict = extract_image_features(
+        df.where(F.col("asset_id") != 4), deterministic_fake=False
+    ).collect()
+    assert all(r["width"] is None for r in strict)
+
+    bad_wav = [
+        (1, bytearray(b"RIFF\x04\x00\x00\x00WAVEjunk")),  # missing chunks
+        (2, bytearray(b"RIFF" + b"\x00" * 4 + b"WAVE")),  # truncated
+    ]
+    adf = spark.createDataFrame(bad_wav, "asset_id long, payload binary")
+    agot = {r["asset_id"]: r for r in extract_audio_features(adf).collect()}
+    assert all(agot[i]["sample_rate"] is None for i in (1, 2))
+
+
+def test_resize_format_discriminator(spark):
+    """resize output carries a format column so consumers can tell real
+    PPM payloads from stub digests without re-sniffing magic bytes; a
+    corrupt netpbm input nulls out."""
+    from sap_spark.functions.multimodal import resize_images
+
+    rows = [
+        (1, bytearray(_make_ppm(16, 8)[0])),
+        (2, bytearray(b"\x89PNG opaque")),
+        (3, bytearray(b"P6\n9 9\n255\nxx")),  # corrupt
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    got = {r["asset_id"]: r for r in resize_images(df, target_px=8).collect()}
+    assert got[1]["format"] == "ppm" and bytes(got[1]["resized_png"])[:2] == b"P6"
+    assert got[2]["format"] == "stub-digest" and len(got[2]["resized_png"]) == 32
+    assert got[3]["format"] is None and got[3]["resized_png"] is None
