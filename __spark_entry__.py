@@ -1073,6 +1073,53 @@ _EVENTS_APPLY_AGGREGATE_SQL = """
 """
 
 
+def _orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (Catalyst decorrelates it into an
+    aggregate + join — no per-row re-execution), via the SQL API."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS total
+        FROM v_orders o
+        WHERE o_totalprice > 1.5 * (
+            SELECT AVG(o2.o_totalprice) FROM v_orders o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+_ORDERS_ABOVE_AVG_SQL = """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS total
+    FROM orders o
+    WHERE o_totalprice > 1.5 * (
+        SELECT AVG(o2.o_totalprice) FROM orders o2
+        WHERE o2.o_custkey = o.o_custkey
+    )
+"""
+
+
+def _customers_repeat_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set operation: customers active in BOTH halves of the
+    order-date range (hash-dedup set semantics, one shuffle per side)."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("v_orders2")
+    return spark.sql(
+        """
+        SELECT o_custkey FROM v_orders2 WHERE o_orderdate <  TIMESTAMP '1995-06-01'
+        INTERSECT
+        SELECT o_custkey FROM v_orders2 WHERE o_orderdate >= TIMESTAMP '1995-06-01'
+        """
+    )
+
+
+_CUSTOMERS_REPEAT_SQL = """
+    SELECT o_custkey FROM orders WHERE o_orderdate <  TIMESTAMP '1995-06-01'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-06-01'
+"""
+
+
 def _events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured path: JSON property extraction from the events
     props column (get_json_object — JVM-side JSON path, no UDF),
@@ -1527,6 +1574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_quartiles": _events_value_quartiles,
         "events_props_json": _events_props_json,
         "events_apply_aggregate": _events_apply_aggregate,
+        "orders_above_customer_avg": _orders_above_customer_avg,
+        "customers_repeat_window": _customers_repeat_window,
         "orders_lag_gap": _orders_lag_gap,
         "lineitem_running_totals": _lineitem_running_totals,
         "events_type_pivot": _events_type_pivot,
@@ -1583,6 +1632,8 @@ def oracle_sql() -> dict[str, str]:
         "events_value_quartiles": _EVENTS_VALUE_QUARTILES_SQL,
         "events_props_json": _EVENTS_PROPS_JSON_SQL,
         "events_apply_aggregate": _EVENTS_APPLY_AGGREGATE_SQL,
+        "orders_above_customer_avg": _ORDERS_ABOVE_AVG_SQL,
+        "customers_repeat_window": _CUSTOMERS_REPEAT_SQL,
         "orders_lag_gap": _ORDERS_LAG_GAP_SQL,
         "lineitem_running_totals": _LINEITEM_RUNNING_SQL,
         "events_type_pivot": _EVENTS_TYPE_PIVOT_SQL,
