@@ -1073,6 +1073,45 @@ _EVENTS_APPLY_AGGREGATE_SQL = """
 """
 
 
+def _events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (operators/joins.interval_join): two interval
+    sets derived from events, joined bucketized (explode-to-bins
+    equi-join + claim-bin dedup — never a per-key nested loop) and
+    checked against DuckDB's inequality join."""
+    from sap_spark.operators.joins import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_id") < 2000).select(
+        F.pmod(F.col("user_id"), F.lit(20)).alias("k"),
+        F.col("value").alias("ls"),
+        (F.col("value") + 8.0).alias("le"),
+        F.col("event_id").alias("lid"),
+    )
+    right = ev.where((F.col("event_id") >= 2000) & (F.col("event_id") < 3500)).select(
+        F.pmod(F.col("user_id"), F.lit(20)).alias("k"),
+        F.col("value").alias("rs"),
+        (F.col("value") + 5.0).alias("re"),
+        F.col("event_id").alias("rid"),
+    )
+    out = interval_join(left, right, ["k"], "ls", "le", "rs", "re", bin_width=10.0)
+    return out.select("k", "lid", "rid")
+
+
+_EVENTS_INTERVAL_JOIN_SQL = """
+    WITH l AS (
+        SELECT user_id % 20 AS k, value AS ls, value + 8.0 AS le,
+               event_id AS lid
+        FROM events WHERE event_id < 2000
+    ), r AS (
+        SELECT user_id % 20 AS k, value AS rs, value + 5.0 AS re,
+               event_id AS rid
+        FROM events WHERE event_id >= 2000 AND event_id < 3500
+    )
+    SELECT l.k AS k, lid, rid
+    FROM l JOIN r ON l.k = r.k AND l.ls < r.re AND r.rs < l.le
+"""
+
+
 def _orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery (Catalyst decorrelates it into an
     aggregate + join — no per-row re-execution), via the SQL API."""
@@ -1575,6 +1614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_json": _events_props_json,
         "events_apply_aggregate": _events_apply_aggregate,
         "orders_above_customer_avg": _orders_above_customer_avg,
+        "events_interval_join": _events_interval_join,
         "customers_repeat_window": _customers_repeat_window,
         "orders_lag_gap": _orders_lag_gap,
         "lineitem_running_totals": _lineitem_running_totals,
@@ -1633,6 +1673,7 @@ def oracle_sql() -> dict[str, str]:
         "events_props_json": _EVENTS_PROPS_JSON_SQL,
         "events_apply_aggregate": _EVENTS_APPLY_AGGREGATE_SQL,
         "orders_above_customer_avg": _ORDERS_ABOVE_AVG_SQL,
+        "events_interval_join": _EVENTS_INTERVAL_JOIN_SQL,
         "customers_repeat_window": _CUSTOMERS_REPEAT_SQL,
         "orders_lag_gap": _ORDERS_LAG_GAP_SQL,
         "lineitem_running_totals": _LINEITEM_RUNNING_SQL,

@@ -9,7 +9,7 @@ from sap_spark.operators.dedup import (
     fold_changes,
     replay,
 )
-from sap_spark.operators.joins import asof_join, range_join
+from sap_spark.operators.joins import asof_join, interval_join, range_join
 from sap_spark.operators.packing import pack_sequences
 from sap_spark.operators.sampling import split_train_eval, stratified_sample
 from sap_spark.operators.snapshot import snapshot_diff
@@ -35,6 +35,7 @@ __all__ = [
     "replay",
     "asof_join",
     "range_join",
+    "interval_join",
     "pack_sequences",
     "stratified_sample",
     "split_train_eval",

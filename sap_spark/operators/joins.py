@@ -96,6 +96,63 @@ def range_join(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bin_width: float,
+    inclusive: bool = False,
+) -> DataFrame:
+    """Interval-overlap join: left [ls, le) × right [rs, re) pairs with
+    equal ``on`` keys that overlap (``ls < re and rs < le``; with
+    ``inclusive``, closed intervals and ``<=``). The alignment primitive
+    — audio segments × transcript spans, sessions × incidents.
+
+    Same bucketized shape as :func:`range_join`: both sides explode into
+    the ``bin_width`` bins they cover and the join is an equi-join on
+    (keys…, bin) plus the exact overlap filter. An overlapping pair
+    would meet in every shared bin, so each pair is CLAIMED exactly once
+    — in the bin containing ``max(ls, rs)`` (which every overlap
+    guarantees lies in both ranges) — instead of paying a distinct
+    shuffle over the matched pairs. Degenerate intervals (end < start,
+    or = start in half-open mode) are dropped. Numeric axes only (cast
+    timestamps to epoch seconds first).
+    """
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    w = F.lit(bin_width)
+
+    def binned(df: DataFrame, s: str, e: str) -> DataFrame:
+        sc, ec = F.col(s), F.col(e)
+        ok = df.where(ec >= sc if inclusive else ec > sc)
+        return ok.withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    F.floor(sc / w),
+                    F.greatest(F.floor(ec / w), F.floor(sc / w)),
+                )
+            ),
+        )
+    l_b = binned(left, left_start, left_end)
+    r_b = binned(right, right_start, right_end)
+    ls, le = F.col(left_start), F.col(left_end)
+    rs, re_ = F.col(right_start), F.col(right_end)
+    overlap = (
+        (ls <= re_) & (rs <= le) if inclusive else (ls < re_) & (rs < le)
+    )
+    claim = F.col("__bin") == F.floor(F.greatest(ls, rs) / w)
+    return (
+        l_b.join(r_b, on=[*on, "__bin"], how="inner")
+        .where(overlap & claim)
+        .drop("__bin")
+    )
+
+
 def _asof_union_window(
     left: DataFrame,
     right: DataFrame,

@@ -252,6 +252,65 @@ def test_range_join_end_on_bin_boundary(spark):
     assert got == {(1, 10)}  # p=4.0 < 4.0+1e-10; excluded by [0,4.0)
 
 
+def test_interval_join_matches_bruteforce(spark):
+    """Bucketized interval-overlap join vs brute force, across bin widths;
+    the claim-bin trick must emit each overlapping pair exactly once."""
+    from sap_spark.operators.joins import interval_join
+
+    rng = np.random.RandomState(17)
+    n_l, n_r = 120, 90
+    ls = rng.uniform(0, 100, n_l)
+    rs = rng.uniform(0, 100, n_r)
+    left = pd.DataFrame(
+        {
+            "k": rng.randint(0, 4, n_l).astype("int64"),
+            "ls": ls, "le": ls + rng.uniform(0, 12, n_l),
+            "lid": np.arange(n_l).astype("int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.randint(0, 5, n_r).astype("int64"),
+            "rs": rs, "re": rs + rng.uniform(0, 8, n_r),
+            "rid": np.arange(n_r).astype("int64"),
+        }
+    )
+    expected = set()
+    for _, a in left.iterrows():
+        for _, b in right.iterrows():
+            if a["k"] == b["k"] and a["ls"] < b["re"] and b["rs"] < a["le"]:
+                expected.add((int(a["lid"]), int(b["rid"])))
+
+    lf = spark.createDataFrame(left, "k long, ls double, le double, lid long")
+    rf = spark.createDataFrame(right, "k long, rs double, re double, rid long")
+    for bw in (1.0, 5.0, 40.0):
+        rows = interval_join(
+            lf, rf, ["k"], "ls", "le", "rs", "re", bin_width=bw
+        ).collect()
+        got = [(r["lid"], r["rid"]) for r in rows]
+        assert len(got) == len(set(got)), f"duplicate pairs at bw={bw}"
+        assert set(got) == expected, f"bin_width={bw}"
+
+
+def test_interval_join_inclusive_touching(spark):
+    from sap_spark.operators.joins import interval_join
+
+    lf = spark.createDataFrame([(1, 0.0, 5.0, 1)], "k long, ls double, le double, lid long")
+    rf = spark.createDataFrame(
+        [(1, 5.0, 9.0, 10), (1, 9.5, 9.5, 11)],
+        "k long, rs double, re double, rid long",
+    )
+    halfopen = interval_join(lf, rf, ["k"], "ls", "le", "rs", "re", 2.0).collect()
+    assert halfopen == []  # touching endpoints don't overlap half-open
+    closed = {
+        (r["lid"], r["rid"])
+        for r in interval_join(
+            lf, rf, ["k"], "ls", "le", "rs", "re", 2.0, inclusive=True
+        ).collect()
+    }
+    assert closed == {(1, 10)}  # touching counts when closed; point 9.5 apart
+
+
 def test_asof_value_collision_raises(spark):
     left = spark.createDataFrame([(1, 10, 5)], "k long, lts long, v long")
     right = spark.createDataFrame([(1, 5, 7)], "k long, rts long, v long")
