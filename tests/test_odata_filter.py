@@ -207,6 +207,26 @@ def test_apply_errors(df):
             parse_odata_apply(bad)
 
 
+def test_apply_groupby_is_partial_hash_aggregate(spark, sf_dir):
+    """$apply groupby/aggregate must compile to the two-phase
+    HashAggregate (map-side partial before the exchange) — the shape that
+    scales; and the $apply filter still pushes into the scan."""
+    from sap_spark.sources.odata_filter import parse_odata_apply
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = parse_odata_apply(
+        "filter(value gt 5.0)/groupby((event_type),"
+        "aggregate(value with sum as total,$count as n))"
+    )(ev)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "value" in pushed
+
+
 def test_odata_filter_pushes_down(spark, sf_dir):
     """Translated predicates must reach the parquet scan: PushedFilters
     carries the comparison, ReadSchema drops unselected columns."""
