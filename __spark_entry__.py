@@ -1073,6 +1073,53 @@ _EVENTS_APPLY_AGGREGATE_SQL = """
 """
 
 
+def _orders_ntile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window family: ntile / percent_rank / dense_rank per
+    customer over a unique order (deterministic across engines)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.dense_rank().over(w).alias("drank"),
+    )
+
+
+_ORDERS_NTILE_SQL = """
+    SELECT o_custkey, o_orderkey,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           dense_rank() OVER w AS drank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
+def _customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (the EXISTS shape): customers holding at least one
+    order above the threshold — existence check, no row multiplication."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    big = orders.where(F.col("o_totalprice") > 400000.0)
+    return customer.join(
+        big, customer.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+_CUSTOMERS_WITH_BIG_ORDERS_SQL = """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0
+    )
+"""
+
+
 def _events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap join (operators/joins.interval_join): two interval
     sets derived from events, joined bucketized (explode-to-bins
@@ -1615,6 +1662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_apply_aggregate": _events_apply_aggregate,
         "orders_above_customer_avg": _orders_above_customer_avg,
         "events_interval_join": _events_interval_join,
+        "orders_ntile_ranks": _orders_ntile_ranks,
+        "customers_with_big_orders": _customers_with_big_orders,
         "customers_repeat_window": _customers_repeat_window,
         "orders_lag_gap": _orders_lag_gap,
         "lineitem_running_totals": _lineitem_running_totals,
@@ -1674,6 +1723,8 @@ def oracle_sql() -> dict[str, str]:
         "events_apply_aggregate": _EVENTS_APPLY_AGGREGATE_SQL,
         "orders_above_customer_avg": _ORDERS_ABOVE_AVG_SQL,
         "events_interval_join": _EVENTS_INTERVAL_JOIN_SQL,
+        "orders_ntile_ranks": _ORDERS_NTILE_SQL,
+        "customers_with_big_orders": _CUSTOMERS_WITH_BIG_ORDERS_SQL,
         "customers_repeat_window": _CUSTOMERS_REPEAT_SQL,
         "orders_lag_gap": _ORDERS_LAG_GAP_SQL,
         "lineitem_running_totals": _LINEITEM_RUNNING_SQL,
