@@ -1127,14 +1127,16 @@ def _events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     checked against DuckDB's inequality join."""
     from sap_spark.operators.joins import interval_join
 
+    # modulus scoping keeps both sides non-empty (non-vacuous) at EVERY
+    # scale factor while bounding the candidate-pair volume to ~5% x 5%
     ev = _t(spark, sf_dir, "events")
-    left = ev.where(F.col("event_id") < 2000).select(
+    left = ev.where(F.col("event_id") % 20 == 0).select(
         F.pmod(F.col("user_id"), F.lit(20)).alias("k"),
         F.col("value").alias("ls"),
         (F.col("value") + 8.0).alias("le"),
         F.col("event_id").alias("lid"),
     )
-    right = ev.where((F.col("event_id") >= 2000) & (F.col("event_id") < 3500)).select(
+    right = ev.where(F.col("event_id") % 20 == 1).select(
         F.pmod(F.col("user_id"), F.lit(20)).alias("k"),
         F.col("value").alias("rs"),
         (F.col("value") + 5.0).alias("re"),
@@ -1148,11 +1150,11 @@ _EVENTS_INTERVAL_JOIN_SQL = """
     WITH l AS (
         SELECT user_id % 20 AS k, value AS ls, value + 8.0 AS le,
                event_id AS lid
-        FROM events WHERE event_id < 2000
+        FROM events WHERE event_id % 20 = 0
     ), r AS (
         SELECT user_id % 20 AS k, value AS rs, value + 5.0 AS re,
                event_id AS rid
-        FROM events WHERE event_id >= 2000 AND event_id < 3500
+        FROM events WHERE event_id % 20 = 1
     )
     SELECT l.k AS k, lid, rid
     FROM l JOIN r ON l.k = r.k AND l.ls < r.re AND r.rs < l.le
@@ -1160,17 +1162,23 @@ _EVENTS_INTERVAL_JOIN_SQL = """
 
 
 def _orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated scalar subquery (Catalyst decorrelates it into an
-    aggregate + join — no per-row re-execution), via the SQL API."""
+    """Correlated scalar subqueries (Catalyst decorrelates them into
+    aggregates + joins — no per-row re-execution), via the SQL API.
+    The "price > 1.5× customer average" predicate is stated without any
+    float division — price·count > 1.5·sum in exact decimal arithmetic —
+    so the boundary cannot drift by engine summation order."""
     _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
     return spark.sql(
         """
         SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS total
         FROM v_orders o
-        WHERE o_totalprice > 1.5 * (
-            SELECT AVG(o2.o_totalprice) FROM v_orders o2
-            WHERE o2.o_custkey = o.o_custkey
-        )
+        WHERE CAST(o_totalprice AS DECIMAL(18,2)) * (
+                SELECT COUNT(*) FROM v_orders o2
+                WHERE o2.o_custkey = o.o_custkey
+              ) > 1.5 * (
+                SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+                FROM v_orders o2 WHERE o2.o_custkey = o.o_custkey
+              )
         """
     )
 
@@ -1178,10 +1186,13 @@ def _orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORDERS_ABOVE_AVG_SQL = """
     SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS total
     FROM orders o
-    WHERE o_totalprice > 1.5 * (
-        SELECT AVG(o2.o_totalprice) FROM orders o2
-        WHERE o2.o_custkey = o.o_custkey
-    )
+    WHERE CAST(o_totalprice AS DECIMAL(18,2)) * (
+            SELECT COUNT(*) FROM orders o2
+            WHERE o2.o_custkey = o.o_custkey
+          ) > 1.5 * (
+            SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+            FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+          )
 """
 
 
