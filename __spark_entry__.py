@@ -626,6 +626,34 @@ def _docs_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator/lateral operator class: explode the tokenized corpus and
+    count word frequencies (the vocabulary-building primitive) — explode
+    stays inside whole-stage codegen, aggregation is two-phase hash."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.where(F.trim("text") != "").select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+    )
+    return (
+        words.where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(50)
+    )
+
+
+_DOCS_TOP_WORDS_SQL = r"""
+    SELECT word, COUNT(*) AS n
+    FROM (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        FROM documents WHERE trim(text) <> ''
+    )
+    WHERE word <> ''
+    GROUP BY word ORDER BY n DESC, word LIMIT 50
+"""
+
+
 def _docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (training-data pipeline tail): documents in doc_id
     order chunked into ~512-token context bins by greedy offset chunking
@@ -1663,6 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lang_profile": _docs_lang_profile,
         "docs_token_stats": _docs_token_stats,
         "docs_pack_sequences": _docs_pack_sequences,
+        "docs_top_words": _docs_top_words,
         "docs_snapshot_diff": _docs_snapshot_diff,
         "emb_cosine_topk": _emb_cosine_topk,
         "events_hourly_window": _events_hourly_window,
@@ -1724,6 +1753,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_lang_profile": _DOCS_LANG_PROFILE_SQL,
         "docs_token_stats": _DOCS_TOKEN_STATS_SQL,
         "docs_pack_sequences": _DOCS_PACK_SEQUENCES_SQL,
+        "docs_top_words": _DOCS_TOP_WORDS_SQL,
         "docs_snapshot_diff": _DOCS_SNAPSHOT_DIFF_SQL,
         "emb_cosine_topk": _EMB_COSINE_TOPK_SQL,
         "events_hourly_window": _EVENTS_HOURLY_WINDOW_SQL,
