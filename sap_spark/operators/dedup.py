@@ -31,7 +31,10 @@ Three equivalent implementations are provided:
 - ``lww_window`` — the row_number() window over (key, order desc) with
   optional **two-level salting** for hot-key skew (a single hot (repo,path)
   cannot be split by AQE inside Window.partitionBy; salting must be
-  explicit). This is the canonical CDC-dedup shape.
+  explicit). This is the canonical CDC-dedup shape. Both window levels run
+  over a payload-pruned (key…, event_seq, delta_token) projection — payload
+  bytes never enter the window sorts — and winners fetch their payloads via
+  the same broadcast probe the fetch fold uses.
 - ``lww_agg`` — groupBy(key).agg(max_by(payload, event_seq)): hash
   aggregation with **map-side partial aggregation**, so a hot key is
   pre-combined per map partition before the shuffle — skew-resistant by
@@ -39,6 +42,10 @@ Three equivalent implementations are provided:
   shuffle, which is memory-bandwidth-bound on content-sized rows.
   Duplicate deliveries tie on event_seq with identical payloads, so
   max_by remains deterministic.
+
+All strategies pin the same tie-break: equal ``event_seq`` (a duplicate
+delivery) resolves to the **largest** ``delta_token`` — the latest
+delivery wins, deterministically and identically across strategies.
 
 The reference implements none of this (it is a pass-through batch source,
 SURVEY.md §2.5); these operators are the engine's extension required by
@@ -135,14 +142,21 @@ def lww_window(
     salt_partitions winners per key exactly. Salting derives from the
     *order column*, never the key, so it cannot break LWW ordering: every
     salt bucket's winner is a true candidate and level 2 picks the global
-    max. Duplicate deliveries (equal event_seq) tie-break on ascending
-    delta_token for determinism.
+    max. Duplicate deliveries (equal event_seq) tie-break on the **largest**
+    delta_token — the same order lww_fetch/lww_agg pin.
+
+    Payload pruning: both window levels run over a slim
+    (key…, event_seq, delta_token) projection only — in the salted form a
+    content blob would otherwise cross TWO shuffle+sorts before losers are
+    discarded, which made this the memory-bandwidth-bound worst of the four
+    strategies. Winners (O(distinct keys) slim rows) then fetch their
+    payloads through the same broadcast hash probe as the fetch fold, so
+    the payload bytes move exactly once, map-side.
     """
     keys = list(cfg.key_columns)
     seq, tok = cfg.order_column, cfg.token_column
-    order = [F.col(seq).desc(), F.col(tok).asc()] if tok in events.columns else [
-        F.col(seq).desc()
-    ]
+    has_tok = tok in events.columns
+    order = [F.col(seq).desc()] + ([F.col(tok).desc()] if has_tok else [])
 
     def pick_one(df: DataFrame, partition_cols: list[str]) -> DataFrame:
         w = Window.partitionBy(*partition_cols).orderBy(*order)
@@ -150,12 +164,18 @@ def lww_window(
             "__rn"
         )
 
-    if not salted:
-        return pick_one(events, keys)
+    slim_cols = [*keys, seq] + ([tok] if has_tok else [])
+    slim = events.select(*slim_cols)
+    if salted:
+        salt = F.pmod(F.xxhash64(F.col(seq)), F.lit(cfg.salt_partitions)).cast("int")
+        slim = pick_one(slim.withColumn("__salt", salt), keys + ["__salt"]).drop(
+            "__salt"
+        )
+    winners = pick_one(slim, keys)
 
-    salt = F.pmod(F.xxhash64(F.col(seq)), F.lit(cfg.salt_partitions)).cast("int")
-    level1 = pick_one(events.withColumn("__salt", salt), keys + ["__salt"]).drop("__salt")
-    return pick_one(level1, keys)
+    if set(events.columns) <= set(slim_cols):
+        return winners  # no payload columns to fetch
+    return _fetch_payloads(events, winners.select(*keys, seq), cfg)
 
 
 def lww_agg(events: DataFrame, cfg: EngineConfig) -> DataFrame:
@@ -259,11 +279,21 @@ def fetch_winner_payloads(
     exchange hash-partitions by the keys the downstream MERGE joins on
     anyway — the common (no-duplicate) case ships the same bytes through
     the same number of shuffles as the unguarded plan."""
+    survivors = drop_cancelled(events, cfg, cancelled=cancelled)
+    return _fetch_payloads(survivors, winners, cfg)
+
+
+def _fetch_payloads(
+    survivors: DataFrame, winners: DataFrame, cfg: EngineConfig
+) -> DataFrame:
+    """The broadcast winner-to-payload probe + duplicate-delivery guard
+    shared by lww_fetch (phase B) and the payload-pruned lww_window.
+    `winners` is a (key..., event_seq) frame with <=1 row per key; output is
+    one full row per key carrying the max-token delivery's payload."""
     keys = list(cfg.key_columns)
     seq, tok = cfg.order_column, cfg.token_column
     if getattr(cfg, "broadcast_winners", True):
         winners = F.broadcast(winners)
-    survivors = drop_cancelled(events, cfg, cancelled=cancelled)
     fetched = survivors.join(winners, on=[*keys, seq], how="inner")
     rest = [c for c in fetched.columns if c not in keys and c != tok]
     carried = F.struct(*[F.col(c).alias(c) for c in rest])

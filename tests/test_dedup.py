@@ -135,3 +135,56 @@ def test_fetch_without_token_column_falls_back(spark, events):
         .collect()
     )
     assert got == want
+
+
+def test_tiebreak_is_max_token_across_strategies(spark):
+    """Pinned LWW tie-break: a duplicate delivery (same event_seq under a
+    later delta_token) resolves to the LARGEST token in every token-aware
+    strategy. Payloads deliberately differ per delivery here (violating the
+    identical-payload contract) purely to make the tie-break observable."""
+    rows = [
+        ("r1", "a.py", 5, "T01", "I", "c-old", "py", "first delivery"),
+        ("r1", "a.py", 5, "T03", "I", "c-new", "py", "redelivery"),
+        ("r1", "a.py", 5, "T02", "I", "c-mid", "py", "middle delivery"),
+        ("r2", "b.py", 9, "T01", "I", "c9", "py", "single"),
+    ]
+    log = spark.createDataFrame(
+        rows,
+        "repo string, path string, event_seq long, delta_token string, "
+        "op string, commit string, lang string, content string",
+    )
+    for strategy in ["fetch", "window", "window_salted"]:
+        got = {
+            (r["repo"], r["path"]): r["commit"]
+            for r in fold_changes(log, CFG, strategy=strategy).collect()
+        }
+        assert got == {("r1", "a.py"): "c-new", ("r2", "b.py"): "c9"}, strategy
+
+
+def test_strategies_agree_with_duplicate_deliveries(spark):
+    """Contract-conformant duplicate deliveries (identical payloads) yield
+    value-identical one-row-per-key output under ALL four strategies."""
+    base = [
+        ("r1", "a.py", 5, "T01", "I", "c5", "py", "body5"),
+        ("r1", "a.py", 7, "T02", "U", "c7", "py", "body7"),
+        ("r1", "a.py", 7, "T03", "U", "c7", "py", "body7"),  # redelivery
+        ("r1", "a.py", 7, "T03", "U", "c7", "py", "body7"),  # within-token dup
+        ("r2", "b.py", 9, "T02", "I", "c9", "py", "body9"),
+        ("r2", "b.py", 9, "T04", "I", "c9", "py", "body9"),  # redelivery
+    ]
+    log = spark.createDataFrame(
+        base,
+        "repo string, path string, event_seq long, delta_token string, "
+        "op string, commit string, lang string, content string",
+    )
+    outs = []
+    for strategy in ["fetch", "agg", "window", "window_salted"]:
+        out = (
+            fold_changes(log, CFG, strategy=strategy)
+            .orderBy("repo", "path")
+            .select("repo", "path", "event_seq", "op", "commit", "content")
+            .collect()
+        )
+        assert len(out) == 2, strategy
+        outs.append(out)
+    assert outs[0] == outs[1] == outs[2] == outs[3]

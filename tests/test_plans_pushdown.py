@@ -265,3 +265,38 @@ def test_lww_winners_is_hash_aggregate(spark, sf_dir):
     # and the scan never touches payload columns (content/commit pruned)
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0] if "ReadSchema:" in plan else ""
     assert "content" not in read_schema
+
+
+def test_lww_window_salted_prunes_payload_below_sorts(spark, tmpdir_path):
+    """The salted window fold (north_star machinery) must never carry
+    payload columns through its window sorts: every Sort/Window/Exchange
+    node below the payload fetch operates on (key…, event_seq, delta_token)
+    only, and the payload join back is a broadcast hash probe."""
+    from sap_spark.operators.dedup import lww_window
+    from sap_spark.sources.datagen import gen_change_events, write_change_log
+
+    events = gen_change_events(spark, n_events=2000, n_keys=200, events_per_token=500)
+    write_change_log(events, f"{tmpdir_path}/wlog")
+    log = spark.read.parquet(f"{tmpdir_path}/wlog")
+
+    cfg = EngineConfig().validate()
+    plan = plan_of(lww_window(log, cfg, salted=True))
+    physical = plan.split("== Physical Plan ==")[-1]
+
+    # formatted explain: per-node detail sections separated by blank lines
+    # window sorts order by event_seq DESC; the (all-ASC, post-fetch) guard
+    # sort over O(keys) winner rows legitimately carries payloads
+    for section in physical.split("\n\n"):
+        header = section.splitlines()[0] if section.strip() else ""
+        is_window_sort = ") Sort" in header and "DESC" in section
+        if ") Window" in header or is_window_sort:
+            assert "content" not in section and "commit" not in section, (
+                "payload column below a window sort:\n" + section
+            )
+    # the winner→payload join is a broadcast probe, not a payload shuffle
+    assert "BroadcastHashJoin" in physical
+    # the slim branch's scan must not read payload columns
+    read_schemas = [s.splitlines()[0] for s in plan.split("ReadSchema:")[1:]]
+    assert any("content" not in rs and "commit" not in rs for rs in read_schemas), (
+        "window winner branch reads payload columns:\n" + "\n".join(read_schemas)
+    )
