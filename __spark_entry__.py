@@ -748,27 +748,32 @@ def _docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _docs_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup groups over documents."""
-    from sap_spark.operators.textdedup import dedup_minhash_lsh
+def _docs_neardup_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three text near-dup strategies over documents in one contract
+    query — MinHash+LSH (char shingles), word-n-gram Jaccard, and SimHash
+    (pigeonhole chunk join) — unioned as (method, doc_id, group_id).
+    Rows-only: hash-seeded banding has no DuckDB equivalent; recall /
+    precision / group-resolution semantics are pinned in
+    tests/test_textdedup.py."""
+    from sap_spark.operators.textdedup import (
+        dedup_minhash_lsh,
+        dedup_ngram_jaccard,
+        dedup_simhash,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    return dedup_minhash_lsh(docs, "doc_id", "text", threshold=0.7)
-
-
-def _docs_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sap_spark.operators.textdedup import dedup_simhash
-
-    docs = _t(spark, sf_dir, "documents")
-    return dedup_simhash(docs, "doc_id", "text", max_hamming=3)
-
-
-def _docs_ngram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-n-gram Jaccard near-dup (paraphrase-level; LSH-bucketed)."""
-    from sap_spark.operators.textdedup import dedup_ngram_jaccard
-
-    docs = _t(spark, sf_dir, "documents")
-    return dedup_ngram_jaccard(docs, "doc_id", "text", threshold=0.7)
+    parts = [
+        ("minhash", dedup_minhash_lsh(docs, "doc_id", "text", threshold=0.7)),
+        ("ngram", dedup_ngram_jaccard(docs, "doc_id", "text", threshold=0.7)),
+        ("simhash", dedup_simhash(docs, "doc_id", "text", max_hamming=3)),
+    ]
+    out = None
+    for method, df in parts:
+        tagged = df.select(
+            F.lit(method).alias("method"), "doc_id", "group_id"
+        )
+        out = tagged if out is None else out.unionByName(tagged)
+    return out
 
 
 def _emb_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -782,55 +787,65 @@ def _emb_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe hyperplane-LSH ANN (approximate top-k)."""
-    from sap_spark.operators.textdedup import ann_lsh
+def _emb_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both approximate-nearest-neighbor index paths in one contract query:
+    multi-probe hyperplane-LSH and IVF (k-means inverted lists + nprobe
+    partition-pruned probe), unioned as (method, vec_id, cosine). Rows-only:
+    hash-seeded signatures / k-means assignment are not DuckDB-expressible;
+    recall floors and the nprobe pruning plan are pinned in
+    tests/test_text_similarity.py. The exact brute-force baseline is the
+    oracle-checked emb_cosine_topk."""
+    from sap_spark.operators.textdedup import ann_ivf, ann_lsh, build_ivf_index
 
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
-    return ann_lsh(
-        emb.where(F.col("vec_id") != 0), "vec_id", "embedding", list(q),
+    q = list(emb.where(F.col("vec_id") == 0).collect()[0]["embedding"])
+    corpus = emb.where(F.col("vec_id") != 0)
+    lsh = ann_lsh(
+        corpus, "vec_id", "embedding", q,
         dim=len(q), k=10, n_planes=12, max_probe_hamming=6,
     )
-
-
-def _emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: k-means inverted lists (build once) + nprobe cosine probe —
-    the partition-prunable index path; recall/pruning pinned in
-    tests/test_text_similarity.py (rows-only here: k-means assignment is
-    not DuckDB-expressible)."""
-    from sap_spark.operators.textdedup import ann_ivf, build_ivf_index
-
-    emb = _t(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
     assigned, centroids = build_ivf_index(
-        emb.where(F.col("vec_id") != 0), "vec_id", "embedding",
-        n_centroids=16, seed=7,
+        corpus, "vec_id", "embedding", n_centroids=16, seed=7
     )
-    return ann_ivf(
-        assigned, centroids, "vec_id", "embedding", list(q), k=10, nprobe=8
+    ivf = ann_ivf(assigned, centroids, "vec_id", "embedding", q, k=10, nprobe=8)
+    return lsh.select(F.lit("lsh").alias("method"), "vec_id", "cosine").unionByName(
+        ivf.select(F.lit("ivf").alias("method"), "vec_id", "cosine")
     )
 
 
-def _assets_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal image features over binary assets, Arrow-batched.
-    A third of the generated payloads are REAL netpbm images decoded by
-    the pure-numpy codec tier (true dims/luma/a-hash); the opaque rest
-    exercise the env-gated stub tier (compressed codecs absent from this
-    image). See functions/multimodal.py."""
-    from sap_spark.functions.multimodal import extract_image_features, gen_assets
+def _assets_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal image AND audio feature extraction over binary assets in
+    one contract query, Arrow-batched via mapInPandas. A third of the
+    generated payloads are REAL netpbm images (pure-numpy decode: true
+    dims/luma/a-hash) and a third REAL PCM WAV clips (stdlib wave codec:
+    true duration/rate/RMS); the opaque rest exercise the env-gated stub
+    tier (compressed codecs absent from this image). Each modality's typed
+    feature row is serialized to JSON so the two schemas union; exact
+    per-feature values are pinned in tests/test_multimodal.py."""
+    from sap_spark.functions.multimodal import (
+        extract_audio_features,
+        extract_image_features,
+        gen_assets,
+    )
 
-    return extract_image_features(gen_assets(spark, 200))
-
-
-def _assets_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal audio features, Arrow-batched. A third of the generated
-    payloads are REAL PCM WAV clips decoded via the stdlib wave codec
-    tier (true duration/rate/RMS); the opaque rest exercise the env-gated
-    stub tier. See functions/multimodal.py."""
-    from sap_spark.functions.multimodal import extract_audio_features, gen_assets
-
-    return extract_audio_features(gen_assets(spark, 200))
+    assets = gen_assets(spark, 200)
+    img = extract_image_features(assets)
+    aud = extract_audio_features(assets)
+    img_feats = img.select(
+        F.lit("image").alias("modality"),
+        "asset_id",
+        F.to_json(F.struct(*[c for c in img.columns if c != "asset_id"])).alias(
+            "features_json"
+        ),
+    )
+    aud_feats = aud.select(
+        F.lit("audio").alias("modality"),
+        "asset_id",
+        F.to_json(F.struct(*[c for c in aud.columns if c != "asset_id"])).alias(
+            "features_json"
+        ),
+    )
+    return img_feats.unionByName(aud_feats)
 
 
 def _cdc_token_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1567,106 +1582,66 @@ _ODATA4_FEED_DECODE_SQL = """
 """
 
 
-def _decode_duration_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T11: ISO-8601 duration render from both wire forms (seconds decimal
-    and duration literal), value-derived precision, trailing zeros trimmed."""
-    from sap_spark.functions.decode import decode_duration
+def _decode_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined single-kernel decode matrix (T8 timestamp, T10
+    DateTimeOffset offset-preserving render, T11 ISO-8601 duration from
+    both wire forms, T12 strict HALF_EVEN decimal) — one row set, four
+    decoded columns, null propagation (T1) on the padded tail. The full
+    wire-path coverage of these kernels lives in odata2_feed_decode /
+    odata4_feed_decode; this query pins the literal edge cases."""
+    from sap_spark.functions.decode import (
+        decode_datetimeoffset,
+        decode_duration,
+        decode_timestamp,
+        make_decimal_decoder,
+    )
 
     rows = [
-        (1, "0"), (2, "0.5"), (3, "59.999"), (4, "60"), (5, "3600"),
-        (6, "86400"), (7, "90061.5"), (8, "-90061.5"), (9, "1.500"),
-        (10, "1123199.999999999999"), (11, "P12DT23H59M59.999999999999S"),
-        (12, None),
+        (1, "0", "2002-10-10T17:00:01+01:00", "123.45", "1984-12-08T01:01:01"),
+        (2, "0.5", "2019-08-29T14:52:08.155+02:00", "-0.01", "2012-12-03"),
+        (3, "59.999", "2010-12-13T00:00:00Z", "9999.99",
+         "2002-10-10 17:00:01.123456"),
+        (4, "60", "2019-01-01T00:00:00.120Z", "0", None),
+        (5, "3600", "1984-12-08 01:01:01-05:30", "1234.565", None),
+        (6, "86400", None, "1234.575", None),
+        (7, "90061.5", None, None, None),
+        (8, "-90061.5", None, None, None),
+        (9, "1.500", None, None, None),
+        (10, "1123199.999999999999", None, None, None),
+        (11, "P12DT23H59M59.999999999999S", None, None, None),
+        (12, None, None, None, None),
     ]
-    df = spark.createDataFrame(rows, "id int, wire string")
-    return df.select("id", decode_duration("wire", F.col("wire")).alias("iso"))
+    df = spark.createDataFrame(
+        rows, "id int, w_dur string, w_dto string, w_dec string, w_ts string"
+    )
+    dec = make_decimal_decoder("w_dec", 6, 2)
+    return df.select(
+        "id",
+        decode_duration("w_dur", F.col("w_dur")).alias("iso"),
+        decode_datetimeoffset("w_dto", F.col("w_dto")).alias("dto"),
+        dec(F.col("w_dec")).cast("double").alias("dec_v"),
+        decode_timestamp("w_ts", F.col("w_ts")).alias("ts_v"),
+    )
 
 
-_DECODE_DURATION_SQL = """
+_DECODE_KERNELS_SQL = """
     SELECT * FROM (VALUES
-        (1, 'PT0S'), (2, 'PT0.5S'), (3, 'PT59.999S'), (4, 'PT1M'),
-        (5, 'PT1H'), (6, 'P1D'), (7, 'P1DT1H1M1.5S'), (8, '-P1DT1H1M1.5S'),
-        (9, 'PT1.5S'), (10, 'P12DT23H59M59.999999999999S'),
-        (11, 'P12DT23H59M59.999999999999S'), (12, NULL)
-    ) t(id, iso)
-"""
-
-
-def _decode_datetimeoffset_render(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T10: offset-preserving ISO-8601 render (never a timestamp — 'to
-    avoid timezone information loss'); Z → +00:00, fraction trimmed to the
-    value's own precision."""
-    from sap_spark.functions.decode import decode_datetimeoffset
-
-    rows = [
-        (1, "2002-10-10T17:00:01+01:00"),
-        (2, "2019-08-29T14:52:08.155+02:00"),
-        (3, "2010-12-13T00:00:00Z"),
-        (4, "2019-01-01T00:00:00.120Z"),
-        (5, "1984-12-08 01:01:01-05:30"),
-        (6, None),
-    ]
-    df = spark.createDataFrame(rows, "id int, wire string")
-    return df.select("id", decode_datetimeoffset("wire", F.col("wire")).alias("dto"))
-
-
-_DECODE_DTO_SQL = """
-    SELECT * FROM (VALUES
-        (1, '2002-10-10T17:00:01+01:00'),
-        (2, '2019-08-29T14:52:08.155+02:00'),
-        (3, '2010-12-13T00:00:00+00:00'),
-        (4, '2019-01-01T00:00:00.12+00:00'),
-        (5, '1984-12-08T01:01:01-05:30'),
-        (6, NULL)
-    ) t(id, dto)
-"""
-
-
-def _decode_decimal_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T12: strict decimal(6,2) — exact-scale values pass through; longer
-    mantissas round HALF_EVEN into the declared precision (1234.565 → .56,
-    1234.575 → .58: ties to even, not up)."""
-    from sap_spark.functions.decode import make_decimal_decoder
-
-    rows = [
-        (1, "123.45"), (2, "-0.01"), (3, "9999.99"), (4, "0"),
-        (5, "1234.565"), (6, "1234.575"), (7, None),
-    ]
-    df = spark.createDataFrame(rows, "id int, wire string")
-    dec = make_decimal_decoder("wire", 6, 2)
-    return df.select("id", dec(F.col("wire")).cast("double").alias("dec_v"))
-
-
-_DECODE_DECIMAL_SQL = """
-    SELECT * FROM (VALUES
-        (1, 123.45), (2, -0.01), (3, 9999.99), (4, 0.0),
-        (5, 1234.56), (6, 1234.58), (7, NULL)
-    ) t(id, dec_v)
-"""
-
-
-def _decode_timestamp_t8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T8: wire datetime strings → timestamp micros (Edm.DateTime/Edm.Date
-    both land on TimestampType — the deliberate not-a-DateType quirk)."""
-    from sap_spark.functions.decode import decode_timestamp
-
-    rows = [
-        (1, "1984-12-08T01:01:01"),
-        (2, "2012-12-03"),
-        (3, "2002-10-10 17:00:01.123456"),
-        (4, None),
-    ]
-    df = spark.createDataFrame(rows, "id int, wire string")
-    return df.select("id", decode_timestamp("wire", F.col("wire")).alias("ts_v"))
-
-
-_DECODE_TIMESTAMP_SQL = """
-    SELECT * FROM (VALUES
-        (1, TIMESTAMP '1984-12-08 01:01:01'),
-        (2, TIMESTAMP '2012-12-03 00:00:00'),
-        (3, TIMESTAMP '2002-10-10 17:00:01.123456'),
-        (4, NULL)
-    ) t(id, ts_v)
+        (1, 'PT0S', '2002-10-10T17:00:01+01:00', 123.45,
+            TIMESTAMP '1984-12-08 01:01:01'),
+        (2, 'PT0.5S', '2019-08-29T14:52:08.155+02:00', -0.01,
+            TIMESTAMP '2012-12-03 00:00:00'),
+        (3, 'PT59.999S', '2010-12-13T00:00:00+00:00', 9999.99,
+            TIMESTAMP '2002-10-10 17:00:01.123456'),
+        (4, 'PT1M', '2019-01-01T00:00:00.12+00:00', 0.0, NULL),
+        (5, 'PT1H', '1984-12-08T01:01:01-05:30', 1234.56, NULL),
+        (6, 'P1D', NULL, 1234.58, NULL),
+        (7, 'P1DT1H1M1.5S', NULL, NULL, NULL),
+        (8, '-P1DT1H1M1.5S', NULL, NULL, NULL),
+        (9, 'PT1.5S', NULL, NULL, NULL),
+        (10, 'P12DT23H59M59.999999999999S', NULL, NULL, NULL),
+        (11, 'P12DT23H59M59.999999999999S', NULL, NULL, NULL),
+        (12, NULL, NULL, NULL, NULL)
+    ) t(id, iso, dto, dec_v, ts_v)
 """
 
 
@@ -1717,22 +1692,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": _events_range_join,
         "odata2_feed_decode": _odata2_feed_decode,
         "odata4_feed_decode": _odata4_feed_decode,
-        "decode_duration_iso": _decode_duration_iso,
-        "decode_datetimeoffset_render": _decode_datetimeoffset_render,
-        "decode_decimal_strict": _decode_decimal_strict,
-        "decode_timestamp_t8": _decode_timestamp_t8,
+        "decode_kernels": _decode_kernels,
         # rows-only (non-SQL-expressible; pytest-verified semantics)
         "cdc_replay_synthetic": _cdc_replay_synthetic,
         "docs_quality_lang": _docs_quality_lang,
         "docs_stratified_sample": _docs_stratified_sample,
-        "docs_minhash_dedup": _docs_minhash_dedup,
-        "docs_simhash_dedup": _docs_simhash_dedup,
-        "docs_ngram_dedup": _docs_ngram_dedup,
+        "docs_neardup_methods": _docs_neardup_methods,
         "emb_cosine_dedup": _emb_cosine_dedup,
-        "emb_ann_lsh": _emb_ann_lsh,
-        "emb_ann_ivf": _emb_ann_ivf,
-        "assets_image_features": _assets_image_features,
-        "assets_audio_features": _assets_audio_features,
+        "emb_ann_methods": _emb_ann_methods,
+        "assets_media_features": _assets_media_features,
         "cdc_token_progress": _cdc_token_progress,
     }
 
@@ -1779,13 +1747,11 @@ def oracle_sql() -> dict[str, str]:
         "events_range_join": _EVENTS_RANGE_JOIN_SQL,
         "odata2_feed_decode": _ODATA2_FEED_DECODE_SQL,
         "odata4_feed_decode": _ODATA4_FEED_DECODE_SQL,
-        "decode_duration_iso": _DECODE_DURATION_SQL,
-        "decode_datetimeoffset_render": _DECODE_DTO_SQL,
-        "decode_decimal_strict": _DECODE_DECIMAL_SQL,
-        "decode_timestamp_t8": _DECODE_TIMESTAMP_SQL,
+        "decode_kernels": _DECODE_KERNELS_SQL,
         # intentionally no oracle for: cdc_replay_synthetic (non-SQL source;
         # exact-state parity pytest-verified against the sequential fold),
-        # docs_quality_lang / docs_minhash_dedup / docs_simhash_dedup /
-        # emb_ann_lsh / assets_image_features / cdc_token_progress
-        # (hash-seeded / UDF / approx operators — semantics pinned in tests).
+        # docs_quality_lang / docs_stratified_sample / docs_neardup_methods /
+        # emb_cosine_dedup / emb_ann_methods / assets_media_features /
+        # cdc_token_progress (hash-seeded / UDF / approx operators —
+        # semantics pinned in tests).
     }
