@@ -32,6 +32,50 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _check_no_column_clash(
+    left: DataFrame, right: DataFrame, on: list[str]
+) -> None:
+    """Non-key columns shared by both sides would surface as an ambiguous-
+    column AnalysisException only at the final filter — fail fast instead,
+    naming the colliding columns (same contract asof_join enforces)."""
+    clash = sorted((set(left.columns) & set(right.columns)) - set(on))
+    if clash:
+        raise ValueError(
+            f"non-key columns present on both join sides: {clash}; "
+            "rename or drop them on one side before joining"
+        )
+
+
+def _bounded_end_bin(
+    sc, ec, w, bin_width: float, max_bins_per_row: int
+):
+    """End-bin expression that fails fast with a clear message when one
+    interval would explode into more than ``max_bins_per_row`` replicas —
+    the symptom of a unit mismatch (ms timestamps against an s-scale
+    bin_width) or corrupt interval data, which otherwise dies much later
+    with an opaque array-size/OOM error, data-dependently."""
+    span_bins = F.floor(ec / w) - F.floor(sc / w)
+    return F.when(
+        span_bins >= F.lit(max_bins_per_row),
+        F.raise_error(
+            F.concat(
+                F.lit("interval ["),
+                sc.cast("string"),
+                F.lit(", "),
+                ec.cast("string"),
+                F.lit(") covers "),
+                (span_bins + 1).cast("string"),
+                F.lit(
+                    f" bins > max_bins_per_row={max_bins_per_row} at "
+                    f"bin_width={bin_width} — likely a unit mismatch "
+                    "(e.g. millisecond timestamps with a second-scale "
+                    "bin_width); raise bin_width or max_bins_per_row"
+                ),
+            )
+        ).cast("long"),
+    ).otherwise(F.floor(ec / w))
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,
@@ -41,6 +85,7 @@ def range_join(
     right_end: str,
     bin_width: float,
     inclusive_end: bool = False,
+    max_bins_per_row: int = 100_000,
 ) -> DataFrame:
     """Point-in-interval join: left rows (numeric point p) × right rows
     (interval [start, end) — or [start, end] with ``inclusive_end``) with
@@ -70,9 +115,11 @@ def range_join(
     """
     if bin_width <= 0:
         raise ValueError("bin_width must be positive")
+    _check_no_column_clash(left, right, on)
     p = F.col(left_point)
     s, e = F.col(right_start), F.col(right_end)
-    l_binned = left.withColumn("__bin", F.floor(p / F.lit(bin_width)))
+    w = F.lit(bin_width)
+    l_binned = left.withColumn("__bin", F.floor(p / w))
     # guard empty/negative intervals (sequence() would DESCEND for
     # end_bin < start_bin)
     r_ok = right.where(e >= s if inclusive_end else e > s)
@@ -80,10 +127,10 @@ def range_join(
         "__bin",
         F.explode(
             F.sequence(
-                F.floor(s / F.lit(bin_width)),
+                F.floor(s / w),
                 F.greatest(
-                    F.floor(e / F.lit(bin_width)),
-                    F.floor(s / F.lit(bin_width)),
+                    _bounded_end_bin(s, e, w, bin_width, max_bins_per_row),
+                    F.floor(s / w),
                 ),
             )
         ),
@@ -106,6 +153,7 @@ def interval_join(
     right_end: str,
     bin_width: float,
     inclusive: bool = False,
+    max_bins_per_row: int = 100_000,
 ) -> DataFrame:
     """Interval-overlap join: left [ls, le) × right [rs, re) pairs with
     equal ``on`` keys that overlap (``ls < re and rs < le``; with
@@ -124,6 +172,7 @@ def interval_join(
     """
     if bin_width <= 0:
         raise ValueError("bin_width must be positive")
+    _check_no_column_clash(left, right, on)
     w = F.lit(bin_width)
 
     def binned(df: DataFrame, s: str, e: str) -> DataFrame:
@@ -134,7 +183,10 @@ def interval_join(
             F.explode(
                 F.sequence(
                     F.floor(sc / w),
-                    F.greatest(F.floor(ec / w), F.floor(sc / w)),
+                    F.greatest(
+                        _bounded_end_bin(sc, ec, w, bin_width, max_bins_per_row),
+                        F.floor(sc / w),
+                    ),
                 )
             ),
         )

@@ -18,7 +18,7 @@ clusters, which are tiny and star-shaped).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from sap_spark.functions.similarity import (
@@ -37,17 +37,37 @@ from sap_spark.functions.similarity import (
 from sap_spark.functions.text import normalize_text
 
 
-def dedup_exact(df: DataFrame, id_col: str, text_col: str, normalized: bool = True) -> DataFrame:
+def dedup_exact(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    normalized: bool = True,
+    max_members: int = 100,
+) -> DataFrame:
     """Exact dedup via hash-groupBy. Returns (hash, keep_id, n_copies,
-    dup_ids). Map-side partial agg makes this skew-tolerant."""
+    member_ids).
+
+    ``n_copies`` is always exact; ``member_ids`` lists at most
+    ``max_members`` ids (the smallest ones — ``keep_id`` is always first).
+    One pathological hash — the empty/boilerplate file repeated across
+    10^8 repos — must not materialize a multi-GB array row, so the cap is
+    enforced INSIDE the aggregation: a row_number() over (hash, id) marks
+    the first ``max_members`` candidates and ``collect_list`` only ever
+    buffers those (collect_list skips nulls), instead of slicing an
+    already-huge array after the fact. The window and the groupBy share
+    the content_hash partitioning, so this costs one shuffle + a
+    per-partition sort — no second exchange.
+    """
     basis = normalize_text(F.col(text_col)) if normalized else F.col(text_col)
-    return (
-        df.groupBy(F.sha2(basis, 256).alias("content_hash"))
-        .agg(
-            F.min(id_col).alias("keep_id"),
-            F.count(F.lit(1)).alias("n_copies"),
-            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
-        )
+    hashed = df.select(F.sha2(basis, 256).alias("content_hash"), F.col(id_col))
+    w = Window.partitionBy("content_hash").orderBy(id_col)
+    ranked = hashed.withColumn("__rn", F.row_number().over(w))
+    return ranked.groupBy("content_hash").agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("__rn") <= max_members, F.col(id_col)))
+        ).alias("member_ids"),
     )
 
 

@@ -119,10 +119,22 @@ def apply_query_options(df: DataFrame, opts: ODataQueryOptions) -> DataFrame:
         df = parse_odata_apply(opts.apply)(df)
     if opts.filter:
         try:
-            df = df.filter(parse_odata_filter(opts.filter))
-        except ODataFilterError:
-            # not OData grammar — treat as a native Spark SQL predicate
-            df = df.filter(opts.filter)
+            cond = parse_odata_filter(opts.filter)
+        except ODataFilterError as odata_err:
+            # not OData grammar — treat as a native Spark SQL predicate.
+            # If Spark can't parse it either (a typo'd OData expression,
+            # e.g. a misspelled function name), surface BOTH diagnostics:
+            # the Spark parse error alone is deeply confusing for a user
+            # who wrote OData.
+            try:
+                df = df.filter(opts.filter)
+            except Exception as spark_err:
+                raise ODataFilterError(
+                    f"$filter {opts.filter!r} is neither valid OData "
+                    f"({odata_err}) nor valid Spark SQL ({spark_err})"
+                ) from spark_err
+        else:
+            df = df.filter(cond)
     if opts.orderby:
         def sort_key(expr: str):
             # plain column fast-path; otherwise an OData expression

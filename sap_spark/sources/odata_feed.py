@@ -590,6 +590,7 @@ def stage_feed_pages(
     retry_backoff: float = 0.5,
     auth: "callable | None" = None,
     sleep: "callable" = None,
+    retryable: "callable | tuple | None" = None,
 ) -> dict:
     """The stager loop: follow server paging from ``first_url`` via
     ``fetch(url) → payload`` (the single I/O-bound, driver-side step —
@@ -620,10 +621,22 @@ def stage_feed_pages(
       ``fetch(url, auth())`` — ``auth()`` returning fresh headers (e.g.
       a renewed bearer token, the SapODataConfig user/password analog);
       otherwise ``fetch(url)``.
+    - **retryable**: by default every exception is retried; pass an
+      exception type / tuple of types, or a ``predicate(exc) -> bool``,
+      to make permanent failures (auth rejection, 404) raise immediately
+      instead of paying the full retries×backoff delay. Non-retryable
+      errors still carry the same :class:`StagerError` resume state.
     """
     import time as _time
 
     sleep = sleep or _time.sleep
+
+    def _is_retryable(e: Exception) -> bool:
+        if retryable is None:
+            return True
+        if isinstance(retryable, (type, tuple)):
+            return isinstance(e, retryable)
+        return bool(retryable(e))
 
     def fetch_with_retry(url: str) -> str:
         last_exc: Exception | None = None
@@ -632,6 +645,8 @@ def stage_feed_pages(
                 return fetch(url, auth()) if auth is not None else fetch(url)
             except Exception as e:  # noqa: BLE001 — transient transport errors
                 last_exc = e
+                if not _is_retryable(e):
+                    break  # permanent failure: no backoff, fail now
                 if attempt < retries:
                     sleep(retry_backoff * (2 ** attempt))
         raise last_exc  # re-raised as StagerError by the loop (with state)

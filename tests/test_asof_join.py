@@ -316,3 +316,55 @@ def test_asof_value_collision_raises(spark):
     right = spark.createDataFrame([(1, 5, 7)], "k long, rts long, v long")
     with pytest.raises(ValueError, match="collide"):
         asof_join(left, right, ["k"], "lts", "rts")
+
+
+def test_range_join_oversized_interval_fails_fast(spark):
+    """An interval covering more bins than max_bins_per_row (a ms-vs-s
+    unit mismatch, or corrupt data) must raise a clear error naming the
+    knob — not die later with an opaque array-size/OOM failure."""
+    from sap_spark.operators.joins import interval_join, range_join
+
+    lf = spark.createDataFrame([(1, 4.0, 1)], "k long, p double, pid long")
+    rf = spark.createDataFrame(
+        [(1, 0.0, 1.0e9, 10)], "k long, s double, e double, iid long"
+    )
+    with pytest.raises(Exception, match="max_bins_per_row"):
+        range_join(
+            lf, rf, ["k"], "p", "s", "e", bin_width=1.0, max_bins_per_row=1000
+        ).collect()
+    # same guard on both sides of the interval join
+    l2 = spark.createDataFrame(
+        [(1, 0.0, 1.0e9, 1)], "k long, ls double, le double, lid long"
+    )
+    r2 = spark.createDataFrame(
+        [(1, 2.0, 3.0, 10)], "k long, rs double, re double, rid long"
+    )
+    with pytest.raises(Exception, match="max_bins_per_row"):
+        interval_join(
+            l2, r2, ["k"], "ls", "le", "rs", "re", 1.0, max_bins_per_row=1000
+        ).collect()
+    # a wide-but-allowed interval still joins fine at a bigger width
+    ok = range_join(lf, rf, ["k"], "p", "s", "e", bin_width=2.0e6).collect()
+    assert len(ok) == 1
+
+
+def test_range_interval_join_column_clash_raises(spark):
+    """Shared non-key payload columns fail fast with the colliding names
+    (asof_join's contract), not an ambiguous-column AnalysisException at
+    the final filter."""
+    from sap_spark.operators.joins import interval_join, range_join
+
+    lf = spark.createDataFrame([(1, 4.0, 1)], "k long, p double, tag long")
+    rf = spark.createDataFrame(
+        [(1, 0.0, 8.0, 2)], "k long, s double, e double, tag long"
+    )
+    with pytest.raises(ValueError, match=r"\['tag'\]"):
+        range_join(lf, rf, ["k"], "p", "s", "e", bin_width=2.0)
+    l2 = spark.createDataFrame(
+        [(1, 0.0, 5.0, 1)], "k long, ls double, le double, tag long"
+    )
+    r2 = spark.createDataFrame(
+        [(1, 2.0, 3.0, 2)], "k long, rs double, re double, tag long"
+    )
+    with pytest.raises(ValueError, match=r"\['tag'\]"):
+        interval_join(l2, r2, ["k"], "ls", "le", "rs", "re", 2.0)

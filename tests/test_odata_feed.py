@@ -720,3 +720,44 @@ def test_enum_catalog_parsed_from_edmx():
     )
     prop = cat["E"].properties[0]
     assert prop.enum_members == {"Low": 0, "High": 1}  # auto-numbered
+
+
+def test_stager_nonretryable_fails_immediately(spark, tmpdir_path):
+    """A permanent failure (auth rejection, 404) classified by the
+    ``retryable`` predicate must raise without paying retries×backoff;
+    transient errors still back off. StagerError resume state is intact
+    either way."""
+    import pytest as _pytest
+
+    from sap_spark.sources.odata_feed import StagerError, stage_feed_pages
+
+    attempts = []
+    sleeps = []
+
+    def fetch(url):
+        attempts.append(url)
+        raise PermissionError("401 unauthorized")
+
+    with _pytest.raises(StagerError) as exc:
+        stage_feed_pages(
+            spark, fetch, "u1", f"{tmpdir_path}/s1", token="T1",
+            retries=3, retry_backoff=0.5, sleep=sleeps.append,
+            retryable=ConnectionError,  # 401 is not transient
+        )
+    assert attempts == ["u1"]  # exactly one attempt, no backoff
+    assert sleeps == []
+    assert exc.value.resume_url == "u1" and exc.value.pages_staged == 0
+
+    # a predicate callable works too, and transient errors still retry
+    def flaky(url):
+        attempts.append(url)
+        raise ConnectionError("reset")
+
+    attempts.clear()
+    with _pytest.raises(StagerError):
+        stage_feed_pages(
+            spark, flaky, "u1", f"{tmpdir_path}/s2", token="T1",
+            retries=2, retry_backoff=0.25, sleep=sleeps.append,
+            retryable=lambda e: isinstance(e, ConnectionError),
+        )
+    assert len(attempts) == 3 and sleeps == [0.25, 0.5]

@@ -246,3 +246,14 @@ def test_odata_filter_pushes_down(spark, sf_dir):
     assert "event_type" in pushed and "value" in pushed
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "user_id" not in read_schema and "props" not in read_schema
+
+
+def test_filter_typo_reports_both_grammars(df):
+    """A typo'd OData filter (misspelled function) that Spark SQL can't
+    parse either must fail with ODataFilterError carrying BOTH
+    diagnostics — not a bare confusing Spark parse error."""
+    from sap_spark.sources.odata_filter import ODataFilterError
+
+    opts = ODataQueryOptions.parse("$filter=substringoff('x', name)")
+    with pytest.raises(ODataFilterError, match="neither valid OData"):
+        apply_query_options(df, opts)

@@ -329,3 +329,20 @@ def test_dedup_embedding_cosine(spark):
     got = {r["id"]: r["group_id"] for r in dedup_embedding_cosine(df, "id", "v", 16, threshold=0.99).collect()}
     assert got[1] == got[2] == 1
     assert got[3] == 3
+
+
+def test_dedup_exact_bounds_member_ids(spark):
+    """A pathological hash (one boilerplate file across 10^5 repos) must
+    not materialize every duplicate id into one giant row: member_ids is
+    capped at max_members (smallest ids, keep_id first) while n_copies
+    stays exact."""
+    n = 100_000
+    big = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("same boilerplate").alias("text")
+    )
+    out = dedup_exact(big, "doc_id", "text", max_members=50).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["n_copies"] == n
+    assert row["keep_id"] == 0
+    assert row["member_ids"] == list(range(50))
