@@ -48,6 +48,14 @@ class EngineConfig:
     payload_columns: tuple[str, ...] = ("commit", "lang", "content")
     num_buckets: int = 32
     salt_partitions: int = 8
+    # strategy="auto" (streaming/pipeline.ingest_batch) flips a batch from
+    # the fetch fold to the salted-window fold when any single key carries
+    # at least this many events — the point where bounding every exchange
+    # explicitly (per-(key, salt) window partitions) beats relying on
+    # partial-aggregation behavior under adversarial skew. The probe reads
+    # the already-persisted payload-pruned winner scan, so it costs one
+    # tiny job over O(distinct keys) rows.
+    hot_key_threshold: int = 2_000_000
     # broadcast the LWW winner set in the fetch-fold (operators/dedup.py
     # lww_fetch); winners are O(distinct keys per batch) ~100 B rows. Flip
     # off for giant backfill batches whose key set exceeds broadcast size.
@@ -72,6 +80,8 @@ class EngineConfig:
             errors.append("num_buckets must be >= 1")
         if self.salt_partitions < 1:
             errors.append("salt_partitions must be >= 1")
+        if self.hot_key_threshold < 1:
+            errors.append("hot_key_threshold must be >= 1")
         if errors:
             raise ConfigError("; ".join(errors))
         return self

@@ -236,7 +236,10 @@ def lww_fetch(events: DataFrame, cfg: EngineConfig) -> DataFrame:
 
 
 def lww_winners(
-    events: DataFrame, cfg: EngineConfig, cancelled: DataFrame | None = None
+    events: DataFrame,
+    cfg: EngineConfig,
+    cancelled: DataFrame | None = None,
+    with_counts: bool = False,
 ) -> DataFrame:
     """Phase A of the fetch fold: (key…, event_seq) of each key's winning
     event. Payload columns are never referenced, so the scan prunes them.
@@ -250,11 +253,20 @@ def lww_winners(
     identifies the winning *event*; when SLT redelivers it under several
     tokens the payloads are identical and phase B's per-key guard picks
     the max-token delivery deterministically (the exact ordering the old
-    struct-max encoded)."""
+    struct-max encoded).
+
+    ``with_counts`` adds a ``__n_events`` surviving-event count per key —
+    one extra long in the same HashAggregate buffer, effectively free.
+    This feeds the auto-skew probe (streaming/pipeline.ingest_batch):
+    max(__n_events) over the persisted winner set is the batch's hottest
+    key, with no extra pass over the (payload-heavy) events."""
     keys = list(cfg.key_columns)
     seq = cfg.order_column
     survivors = drop_cancelled(events, cfg, cancelled=cancelled)
-    return survivors.groupBy(*keys).agg(F.max(F.col(seq)).alias(seq))
+    aggs = [F.max(F.col(seq)).alias(seq)]
+    if with_counts:
+        aggs.append(F.count(F.lit(1)).alias("__n_events"))
+    return survivors.groupBy(*keys).agg(*aggs)
 
 
 def fetch_winner_payloads(

@@ -49,6 +49,7 @@ def ingest_batch(
     cfg: EngineConfig,
     batch_id: str,
     strategy: str = "fetch",
+    metrics_out: dict | None = None,
 ) -> bool:
     """Apply one batch of raw change events to a LakeTable (idempotent).
 
@@ -58,6 +59,17 @@ def ingest_batch(
     fetch join broadcasts it — the payload-heavy fold stays single-pass
     inside the MERGE write job.
 
+    Auto strategy: fetch, plus a per-batch hot-key probe. The winner scan
+    (already payload-pruned and persisted) carries a per-key surviving-event
+    count; ``max`` of it is the batch's hottest key, one tiny job over
+    O(keys) rows. Past ``cfg.hot_key_threshold`` the payload fold flips to
+    the salted two-level window (``lww_window(salted=True)``), whose every
+    exchange is explicitly bounded — per-(key, salt) partitions of ≤
+    hot/salt_partitions rows — instead of relying on partial-aggregation
+    pre-combine behavior under adversarial skew. Either way the winner scan
+    still drives exact bucket discovery. The chosen strategy and hottest-key
+    count are reported through ``metrics_out`` (and the pipeline's lineage).
+
     Other strategies: bucket discovery falls back to a key-pruned scan of
     the raw events; a superset (keys fully cancelled in-batch) only
     rewrites an unchanged bucket, never corrupts.
@@ -65,28 +77,56 @@ def ingest_batch(
     from sap_spark.operators.dedup import (
         _payload_cols,
         cancelled_seqs,
+        drop_cancelled,
         fetch_winner_payloads,
+        lww_window,
         lww_winners,
     )
 
-    winners = cancelled = None
-    if strategy == "fetch" and cfg.token_column in events.columns:
+    chosen = strategy
+    hot = None
+    winners_full = cancelled = None
+    keep = [
+        *cfg.key_columns, cfg.order_column, cfg.op_column,
+        *_payload_cols(events, cfg),
+    ]
+    if strategy in ("fetch", "auto") and cfg.token_column in events.columns:
         # the cancel set feeds both fold phases — persist so its pruned
         # scan of the batch runs once, not once per phase
         cancelled = cancelled_seqs(events, cfg)
         if cancelled is not None:
             cancelled = cancelled.persist()
-        winners = lww_winners(events, cfg, cancelled=cancelled).persist()
+        winners_full = lww_winners(
+            events, cfg, cancelled=cancelled, with_counts=(strategy == "auto")
+        ).persist()
+        winners = winners_full
+        if strategy == "auto":
+            winners = winners_full.select(*cfg.key_columns, cfg.order_column)
+            hot = winners_full.agg(F.max("__n_events")).collect()[0][0] or 0
+            chosen = (
+                "window_salted" if hot >= cfg.hot_key_threshold else "fetch"
+            )
         affected = table.affected_buckets(winners.select(*cfg.key_columns))
-        folded = fetch_winner_payloads(events, winners, cfg, cancelled=cancelled)
-        keep = [
-            *cfg.key_columns, cfg.order_column, cfg.op_column,
-            *_payload_cols(events, cfg),
-        ]
+        if chosen == "fetch":
+            folded = fetch_winner_payloads(
+                events, winners, cfg, cancelled=cancelled
+            )
+        else:
+            folded = lww_window(
+                drop_cancelled(events, cfg, cancelled=cancelled),
+                cfg,
+                salted=True,
+            )
         folded = folded.select(*[c for c in keep if c in folded.columns])
     else:
-        folded = fold_changes(events, cfg, strategy=strategy)
+        if strategy == "auto":
+            chosen = "fetch"  # no delivery id → lww_fetch's exact agg path
+        folded = fold_changes(events, cfg, strategy=chosen)
         affected = table.affected_buckets(events.select(*cfg.key_columns))
+    if metrics_out is not None:
+        metrics_out["strategy"] = chosen
+        if hot is not None:
+            metrics_out["hot_key_count"] = int(hot)
     try:
         return table.merge_cdc(
             folded,
@@ -96,8 +136,8 @@ def ingest_batch(
             affected_buckets=affected,
         )
     finally:
-        if winners is not None:
-            winners.unpersist()
+        if winners_full is not None:
+            winners_full.unpersist()
         if cancelled is not None:
             cancelled.unpersist()
 
@@ -414,7 +454,11 @@ class CdcPipeline:
             F.max(cfg.order_column).alias("max_seq"),
         )
         batch_id = f"{self.pipeline_id}-epoch-{epoch_id}"
-        applied = ingest_batch(observed, self.table, cfg, batch_id, self.strategy)
+        fold_metrics: dict = {}
+        applied = ingest_batch(
+            observed, self.table, cfg, batch_id, self.strategy,
+            metrics_out=fold_metrics,
+        )
         elapsed = time.monotonic() - t0
         metrics = obs.get if applied else {}
         n = int(metrics.get("n_events") or 0)
@@ -430,6 +474,7 @@ class CdcPipeline:
                 "max_seq": metrics.get("max_seq"),
                 "elapsed_sec": round(elapsed, 4),
                 "deferred_files": n_deferred,
+                "fold": fold_metrics or None,
                 "merge_phases": getattr(self.table, "last_merge_metrics", None),
                 "events_per_sec": round(n / elapsed, 1) if elapsed > 0 and n else None,
                 "table_version": self.table.version,

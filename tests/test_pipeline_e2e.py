@@ -346,3 +346,75 @@ def test_epoch_retry_is_noop(spark, tmpdir_path):
     assert state_after.equals(state_before)
     retried = [r for r in pipe.lineage() if r["epoch_id"] == 0]
     assert retried[-1]["applied"] is False
+
+
+def test_auto_strategy_flips_on_zipf_hot_key(spark, tmpdir_path):
+    """strategy='auto': a batch where one key carries half the events must
+    (a) be detected by the winner-scan probe, (b) fold via the salted
+    window path with bounded per-(key, salt) partition sizes, and (c)
+    produce exactly the sequential-fold state; a mild batch under the same
+    config stays on the fetch path. The chosen strategy and hottest-key
+    count are recorded in lineage."""
+    events = gen_change_events(
+        spark, n_events=6000, n_keys=500, events_per_token=3000
+    ).cache()
+    # concentrate ~50% of events (and their dups/cancels) onto one key
+    is_hot = F.col("event_seq") % 2 == 0
+    hot_events = events.withColumn(
+        "repo", F.when(is_hot, F.lit("org/hot")).otherwise(F.col("repo"))
+    ).withColumn(
+        "path", F.when(is_hot, F.lit("hot.py")).otherwise(F.col("path"))
+    ).cache()
+    log_dir = f"{tmpdir_path}/hotlog"
+    write_change_log(hot_events, log_dir)
+
+    cfg = EngineConfig(hot_key_threshold=1000, salt_partitions=4).validate()
+    table = LakeTable.create(
+        spark, f"{tmpdir_path}/hot_repos", TARGET_SCHEMA,
+        key_columns=["repo", "path"], num_buckets=8,
+    )
+    pipe = CdcPipeline(
+        spark, cfg, table, log_dir,
+        checkpoint_dir=f"{tmpdir_path}/hot_ckpt",
+        strategy="auto", pipeline_id="auto-hot",
+    )
+    pipe.run_available_now(timeout_sec=300)
+    applied = [r for r in pipe.lineage() if r["applied"]]
+    assert applied and all(
+        r["fold"]["strategy"] == "window_salted" for r in applied
+    )
+    assert max(r["fold"]["hot_key_count"] for r in applied) >= 1000
+
+    # correctness unchanged: exact sequential-fold state
+    table = LakeTable(spark, table.path)
+    got = table.read().orderBy("repo", "path").toPandas().reset_index(drop=True)
+    assert got.equals(fold_to_frame(hot_events.toPandas()))
+
+    # the salted level-1 partitions really are bounded: no (key, salt)
+    # group exceeds ~hot/salt_partitions (2x slack for salt-hash variance)
+    salt = F.pmod(F.xxhash64(F.col("event_seq")), F.lit(cfg.salt_partitions))
+    sizes = (
+        hot_events.groupBy("repo", "path", salt.alias("s"))
+        .count().agg(F.max("count")).collect()[0][0]
+    )
+    hot_total = hot_events.where(F.col("repo") == "org/hot").count()
+    assert sizes <= 2 * hot_total / cfg.salt_partitions
+
+    # a mild batch under the same auto config stays on fetch
+    log2 = f"{tmpdir_path}/mildlog"
+    write_change_log(events, log2)
+    table2 = LakeTable.create(
+        spark, f"{tmpdir_path}/mild_repos", TARGET_SCHEMA,
+        key_columns=["repo", "path"], num_buckets=8,
+    )
+    pipe2 = CdcPipeline(
+        spark, cfg, table2, log2,
+        checkpoint_dir=f"{tmpdir_path}/mild_ckpt",
+        strategy="auto", pipeline_id="auto-mild",
+    )
+    pipe2.run_available_now(timeout_sec=300)
+    applied2 = [r for r in pipe2.lineage() if r["applied"]]
+    assert applied2 and all(r["fold"]["strategy"] == "fetch" for r in applied2)
+    table2 = LakeTable(spark, table2.path)
+    got2 = table2.read().orderBy("repo", "path").toPandas().reset_index(drop=True)
+    assert got2.equals(fold_to_frame(events.toPandas()))
