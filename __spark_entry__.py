@@ -1399,6 +1399,60 @@ _EVENTS_FILTER_ODATA_SQL = """
 """
 
 
+def _events_odata_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The V4 grammar subset beyond the reference's documented V2 surface:
+    property paths over a struct-promoted props column (``props_s/k``) and
+    any/all collection lambdas (→ F.exists/F.forall) over a derived tags
+    array — all parsed by sources/odata_filter.py, no hand-built Columns
+    in the predicate."""
+    from sap_spark.sources.odata_filter import parse_odata_filter
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("props_s", F.from_json("props", "k int"))
+        .withColumn(
+            "tags",
+            F.array(
+                F.col("event_type"),
+                F.when(F.col("value") > 100, F.lit("big")).otherwise(
+                    F.lit("small")
+                ),
+            ),
+        )
+    )
+    cond = parse_odata_filter("props_s/k gt 50 and tags/any(t: t eq 'big')")
+    all_short = parse_odata_filter("tags/all(t: length(t) le 5)")
+    return (
+        ev.where(cond)
+        .select(
+            "event_id",
+            "event_type",
+            F.col("props_s.k").alias("k"),
+            F.round("value", 2).alias("value_r"),
+            all_short.alias("all_short"),
+        )
+        .orderBy("event_id")
+        .limit(100)
+    )
+
+
+_EVENTS_ODATA_LAMBDA_SQL = """
+    SELECT event_id, event_type,
+           CAST(json_extract(props, '$.k') AS INT) AS k,
+           ROUND(value, 2) AS value_r,
+           (length(event_type) <= 5 AND
+            length(CASE WHEN value > 100 THEN 'big' ELSE 'small' END) <= 5
+           ) AS all_short
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS INT) > 50
+      AND list_contains(
+            [event_type, CASE WHEN value > 100 THEN 'big' ELSE 'small' END],
+            'big')
+    ORDER BY event_id
+    LIMIT 100
+"""
+
+
 _ODATA4_FIXTURES = "/root/reference/src/test/resources/odata4"
 
 
@@ -1656,6 +1710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_window_salted": _cdc_lww_events_window,
         "events_filter_topn": _events_filter_topn,
         "events_filter_odata": _events_filter_odata,
+        "events_odata_lambda": _events_odata_lambda,
         "events_page": _events_page,
         "pricing_summary": _pricing_summary,
         "revenue_by_nation": _revenue_by_nation,
@@ -1711,6 +1766,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lww_window_salted": _CDC_LWW_WINDOW_SQL,
         "events_filter_topn": _EVENTS_FILTER_TOPN_SQL,
         "events_filter_odata": _EVENTS_FILTER_ODATA_SQL,
+        "events_odata_lambda": _EVENTS_ODATA_LAMBDA_SQL,
         "events_page": _EVENTS_PAGE_SQL,
         "pricing_summary": _PRICING_SUMMARY_SQL,
         "revenue_by_nation": _REVENUE_BY_NATION_SQL,

@@ -31,9 +31,17 @@ Also here: :func:`parse_odata_apply` for the OData aggregation extension
 grammar SAP analytics services speak), translated to a DataFrame
 pipeline (filter → groupBy().agg() → limit/offset).
 
-Property paths (``a/b``), lambda operators (``any/all``) and the rest of
-the V4 grammar are out of scope and raise ``ODataFilterError`` with the
-offending token, so callers can fall back or surface a clean message.
+- property paths: ``Address/City`` → struct-field access
+  (``F.col("Address.City")``; nested paths chain);
+- lambda operators over collections: ``Tags/any(t: t eq 'red')`` →
+  ``F.exists``, ``Items/all(i: i/Qty gt 5)`` → ``F.forall`` (the lambda
+  variable scopes over the predicate, paths off it are element-field
+  accesses, and lambdas nest); argument-less ``Tags/any()`` tests
+  non-emptiness.
+
+The rest of the V4 grammar (``in``, type casts, ``$it``, …) is out of
+scope and raises ``ODataFilterError`` with the offending token, so
+callers can fall back or surface a clean message.
 """
 
 from __future__ import annotations
@@ -59,6 +67,8 @@ _TOKEN_RE = re.compile(
     | (?P<rparen>\))
     | (?P<comma>,)
     | (?P<minus>-)
+    | (?P<slash>/)
+    | (?P<colon>:)
     | (?P<other>\S)
     )""",
     re.X,
@@ -97,6 +107,8 @@ class _Parser:
     def __init__(self, tokens: list[tuple[str, str]]):
         self.toks = tokens
         self.i = 0
+        # lambda-variable scope: name → element Column (any/all bodies)
+        self.env: dict[str, Column] = {}
 
     def peek(self) -> tuple[str, str] | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -240,10 +252,70 @@ class _Parser:
             if word == "false":
                 return F.lit(False)
             nxt = self.peek()
-            if nxt and nxt[0] == "lparen":
+            if nxt and nxt[0] == "lparen" and value not in self.env:
                 return self._function(word)
-            return F.col(value)
+            return self._path(value)
         raise ODataFilterError(f"unexpected token {value!r}")
+
+    def _path(self, first: str) -> Column:
+        """Property path starting at ``first``: plain column, ``a/b/c``
+        struct-field chain, a lambda variable (with ``v/field`` element
+        access), or a chain ending in ``/any(...)`` / ``/all(...)``."""
+        col = self.env.get(first)
+        segments = [first]  # used only while col is None (plain path)
+        while self.peek() and self.peek()[0] == "slash":
+            self.next()
+            t = self.next()
+            if t[0] != "name":
+                raise ODataFilterError(
+                    f"expected property name after '/', got {t[1]!r}"
+                )
+            seg = t[1]
+            nxt = self.peek()
+            if seg.lower() in ("any", "all") and nxt and nxt[0] == "lparen":
+                base = col if col is not None else F.col(".".join(segments))
+                return self._lambda(base, seg.lower())
+            col = col[seg] if col is not None else None
+            segments.append(seg)
+        if col is not None:
+            return col
+        return F.col(segments[0] if len(segments) == 1 else ".".join(segments))
+
+    def _lambda(self, base: Column, which: str) -> Column:
+        """``collection/any(v: pred)`` → F.exists, ``/all`` → F.forall;
+        argument-less ``any()`` tests non-emptiness. The predicate parses
+        with the lambda variable bound to the element Column, so nested
+        lambdas and ``v/field`` element paths work unchanged."""
+        self.expect("lparen")
+        t = self.peek()
+        if t and t[0] == "rparen":
+            self.next()
+            if which == "any":
+                return F.size(base) > F.lit(0)
+            raise ODataFilterError("all() requires a lambda predicate")
+        var_t = self.next()
+        if var_t[0] != "name":
+            raise ODataFilterError(
+                f"expected lambda variable, got {var_t[1]!r}"
+            )
+        self.expect("colon")
+        start, outer_env = self.i, self.env
+        end_holder: dict[str, int] = {}
+
+        def body(element: Column) -> Column:
+            sub = _Parser(self.toks)
+            sub.i = start
+            sub.env = {**outer_env, var_t[1]: element}
+            out = sub._col(sub.or_expr())
+            end_holder["end"] = sub.i
+            return out
+
+        # F.exists/F.forall invoke the callback eagerly to build the
+        # expression tree — end_holder is filled before we advance.
+        result = (F.exists if which == "any" else F.forall)(base, body)
+        self.i = end_holder["end"]
+        self.expect("rparen")
+        return result
 
     def _function(self, name: str) -> Column:
         self.expect("lparen")

@@ -103,8 +103,7 @@ def test_literal_suffixes(df):
 def test_unsupported_raises(df):
     for bad in (
         "value = 10",            # SQL operator, not OData
-        "a/b eq 1",              # property path
-        "items/any(i: i gt 1)",  # lambda
+        "value in (1,2)",        # V4 `in` — out of scope
         "frobnicate(value)",     # unknown function
         "value gt",              # truncated
         "value gt 1 extra",      # trailing garbage
@@ -257,3 +256,44 @@ def test_filter_typo_reports_both_grammars(df):
     opts = ODataQueryOptions.parse("$filter=substringoff('x', name)")
     with pytest.raises(ODataFilterError, match="neither valid OData"):
         apply_query_options(df, opts)
+
+
+def test_property_paths_and_lambdas(spark):
+    """V4 grammar subset (VERDICT r3 next #8): property paths over struct
+    columns, any/all lambdas over arrays (F.exists/F.forall), lambda
+    element paths, nesting with outer-column references, argument-less
+    any(), and clean errors for the unsupported forms."""
+    from sap_spark.sources.odata_filter import ODataFilterError
+
+    df = spark.createDataFrame(
+        [
+            (1, ("Berlin", 10), ["red", "blue"], [(2,), (7,)]),
+            (2, ("Paris", 99), ["green"], [(9,)]),
+            (3, (None, 5), [], []),
+        ],
+        "id int, addr struct<city:string, n:int>, tags array<string>, "
+        "items array<struct<qty:int>>",
+    )
+
+    def ids(expr):
+        return sorted(
+            r["id"] for r in df.filter(parse_odata_filter(expr)).collect()
+        )
+
+    assert ids("addr/city eq 'Berlin'") == [1]
+    assert ids("addr/n gt 50") == [2]
+    assert ids("tags/any(t: t eq 'green')") == [2]
+    assert ids("tags/any()") == [1, 2]
+    assert ids("not tags/any()") == [3]
+    assert ids("items/all(i: i/qty gt 5)") == [2, 3]  # vacuous on empty
+    assert ids("items/any(i: i/qty gt 5)") == [1, 2]
+    assert ids("tags/any(t: tolower(t) eq 'RED' or t eq 'green')") == [2]
+    # outer (non-lambda) columns remain visible inside the lambda body
+    assert ids("items/any(i: i/qty gt 5 and addr/n gt 50)") == [2]
+
+    with pytest.raises(ODataFilterError, match="all\\(\\) requires"):
+        parse_odata_filter("tags/all()")
+    with pytest.raises(ODataFilterError, match="expected colon"):
+        parse_odata_filter("tags/any(t t eq 'x')")
+    with pytest.raises(ODataFilterError, match="expected property name"):
+        parse_odata_filter("addr/1 eq 2")
