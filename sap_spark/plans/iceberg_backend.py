@@ -1,0 +1,572 @@
+"""IcebergTable — the TableBackend contract bound to a real Iceberg catalog.
+
+``LakeTable`` (plans/lake.py) proves the CDC sink contract over local
+parquet + JSON manifests; this module binds the SAME contract
+(plans/backend.py, laws 1-7) to Apache Iceberg via Spark SQL, so a
+deployment with Iceberg jars on the classpath swaps backends without
+touching the pipeline layer. It generalizes the reference's sink step —
+the CDAP plugin's pass-through ``emit`` (reference
+``SapODataSource.java:120-124``) plus its schema-compat gate
+(``SapODataConfig.java:262-298``) — into transactional MERGE semantics,
+exactly as the north rule requires ("lake upsert, schema evolution,
+exactly-once sink ... over Iceberg tables").
+
+Law → Iceberg mapping (law numbers from plans/backend.py):
+
+1. **atomic visibility** — every mutation is one Iceberg commit (atomic
+   metadata-pointer swap in the catalog). Old handles pin their snapshot
+   (`VERSION AS OF`), fresh handles read the new current snapshot.
+2. **exactly-once** — Iceberg's Write-Audit-Publish flow is the
+   commit-marker analog of LakeTable's ``_commits/<batch>.json``:
+   ``spark.wap.id = <batch_id>`` stamps the staged snapshot,
+   ``CALL <cat>.system.publish_changes`` makes it current, and a batch id
+   already present in the current ancestry (``<table>.snapshots`` summary
+   ``wap.id``) short-circuits to a no-op. A crash between MERGE and
+   publish leaves only a staged (invisible) snapshot; the retry re-merges
+   and publishes — same recovery story as an unpublished manifest.
+3. **version gate / tombstones** — rows carry ``_seq`` (event_seq of the
+   winning change) and ``_deleted``; the MERGE's ``WHEN MATCHED AND
+   s._seq > t._seq`` guard refuses regressions and deletes write
+   tombstone rows that shield against stale re-inserts. ``read()``
+   filters tombstones out. Identical semantics to LakeTable
+   (lake.py:393-474), expressed as one ``MERGE INTO``.
+4. **evolution gate** — the SAME planner (schema/compat.plan_evolution,
+   reference rules C4) decides; application is DDL: ``ALTER TABLE ...
+   ADD COLUMNS`` / ``ALTER COLUMN ... TYPE`` (Iceberg allows exactly the
+   widenings the plugin's lattice allows: int→long, float→double).
+5. **key stability** — the table carries an explicit ``_bucket`` column
+   computed by the engine's own hash (lake.bucket_expr) and is
+   partitioned ``identity(_bucket)``; ``affected_buckets`` is therefore
+   byte-identical between backends, and the MERGE's ``t._bucket IN
+   (...)`` predicate gives Iceberg partition pruning on the target scan
+   (the documented merge-pruning idiom).
+6. **maintenance safety** — ``compact`` = ``CALL system.rewrite_data_files``
+   (+ optional tombstone purge, a checkpoint-barrier op exactly like
+   LakeTable.compact); ``expire_snapshots`` = ``CALL
+   system.expire_snapshots`` after mirroring ancestry batch ids into a
+   table property so law 2 survives summary loss (LakeTable's
+   suffix-key expiry analog).
+7. **change-feed fidelity** — ``changes_between`` runs the engine's own
+   snapshot-diff operator (operators/snapshot.py) over two time-travel
+   images; ``CALL system.create_changelog_view`` is the
+   incremental-metadata alternative for production use.
+
+Availability is environment-gated: the sandbox has no Iceberg jars, so
+``IcebergTable.available(spark)`` returns False here and the contract
+suite records skips, not failures. All SQL/DDL is built by pure
+``_sql_*`` functions that ARE unit-tested in-sandbox
+(tests/test_iceberg_backend.py) so the binding cannot rot silently.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sap_spark.schema.compat import (
+    EvolutionPlan,
+    apply_cast_plan,
+    plan_evolution,
+    validate_schema_types,
+)
+from sap_spark.plans.lake import bucket_expr
+
+# Internal (non-user) columns, same names and meaning as LakeTable.
+SEQ_COL = "_seq"
+DELETED_COL = "_deleted"
+BUCKET_COL = "_bucket"
+INTERNAL_COLS = (SEQ_COL, DELETED_COL, BUCKET_COL)
+
+# Table properties the binding owns.
+PROP_KEYS = "sap_spark.key-columns"          # JSON list of key column names
+PROP_BUCKETS = "sap_spark.num-buckets"       # int
+PROP_BATCHES = "sap_spark.expired-batches"   # JSON list: batch ids whose
+#   snapshots were expired — unioned with live ancestry wap.ids (law 2).
+
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _q(ident: str) -> str:
+    """Quote one identifier part with backticks (reject junk loudly)."""
+    if not _IDENT_RE.match(ident):
+        raise ValueError(f"invalid identifier part: {ident!r}")
+    return f"`{ident}`"
+
+
+def _qname(table: str) -> str:
+    """Quote a dotted table identifier `cat`.`db`.`t`."""
+    return ".".join(_q(p) for p in table.split("."))
+
+
+def _spark_ddl(dt: T.DataType) -> str:
+    return dt.simpleString()
+
+
+# --------------------------------------------------------------------------
+# Pure SQL builders — unit-tested without a catalog.
+# --------------------------------------------------------------------------
+
+def _sql_create_table(
+    table: str,
+    schema: T.StructType,
+    key_columns: list[str],
+    num_buckets: int,
+) -> str:
+    """CREATE TABLE with internal columns, identity(_bucket) partitioning,
+    format-version 2 (required for row-level MERGE deletes) and WAP
+    enabled (law 2)."""
+    validate_schema_types(schema)
+    for k in key_columns:
+        if k not in schema.fieldNames():
+            raise ValueError(f"key column {k!r} not in schema")
+    cols = ", ".join(
+        f"{_q(f.name)} {_spark_ddl(f.dataType)}"
+        + ("" if f.nullable else " NOT NULL")
+        for f in schema.fields
+    )
+    internal = (
+        f"{_q(SEQ_COL)} bigint NOT NULL, "
+        f"{_q(DELETED_COL)} boolean NOT NULL, "
+        f"{_q(BUCKET_COL)} int NOT NULL"
+    )
+    props = {
+        "format-version": "2",
+        "write.wap.enabled": "true",
+        "write.merge.mode": "merge-on-read",
+        "write.distribution-mode": "hash",
+        PROP_KEYS: json.dumps(key_columns),
+        PROP_BUCKETS: str(num_buckets),
+        PROP_BATCHES: "[]",
+    }
+    props_sql = ", ".join(f"'{k}'='{v}'" for k, v in sorted(props.items()))
+    return (
+        f"CREATE TABLE {_qname(table)} ({cols}, {internal}) "
+        f"USING iceberg PARTITIONED BY ({_q(BUCKET_COL)}) "
+        f"TBLPROPERTIES ({props_sql})"
+    )
+
+
+def _sql_merge(
+    table: str,
+    source_view: str,
+    key_columns: list[str],
+    user_columns: list[str],
+    affected_buckets: list[int] | None,
+) -> str:
+    """The one-statement LWW upsert (laws 1+3).
+
+    The source view already holds ONE winning change per key (the
+    pipeline's payload-pruned LWW fold, operators/dedup.py) with columns
+    ``<user...>, _seq, _deleted, _bucket``. Deletes UPDATE into
+    tombstones rather than DELETE so stale re-inserts stay shielded —
+    identical to LakeTable's fold semantics (lake.py:408)."""
+    t, s = "t", "s"
+    on = " AND ".join(
+        f"{t}.{_q(k)} = {s}.{_q(k)}" for k in key_columns
+    )
+    # Partition-pruned target scan: Iceberg prunes identity(_bucket)
+    # partitions from this literal IN-list (law 5 / merge-pruning idiom).
+    if affected_buckets is not None:
+        if not affected_buckets:
+            raise ValueError("affected_buckets must be non-empty when given")
+        on += f" AND {t}.{_q(BUCKET_COL)} IN ({', '.join(map(str, sorted(set(affected_buckets))))})"
+    sets = ", ".join(
+        f"{t}.{_q(c)} = {s}.{_q(c)}"
+        for c in [*user_columns, SEQ_COL, DELETED_COL]
+    )
+    all_cols = [*user_columns, SEQ_COL, DELETED_COL, BUCKET_COL]
+    ins_cols = ", ".join(_q(c) for c in all_cols)
+    ins_vals = ", ".join(f"{s}.{_q(c)}" for c in all_cols)
+    return (
+        f"MERGE INTO {_qname(table)} {t} USING {_q(source_view)} {s} ON {on} "
+        # version gate: only strictly newer events touch the row (law 3)
+        f"WHEN MATCHED AND {s}.{_q(SEQ_COL)} > {t}.{_q(SEQ_COL)} THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+    )
+
+
+def _sql_publish(catalog: str, db_table: str, batch_id: str) -> str:
+    """WAP publish — the atomic commit-marker flip (law 2)."""
+    return (
+        f"CALL {_q(catalog)}.system.publish_changes("
+        f"table => '{db_table}', wap_id => '{batch_id}')"
+    )
+
+
+def _sql_add_columns(table: str, fields: list[T.StructField]) -> str:
+    cols = ", ".join(f"{_q(f.name)} {_spark_ddl(f.dataType)}" for f in fields)
+    return f"ALTER TABLE {_qname(table)} ADD COLUMNS ({cols})"
+
+
+def _sql_widen_column(table: str, name: str, dt: T.DataType) -> str:
+    return (
+        f"ALTER TABLE {_qname(table)} ALTER COLUMN {_q(name)} "
+        f"TYPE {_spark_ddl(dt)}"
+    )
+
+
+def _sql_rewrite_data_files(catalog: str, db_table: str) -> str:
+    return (
+        f"CALL {_q(catalog)}.system.rewrite_data_files(table => '{db_table}')"
+    )
+
+
+def _sql_expire_snapshots(catalog: str, db_table: str, keep_last: int) -> str:
+    return (
+        f"CALL {_q(catalog)}.system.expire_snapshots("
+        f"table => '{db_table}', retain_last => {int(keep_last)})"
+    )
+
+
+def _sql_set_property(table: str, key: str, value: str) -> str:
+    return (
+        f"ALTER TABLE {_qname(table)} SET TBLPROPERTIES "
+        f"('{key}'='{value.replace(chr(39), chr(39) * 2)}')"
+    )
+
+
+def evolution_ddl(table: str, plan: EvolutionPlan) -> list[str]:
+    """The DDL statements a non-noop EvolutionPlan compiles to (law 4).
+    Same planner as LakeTable; Iceberg's allowed type promotions
+    (int→long, float→double, decimal precision up) are a superset of the
+    engine's T3-T5 lattice, so every accepted plan is executable."""
+    stmts = []
+    if plan.add_columns:
+        stmts.append(_sql_add_columns(table, plan.add_columns))
+    for name, dt in plan.widen_columns:
+        stmts.append(_sql_widen_column(table, name, dt))
+    return stmts
+
+
+# --------------------------------------------------------------------------
+# The backend.
+# --------------------------------------------------------------------------
+
+class IcebergTable:
+    """TableBackend over an Iceberg catalog table (see module doc).
+
+    ``path`` is the fully-qualified identifier ``catalog.namespace.table``
+    (kept as the attribute name ``path`` so the protocol surface —
+    lineage records, CLI output — is backend-agnostic).
+    """
+
+    def __init__(self, spark: SparkSession, path: str, version: int | None = None):
+        if path.count(".") != 2:
+            raise ValueError(
+                "IcebergTable path must be 'catalog.namespace.table', "
+                f"got {path!r}"
+            )
+        self.spark = spark
+        self.path = path
+        self.catalog, self.namespace, self.table = path.split(".")
+        self._ancestry = self._load_ancestry()
+        self.version = len(self._ancestry) if version is None else version
+        if self.version > len(self._ancestry):
+            raise ValueError(
+                f"version {version} > latest {len(self._ancestry)}"
+            )
+        self._props = self._load_props()
+
+    # -- availability ------------------------------------------------------
+
+    @staticmethod
+    def available(spark: SparkSession, catalog: str) -> bool:
+        """True iff ``catalog`` is a reachable Iceberg catalog in this
+        session. False (never raises) when jars/config are absent — the
+        contract suite turns that into skips."""
+        try:
+            impl = spark.conf.get(f"spark.sql.catalog.{catalog}")
+        except Exception:
+            return False
+        if not impl or "iceberg" not in impl.lower():
+            return False
+        try:
+            spark.sql(f"SHOW NAMESPACES IN {_q(catalog)}").collect()
+            return True
+        except Exception:
+            return False
+
+    # -- creation ----------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        key_columns: list[str],
+        num_buckets: int = 8,
+        merge_mode: str = "mor",
+    ) -> "IcebergTable":
+        catalog, namespace, _ = path.split(".")
+        spark.sql(
+            f"CREATE NAMESPACE IF NOT EXISTS {_q(catalog)}.{_q(namespace)}"
+        )
+        spark.sql(_sql_create_table(path, schema, key_columns, num_buckets))
+        if merge_mode == "cow":
+            spark.sql(
+                _sql_set_property(path, "write.merge.mode", "copy-on-write")
+            )
+        return cls(spark, path)
+
+    # -- identity / layout -------------------------------------------------
+
+    @property
+    def _db_table(self) -> str:
+        return f"{self.namespace}.{self.table}"
+
+    def _load_props(self) -> dict:
+        rows = self.spark.sql(
+            f"SHOW TBLPROPERTIES {_qname(self.path)}"
+        ).collect()
+        return {r["key"]: r["value"] for r in rows}
+
+    def _load_ancestry(self) -> list[int]:
+        """Current-ancestor snapshot ids, oldest→newest. Engine version N
+        = the N-th published snapshot (0 = empty table)."""
+        try:
+            rows = self.spark.sql(
+                f"SELECT snapshot_id FROM {_qname(self.path)}.history "
+                f"WHERE is_current_ancestor ORDER BY made_current_at"
+            ).collect()
+        except Exception:
+            return []
+        return [r["snapshot_id"] for r in rows]
+
+    @property
+    def schema(self) -> T.StructType:
+        full = self.spark.table(_qname(self.path)).schema
+        return T.StructType(
+            [f for f in full.fields if f.name not in INTERNAL_COLS]
+        )
+
+    @property
+    def key_columns(self) -> list[str]:
+        return list(json.loads(self._props[PROP_KEYS]))
+
+    @property
+    def num_buckets(self) -> int:
+        return int(self._props[PROP_BUCKETS])
+
+    @property
+    def merge_mode(self) -> str:
+        return (
+            "cow"
+            if self._props.get("write.merge.mode") == "copy-on-write"
+            else "mor"
+        )
+
+    def committed_batches(self) -> set[str]:
+        """Live ancestry wap.ids ∪ the expired-batches property (law 2;
+        the union is what lets expire_snapshots drop summaries without
+        re-opening the exactly-once door)."""
+        ids = set(json.loads(self._props.get(PROP_BATCHES, "[]")))
+        if self._ancestry:
+            rows = self.spark.sql(
+                f"SELECT summary['wap.id'] AS b "
+                f"FROM {_qname(self.path)}.snapshots "
+                f"WHERE snapshot_id IN ({', '.join(map(str, self._ancestry))}) "
+                f"AND summary['wap.id'] IS NOT NULL"
+            ).collect()
+            ids |= {r["b"] for r in rows}
+        return ids
+
+    # -- reads -------------------------------------------------------------
+
+    def _snapshot_clause(self) -> str:
+        """Pin this handle's version (snapshot isolation, law 1)."""
+        if self.version == 0:
+            return ""  # caller special-cases the empty image
+        return f" VERSION AS OF {self._ancestry[self.version - 1]}"
+
+    def read_internal(self, buckets: list[int] | None = None) -> DataFrame:
+        if self.version == 0:
+            full = self.spark.table(_qname(self.path))
+            return full.limit(0)
+        df = self.spark.sql(
+            f"SELECT * FROM {_qname(self.path)}{self._snapshot_clause()}"
+        )
+        if buckets is not None:
+            # literal IN over the identity partition column → Iceberg
+            # partition pruning (law 5)
+            df = df.where(F.col(BUCKET_COL).isin([int(b) for b in buckets]))
+        return df
+
+    def read(self) -> DataFrame:
+        df = self.read_internal()
+        user_cols = [f.name for f in self.schema.fields]
+        return df.where(~F.col(DELETED_COL)).select(*user_cols)
+
+    # -- writes ------------------------------------------------------------
+
+    def affected_buckets(self, events: DataFrame) -> list[int]:
+        """Engine-hash buckets (identical to LakeTable: lake.py:378)."""
+        rows = (
+            events.select(
+                bucket_expr(self.key_columns, self.num_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        return sorted(r["b"] for r in rows)
+
+    def merge_cdc(
+        self,
+        changes: DataFrame,
+        batch_id: str,
+        op_column: str = "op",
+        seq_column: str = "event_seq",
+        affected_buckets: list[int] | None = None,
+    ) -> bool:
+        if batch_id in self.committed_batches():
+            return False  # law 2: replay is a no-op
+        self.evolve_schema(
+            T.StructType(
+                [
+                    f
+                    for f in changes.schema.fields
+                    if f.name not in (op_column, seq_column)
+                ]
+            )
+        )
+        user_cols = [f.name for f in self.schema.fields]
+        src = apply_cast_plan(
+            changes.select(
+                *[c for c in user_cols if c in changes.columns],
+                F.col(seq_column).cast("long").alias(SEQ_COL),
+                (F.col(op_column) == F.lit("D")).alias(DELETED_COL),
+                bucket_expr(self.key_columns, self.num_buckets).alias(
+                    BUCKET_COL
+                ),
+            ),
+            T.StructType(
+                [f for f in self.schema.fields if f.name in changes.columns]
+                + [
+                    T.StructField(SEQ_COL, T.LongType(), False),
+                    T.StructField(DELETED_COL, T.BooleanType(), False),
+                    T.StructField(BUCKET_COL, T.IntegerType(), False),
+                ]
+            ),
+        )
+        for c in user_cols:  # columns this batch doesn't carry → null
+            if c not in src.columns:
+                src = src.withColumn(
+                    c, F.lit(None).cast(dict(
+                        (f.name, f.dataType) for f in self.schema.fields
+                    )[c])
+                )
+        view = f"_sap_spark_src_{abs(hash(batch_id)) % 10**9}"
+        src.createOrReplaceTempView(view)
+        try:
+            # WAP: stage the merge under the batch id, then publish —
+            # crash-safe commit marker (law 2, module doc).
+            self.spark.conf.set("spark.wap.id", batch_id)
+            try:
+                self.spark.sql(
+                    _sql_merge(
+                        self.path, view, self.key_columns, user_cols,
+                        affected_buckets,
+                    )
+                )
+            finally:
+                self.spark.conf.unset("spark.wap.id")
+            self.spark.sql(
+                _sql_publish(self.catalog, self._db_table, batch_id)
+            )
+        finally:
+            self.spark.catalog.dropTempView(view)
+        self._ancestry = self._load_ancestry()
+        self.version = len(self._ancestry)
+        return True
+
+    def overwrite(self, df: DataFrame, batch_id: str | None = None) -> None:
+        full = df.select(
+            *df.columns,
+            F.lit(0).cast("long").alias(SEQ_COL),
+            F.lit(False).alias(DELETED_COL),
+            bucket_expr(self.key_columns, self.num_buckets).alias(BUCKET_COL),
+        )
+        writer = full.writeTo(_qname(self.path))
+        if batch_id is not None:
+            writer = writer.option("snapshot-property.wap.id", batch_id)
+        writer.overwritePartitions()
+        self._ancestry = self._load_ancestry()
+        self.version = len(self._ancestry)
+
+    def evolve_schema(self, incoming: T.StructType) -> bool:
+        plan = plan_evolution(self.schema, incoming)  # law 4: same planner
+        if plan.is_noop:
+            return False
+        for stmt in evolution_ddl(self.path, plan):
+            self.spark.sql(stmt)
+        return True
+
+    # -- change feed -------------------------------------------------------
+
+    def changes_between(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Net I/U/D feed via the engine's snapshot-diff operator over two
+        time-travel images (law 7). ``CALL system.create_changelog_view``
+        is the incremental alternative when the span is small relative to
+        the table."""
+        from sap_spark.operators.snapshot import snapshot_diff
+
+        before = type(self)(self.spark, self.path, version=from_version)
+        after = type(self)(self.spark, self.path, version=to_version)
+        return snapshot_diff(
+            before.read(), after.read(), key_columns=self.key_columns
+        )
+
+    # -- maintenance -------------------------------------------------------
+
+    def compact(self) -> None:
+        """Bin-pack data files; user-visible rows unchanged (law 6).
+        Tombstone purge (``DELETE WHERE _deleted``) is a separate
+        checkpoint-barrier op exactly as in LakeTable.compact and is NOT
+        run here."""
+        self.spark.sql(_sql_rewrite_data_files(self.catalog, self._db_table))
+        self._ancestry = self._load_ancestry()
+        self.version = len(self._ancestry)
+
+    def expire_snapshots(self, keep_last: int = 1) -> int:
+        """Expire old snapshots, first mirroring their batch ids into the
+        expired-batches property so law 2 survives (module doc §6)."""
+        batches = self.committed_batches()
+        self.spark.sql(
+            _sql_set_property(
+                self.path, PROP_BATCHES, json.dumps(sorted(batches))
+            )
+        )
+        before = len(self._ancestry)
+        self.spark.sql(
+            _sql_expire_snapshots(self.catalog, self._db_table, keep_last)
+        )
+        self._props = self._load_props()
+        return max(0, before - keep_last)
+
+    def history(self) -> list[dict]:
+        rows = self.spark.sql(
+            f"SELECT h.snapshot_id, h.made_current_at, s.summary "
+            f"FROM {_qname(self.path)}.history h "
+            f"JOIN {_qname(self.path)}.snapshots s USING (snapshot_id) "
+            f"WHERE h.is_current_ancestor ORDER BY h.made_current_at DESC"
+        ).collect()
+        out = []
+        n = len(rows)
+        for i, r in enumerate(rows):
+            out.append(
+                {
+                    "version": n - i,
+                    "snapshot_id": r["snapshot_id"],
+                    "batch_id": (r["summary"] or {}).get("wap.id"),
+                    "parent": n - i - 1 if n - i - 1 > 0 else None,
+                }
+            )
+        if out:
+            out[-1]["parent"] = None
+        return out

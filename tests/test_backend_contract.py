@@ -8,11 +8,14 @@ gate, evolution gate, key/bucket stability, maintenance safety), not
 LakeTable internals.
 """
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from sap_spark.plans.backend import TableBackend
+from sap_spark.plans.iceberg_backend import IcebergTable
 from sap_spark.plans.lake import LakeTable
 
 SCHEMA = T.StructType(
@@ -34,11 +37,26 @@ def _lake_factory(merge_mode):
     return make
 
 
+def _iceberg_factory(spark, path):
+    """Iceberg binding (plans/iceberg_backend.py) — runs only where a
+    real catalog exists. Point SAP_SPARK_ICEBERG_CATALOG at a configured
+    Iceberg catalog name to activate; anywhere else (this sandbox has no
+    Iceberg jars) every law records a skip, never a failure."""
+    catalog = os.environ.get("SAP_SPARK_ICEBERG_CATALOG")
+    if not catalog:
+        pytest.skip("SAP_SPARK_ICEBERG_CATALOG not set (no Iceberg jars)")
+    if not IcebergTable.available(spark, catalog):
+        pytest.skip(f"catalog {catalog!r} not reachable as Iceberg")
+    ident = f"{catalog}.sap_spark_contract.t{abs(hash(path)) % 10**9}"
+    return IcebergTable.create(
+        spark, ident, SCHEMA, key_columns=["repo", "path"], num_buckets=8
+    )
+
+
 BACKENDS = {
     "lake-cow": _lake_factory("cow"),
     "lake-mor": _lake_factory("mor"),
-    # a future Iceberg binding registers its factory here and must pass
-    # this suite unchanged
+    "iceberg": _iceberg_factory,
 }
 
 
