@@ -419,6 +419,123 @@ Full per-query timings (local[{n_hi}]): {json.dumps(r_hi['queries'])}
     return report
 
 
+def run_query_medians(
+    cores: int,
+    n_events: int,
+    sf_dir: str,
+    rounds: int = 3,
+    out_name: str = "QUERIES_r4.md",
+    compare_json: str = "BENCH_r03.json",
+) -> dict:
+    """Interleaved-median timings for the full 14-query bench set.
+
+    Single-shot per-query numbers on this host are unusable for
+    round-over-round comparison (the VM's deliverable CPU swings 2-6x
+    over minutes — BENCH/BASELINE.md protocol note), so this applies the
+    scaling bench's discipline to the query set: ``rounds`` full passes,
+    each pass timing every query once in a fixed order (replay included,
+    over a byte-identical prebuilt log), and the per-query MEDIAN
+    reported. Interleaving means a host-slow window inflates one sample
+    of many queries instead of every sample of one query, which the
+    median then discards. A comparison column against the prior round's
+    single-shot numbers is emitted so real plan regressions separate
+    from noise.
+    """
+    from statistics import median
+
+    os.environ["SPARK_GRAFT_CPUS"] = str(cores)
+    import __spark_entry__ as contract
+    from sap_spark.config import get_spark
+
+    shared = tempfile.mkdtemp(prefix="sap_spark_qmed_")
+    spark = get_spark(
+        app_name=f"bench-qmed[{cores}]",
+        master=f"local[{cores}]",
+        shuffle_partitions=2 * cores,
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "2m",
+            "spark.sql.parquet.compression.codec": "snappy",
+        },
+    )
+    names = ["cdc_replay", *BENCH_QUERIES]
+    samples: dict[str, list[float]] = {q: [] for q in names}
+    try:
+        prepare_log(spark, n_events, f"{shared}/log")
+        prepare_log(spark, max(n_events // 20, 10_000), f"{shared}/warmup")
+        # steady-state warmup: one untimed replay + one pass of every query
+        bench_cdc_replay(
+            spark, cores, max(n_events // 20, 10_000),
+            log_path=f"{shared}/warmup",
+        )
+        qmap = contract.queries()
+        for name in BENCH_QUERIES:
+            _force(qmap[name](spark, sf_dir))
+        for _ in range(rounds):
+            cdc = bench_cdc_replay(
+                spark, cores, n_events, log_path=f"{shared}/log"
+            )
+            samples["cdc_replay"].append(cdc["sec"])
+            for name in BENCH_QUERIES:
+                t0 = time.monotonic()
+                _force(qmap[name](spark, sf_dir))
+                samples[name].append(round(time.monotonic() - t0, 3))
+    finally:
+        spark.stop()
+        shutil.rmtree(shared, ignore_errors=True)
+
+    meds = {q: round(median(v), 3) for q, v in samples.items()}
+    prior: dict = {}
+    cmp_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), compare_json
+    )
+    if os.path.exists(cmp_path):
+        with open(cmp_path) as f:
+            prior = (json.load(f).get("parsed") or {}).get("queries", {})
+
+    rows = []
+    for q in names:
+        p = prior.get(q)
+        ratio = f"{meds[q] / p:.2f}x" if p else "—"
+        rows.append(
+            f"| {q} | {samples[q]} | **{meds[q]}** | {p if p is not None else '—'} | {ratio} |"
+        )
+    nl = "\n"
+    md = f"""# BENCH/{out_name} — interleaved-median query timings
+
+Protocol: {rounds} full interleaved passes over the 14-query bench set at
+local[{cores}], sf dir `{sf_dir}`; per-query median reported (the
+single-shot protocol's numbers flap 2-6x with host load — see
+BENCH/BASELINE.md). The replay uses one prebuilt {n_events:,}-event log
+replayed byte-identically every pass; queries were each run once untimed
+first (JIT/file-listing warm).
+
+| query | samples (s) | median (s) | r3 single-shot (s) | median / r3 |
+|---|---|---|---|---|
+{nl.join(rows)}
+
+Reading: "median / r3" ≈ 1.0 means round 3's single-shot number was
+representative; large deviations in EITHER direction on unchanged plans
+are host noise (r3 ran single-shot). Plan-shape changes made this round
+are called out in the commit history; everything else's movement is
+environmental.
+"""
+    bench_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH"
+    )
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, out_name), "w") as f:
+        f.write(md)
+    return {
+        "metric": "query_medians",
+        "rounds": rounds,
+        "cores": cores,
+        "sf_dir": sf_dir,
+        "medians": meds,
+        "samples": samples,
+        "prior_single_shot": prior,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
@@ -430,6 +547,13 @@ def main() -> None:
                     help="report filename under BENCH/ for --scaling "
                          "(use SCALING_r3.md etc. to keep prior evidence)")
     ap.add_argument("--cdc-only", action="store_true")
+    ap.add_argument("--query-medians", action="store_true",
+                    help="interleaved-median timings for the 14-query set; "
+                         "writes BENCH/--medians-out")
+    ap.add_argument("--rounds", type=int, default=3,
+                    help="passes for --query-medians")
+    ap.add_argument("--medians-out", default="QUERIES_r4.md",
+                    help="report filename under BENCH/ for --query-medians")
     ap.add_argument("--log", default=None, help="prebuilt change-log dir for the timed replay")
     ap.add_argument("--warmup-log", default=None, help="prebuilt change-log dir for the warmup replay")
     ap.add_argument("--prepare-logs", default=None, metavar="DIR",
@@ -448,6 +572,11 @@ def main() -> None:
         prepare_log(spark, args.events, f"{args.prepare_logs}/log")
         prepare_log(spark, max(args.events // 20, 10_000), f"{args.prepare_logs}/warmup")
         spark.stop()
+        return
+    if args.query_medians:
+        print(json.dumps(run_query_medians(
+            args.cores, args.events, SF_DIR,
+            rounds=args.rounds, out_name=args.medians_out)))
         return
     if args.scaling:
         pair = tuple(int(x) for x in args.pair.split(","))
