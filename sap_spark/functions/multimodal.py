@@ -9,19 +9,22 @@ blobs crosses to Python exactly once, already columnar.
 
 Codecs, honestly tiered:
 
-- **Uncompressed wire formats decode for real, no external libs**:
-  PPM/PGM (``P6``/``P5``) images via a numpy parser — true width/height/
-  channels, Rec.601 mean luma, an 8×8 average-hash perceptual hash, and
-  a real nearest-neighbor resize re-encoded as PPM; PCM WAV audio via
-  the stdlib ``wave`` module — true duration/rate/channels, RMS dBFS,
-  clip fraction.
-- **Compressed formats (JPEG/PNG/MP4/...) stay stubbed** — PIL/ffmpeg/
-  soundfile are NOT in this image. The stub either raises
-  CodecUnavailableError (strict mode) or produces a deterministic fake
-  (test mode). Swapping in a real codec changes one pure-Python
-  function; the Spark-side plumbing — schema, Arrow batch iteration,
-  column pruning, UDF signatures — is identical for both tiers and is
-  what these operators actually test at scale.
+- **Real codecs, no external libs**: PPM/PGM (``P6``/``P5``) images via
+  a numpy parser; **PNG via a stdlib-zlib decoder** (all five scanline
+  filters, gray/RGB/palette/alpha color types, 8- and 16-bit, CRC
+  checked, decompression-bomb capped — and a filter-0 encoder for the
+  resize output); PCM WAV audio via the stdlib ``wave`` module. These
+  produce true width/height/channels, Rec.601 mean luma, an 8×8
+  average-hash perceptual hash, real nearest-neighbor resizes, and true
+  duration/rate/RMS dBFS/clip fraction.
+- **Lossy/container formats (JPEG/MP4/...) stay stubbed** — PIL/ffmpeg/
+  soundfile are NOT in this image and their codecs are not reasonably
+  reimplementable. The stub either raises CodecUnavailableError (strict
+  mode) or produces a deterministic fake (test mode). Swapping in a real
+  codec changes one pure-Python function; the Spark-side plumbing —
+  schema, Arrow batch iteration, column pruning, UDF signatures — is
+  identical for both tiers and is what these operators actually test at
+  scale.
 """
 
 from __future__ import annotations
@@ -130,23 +133,196 @@ _NULL_IMAGE = {
 }
 
 
+# -- real PNG codec (stdlib zlib/struct + numpy; no PIL) ---------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type → samples/px
+# Decompression-bomb guard: refuse images whose raw scanline buffer would
+# exceed this (a few-KB IDAT can inflate without bound otherwise).
+_PNG_MAX_RAW = 1 << 28  # 256 MiB
+
+
+def _unfilter_scanlines(
+    raw: bytes, height: int, stride: int, bpp: int
+) -> "np.ndarray":
+    """Reverse PNG scanline filtering (spec §9) → (height, stride) uint8.
+
+    Filters 0/1/2 are vectorized (Sub is a modular prefix sum over
+    ``bpp``-strided lanes); Average/Paeth carry a truly sequential
+    left-pixel dependency and fall back to a per-byte loop — fine for
+    validation-scale assets, and encoders that matter for bulk data
+    (including ours) emit filter 0/2 rows. A real deployment swaps in
+    PIL; the Spark-side plumbing is identical."""
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for r in range(height):
+        ftype = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, np.uint8, stride, pos)
+        pos += stride
+        if ftype == 0:
+            rec = line.copy()
+        elif ftype == 1:  # Sub
+            rec = (
+                (line.reshape(-1, bpp).astype(np.uint32).cumsum(axis=0) % 256)
+                .astype(np.uint8)
+                .reshape(-1)
+            )
+        elif ftype == 2:  # Up (uint8 addition wraps mod 256)
+            rec = line + prev
+        elif ftype == 3:  # Average
+            rec = np.empty(stride, np.uint8)
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                rec[x] = (int(line[x]) + ((a + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            rec = np.empty(stride, np.uint8)
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (int(line[x]) + pr) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[r] = rec
+        prev = rec
+    return out
+
+
+def _parse_png(blob: bytes) -> "np.ndarray | None":
+    """Real PNG decode → uint8 array (H, W, C). None when the blob is not
+    PNG by signature (caller falls through to the stub tier); ValueError
+    for PNG-by-signature blobs that are corrupt or out of scope (caller
+    nulls the row). Scope: non-interlaced, bit depth 8 (all color types,
+    palette via PLTE) and 16 (truncated to the high byte); Adam7
+    interlace and sub-byte palette depths raise. tRNS is ignored
+    (palette alpha reads opaque)."""
+    import struct
+    import zlib
+
+    if blob is None or len(blob) < 8 or blob[:8] != _PNG_SIG:
+        return None
+    pos = 8
+    ihdr = None
+    plte = None
+    idat: list[bytes] = []
+    while pos + 12 <= len(blob):
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        ctype = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(
+            ">I", blob[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError("PNG chunk CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or len(ihdr) != 13 or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    width, height, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if comp != 0 or filt != 0:
+        raise ValueError("unknown PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("Adam7 interlace not supported")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"bad PNG color type {color}")
+    if depth not in (8, 16) or (color == 3 and depth != 8):
+        raise ValueError(f"unsupported PNG bit depth {depth}")
+    if width <= 0 or height <= 0:
+        raise ValueError("bad PNG dimensions")
+    channels = _PNG_CHANNELS[color]
+    bps = depth // 8
+    stride = width * channels * bps
+    if height * (stride + 1) > _PNG_MAX_RAW:
+        raise ValueError("PNG exceeds decode size cap")
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG scanline buffer size mismatch")
+    img = _unfilter_scanlines(raw, height, stride, channels * bps)
+    if depth == 16:
+        img = img.reshape(height, width, channels, 2)[..., 0]
+    else:
+        img = img.reshape(height, width, channels)
+    if color == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG without valid PLTE")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = img[..., 0]
+        if int(idx.max()) >= len(pal):
+            raise ValueError("palette index out of range")
+        img = pal[idx]
+    return np.ascontiguousarray(img)
+
+
+def _encode_png(arr: "np.ndarray") -> bytes:
+    """Minimal real PNG encoder: 8-bit, filter 0 scanlines, one zlib
+    IDAT. Accepts (H, W, C) uint8 with C in {1:gray, 2:gray+alpha,
+    3:RGB, 4:RGBA}. Round-trips exactly through _parse_png."""
+    import struct
+    import zlib
+
+    h, w, c = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[r].tobytes() for r in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _is_netpbm(blob: bytes) -> bool:
+    return blob is not None and len(blob) >= 2 and blob[:2] in (b"P6", b"P5")
+
+
+def _is_png(blob: bytes) -> bool:
+    return blob is not None and len(blob) >= 8 and blob[:8] == _PNG_SIG
+
+
 def _decode_image_real(blob: bytes) -> "dict | None":
-    """Real decode for uncompressed netpbm images. None → not netpbm
-    (caller falls through to the stub tier). A blob that IS netpbm by
-    magic but corrupt/truncated/unsupported-depth yields the all-null
-    feature row: one bad upload must null out, never kill the job
-    (production feature-extraction semantics)."""
-    if blob is None or len(blob) < 2 or blob[:2] not in (b"P6", b"P5"):
+    """Real decode for netpbm (uncompressed) and PNG (zlib-compressed)
+    images. None → neither format by magic (caller falls through to the
+    stub tier). A blob that claims a real format but is corrupt/
+    truncated/out-of-scope yields the all-null feature row: one bad
+    upload must null out, never kill the job (production
+    feature-extraction semantics)."""
+    if not (_is_netpbm(blob) or _is_png(blob)):
         return None
     try:
-        arr = _parse_ppm(blob)
+        arr = _parse_ppm(blob) if _is_netpbm(blob) else _parse_png(blob)
         if arr is None or arr.shape[0] <= 0 or arr.shape[1] <= 0:
             return dict(_NULL_IMAGE)
-        if arr.shape[2] == 3:
+        if arr.shape[2] >= 3:  # RGB / RGBA (alpha ignored for luma)
             luma = (
                 0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
             )
-        else:
+        else:  # gray / gray+alpha
             luma = arr[:, :, 0].astype(np.float64)
         return {
             "width": int(arr.shape[1]),
@@ -159,21 +335,37 @@ def _decode_image_real(blob: bytes) -> "dict | None":
         return dict(_NULL_IMAGE)
 
 
-def _resize_ppm_real(blob: bytes, target_px: int) -> "bytes | None":
-    """Real nearest-neighbor resize of a netpbm image to target_px on the
-    long side (aspect preserved), re-encoded as P6/P5."""
-    arr = _parse_ppm(blob)
-    if arr is None:
-        return None
-    h, w, c = arr.shape
+def _nn_resize(arr: "np.ndarray", target_px: int) -> "np.ndarray":
+    """Nearest-neighbor resize to target_px on the long side (aspect
+    preserved), any channel count."""
+    h, w = arr.shape[:2]
     scale = target_px / max(h, w)
     nh, nw = max(1, round(h * scale)), max(1, round(w * scale))
     rows = (np.arange(nh) * h) // nh
     cols = (np.arange(nw) * w) // nw
-    out = arr[np.ix_(rows, cols)]
+    return arr[np.ix_(rows, cols)]
+
+
+def _resize_ppm_real(blob: bytes, target_px: int) -> "bytes | None":
+    """Real nearest-neighbor resize of a netpbm image to target_px on the
+    long side, re-encoded as P6/P5."""
+    arr = _parse_ppm(blob)
+    if arr is None:
+        return None
+    out = _nn_resize(arr, target_px)
+    nh, nw, c = out.shape
     magic = b"P6" if c == 3 else b"P5"
     header = b"%s\n%d %d\n255\n" % (magic, nw, nh)
     return header + out.tobytes()
+
+
+def _resize_png_real(blob: bytes, target_px: int) -> "bytes | None":
+    """Real nearest-neighbor resize of a PNG (any supported color type),
+    re-encoded as 8-bit PNG with the same channel count."""
+    arr = _parse_png(blob)
+    if arr is None:
+        return None
+    return _encode_png(_nn_resize(arr, target_px))
 
 
 _NULL_AUDIO = {
@@ -415,10 +607,14 @@ def resize_images(
                     fmts.append(None)
                     continue
                 b = bytes(b)
-                if b[:2] in (b"P6", b"P5"):
+                if _is_netpbm(b) or _is_png(b):
                     try:
-                        blobs.append(_resize_ppm_real(b, target_px))
-                        fmts.append("ppm")
+                        if _is_netpbm(b):
+                            blobs.append(_resize_ppm_real(b, target_px))
+                            fmts.append("ppm")
+                        else:
+                            blobs.append(_resize_png_real(b, target_px))
+                            fmts.append("png")
                     except Exception:  # noqa: BLE001 — corrupt nulls out
                         blobs.append(None)
                         fmts.append(None)
@@ -445,8 +641,18 @@ def resize_images(
 
 def _gen_asset_payload(i: int) -> tuple[bytes, str]:
     """Deterministic payload for asset ``i``: every 3rd asset is a REAL
-    netpbm image, every 3rd+1 a REAL PCM WAV (both decode through the
-    real codec tier), the rest opaque bytes (stub tier)."""
+    netpbm image, every 3rd+1 a REAL PCM WAV, every 6th+2 a REAL PNG
+    (gray/RGB/RGBA rotating) — all three decode through the real codec
+    tier — and the rest opaque bytes (stub tier)."""
+    if i % 6 == 2:
+        c = (1, 3, 4)[(i // 6) % 3]
+        w, h = 6 + (i % 7) * 3, 5 + (i % 5) * 3
+        arr = (
+            (np.arange(h * w * c, dtype=np.uint64) * (17 + i) % 256)
+            .astype("uint8")
+            .reshape(h, w, c)
+        )
+        return _encode_png(arr), "image/png"
     if i % 3 == 0:
         w, h = 8 + (i % 5) * 4, 6 + (i % 7) * 2
         arr = (

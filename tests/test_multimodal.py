@@ -19,10 +19,15 @@ def test_image_features_deterministic(spark):
     assert feats.schema["phash"].dataType.simpleString() == "bigint"
     assert all(1 <= r["width"] <= 64 + 255 * 8 for r in rows)
     assert all(0.0 <= r["mean_luma"] <= 1.0 for r in rows)
-    # the generator mixes tiers: real netpbm rows (id%3==0) carry their
-    # true small dimensions, stub rows the digest-derived large ones
+    # the generator mixes tiers: real netpbm rows (id%3==0) and real PNG
+    # rows (id%6==2) carry their true small dimensions, stub rows
+    # (id%6==5) the digest-derived large ones
     assert all(r["width"] <= 24 for r in rows if r["asset_id"] % 3 == 0)
-    assert all(r["width"] >= 64 for r in rows if r["asset_id"] % 3 == 2)
+    assert all(r["width"] <= 27 for r in rows if r["asset_id"] % 6 == 2)
+    assert all(
+        r["channels"] in (1, 3, 4) for r in rows if r["asset_id"] % 6 == 2
+    )
+    assert all(r["width"] >= 64 for r in rows if r["asset_id"] % 6 == 5)
     # deterministic across runs
     again = extract_image_features(gen_assets(spark, 50)).orderBy("asset_id").collect()
     assert rows == again
@@ -77,14 +82,19 @@ def test_resize_images_plumbing(spark):
     assert len(rows) == 20
     assert all(r["target_px"] == 128 for r in rows)
     # stub tier (opaque payloads) → 32-byte digests; real netpbm tier →
-    # actual resized PPM payloads (header + pixels)
+    # actual resized PPM payloads; real PNG tier → actual resized PNGs
     assert all(
-        len(r["resized_png"]) == 32 for r in rows if r["asset_id"] % 3 == 2
+        len(r["resized_png"]) == 32 for r in rows if r["asset_id"] % 6 == 5
     )
     assert all(
         bytes(r["resized_png"])[:2] == b"P6"
         for r in rows
         if r["asset_id"] % 3 == 0
+    )
+    assert all(
+        bytes(r["resized_png"])[:8] == b"\x89PNG\r\n\x1a\n"
+        for r in rows
+        if r["asset_id"] % 6 == 2
     )
     # different target → different payloads (the stub really keys on size)
     other = {r["asset_id"]: r["resized_png"] for r in resize_images(assets, 64).collect()}
@@ -257,3 +267,215 @@ def test_resize_format_discriminator(spark):
     assert got[1]["format"] == "ppm" and bytes(got[1]["resized_png"])[:2] == b"P6"
     assert got[2]["format"] == "stub-digest" and len(got[2]["resized_png"]) == 32
     assert got[3]["format"] is None and got[3]["resized_png"] is None
+
+
+# -- real PNG codec (stdlib zlib + numpy; no PIL) ----------------------------
+
+
+def _png_chunk(ctype, data):
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _build_png(arr, filters, palette=None, depth=8, interlace=0):
+    """Test-local PNG builder: FORWARD-filters scanlines per the spec
+    (the forward direction, independent of the decoder under test) with a
+    chosen filter type per row, then assembles signature/IHDR/IDAT/IEND.
+    ``arr`` is the expected reconstruction (H, W, C) uint8 — or (H, W)
+    palette indices when ``palette`` is given."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if palette is not None:
+        h, w = arr.shape
+        c, color_type = 1, 3
+        data = arr.reshape(h, w, 1)
+    else:
+        h, w, c = arr.shape
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+        data = arr
+    bpp = c * (depth // 8)
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.uint8)
+    for r in range(h):
+        line = data[r].tobytes()
+        cur = np.frombuffer(line, np.uint8)
+        ft = filters[r % len(filters)]
+        raw.append(ft)
+        for x in range(len(cur)):
+            a = int(cur[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            cc = int(prev[x - bpp]) if x >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            raw.append((int(cur[x]) - pred) & 0xFF)
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    png = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        png += _png_chunk(b"PLTE", palette)
+    png += _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+    png += _png_chunk(b"IEND", b"")
+    return png
+
+
+def test_png_encode_decode_round_trip():
+    import numpy as np
+
+    from sap_spark.functions.multimodal import _encode_png, _parse_png
+
+    for c in (1, 2, 3, 4):
+        arr = (
+            (np.arange(11 * 7 * c, dtype=np.uint64) * 31 % 256)
+            .astype("uint8")
+            .reshape(7, 11, c)
+        )
+        assert (_parse_png(_encode_png(arr)) == arr).all()
+
+
+def test_png_all_filter_types_reconstruct_exactly():
+    """Each of the five spec filters round-trips: the blob is built by an
+    independent forward-filter implementation, so agreement proves the
+    decoder's unfiltering, not a shared bug."""
+    import numpy as np
+
+    from sap_spark.functions.multimodal import _parse_png
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(10, 9, 3), dtype=np.uint8)
+    for ft in (0, 1, 2, 3, 4):
+        assert (_parse_png(_build_png(arr, [ft])) == arr).all(), ft
+    # mixed filters per row
+    assert (_parse_png(_build_png(arr, [0, 1, 2, 3, 4])) == arr).all()
+
+
+def test_png_palette_and_16bit_and_gray_alpha():
+    import numpy as np
+
+    from sap_spark.functions.multimodal import _parse_png
+
+    # palette: indices map through PLTE to RGB
+    idx = np.array([[0, 1], [2, 1]], dtype=np.uint8)
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    got = _parse_png(_build_png(idx, [0], palette=pal))
+    assert got.shape == (2, 2, 3)
+    assert (got[0, 0] == [255, 0, 0]).all() and (got[1, 0] == [0, 0, 255]).all()
+
+    # 16-bit truncates to the high byte
+    arr16 = np.array([[[0x12, 0x34], [0xAB, 0xCD]]], dtype=np.uint8)  # 1x2 gray16
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 16, 0, 0, 0, 0)
+    raw = b"\x00" + arr16.tobytes()
+    png16 = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    got16 = _parse_png(png16)
+    assert got16.shape == (1, 2, 1)
+    assert got16[0, 0, 0] == 0x12 and got16[0, 1, 0] == 0xAB
+
+    # gray+alpha keeps 2 channels
+    ga = (np.arange(3 * 4 * 2, dtype=np.uint64) % 256).astype("uint8").reshape(3, 4, 2)
+    assert (_parse_png(_build_png(ga, [2])) == ga).all()
+
+
+def test_png_corrupt_and_out_of_scope_raise_cleanly():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from sap_spark.functions.multimodal import _parse_png
+
+    arr = (np.arange(4 * 4 * 3, dtype=np.uint64) % 256).astype("uint8").reshape(4, 4, 3)
+    good = _build_png(arr, [0])
+    assert _parse_png(b"not png at all") is None  # stub tier, not an error
+
+    # flipped payload byte → CRC mismatch
+    bad = bytearray(good)
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        _parse_png(bytes(bad))
+
+    # truncated IDAT stream
+    with pytest.raises(Exception):
+        _parse_png(good[:-20])
+
+    # Adam7 is out of scope and must say so
+    with pytest.raises(ValueError, match="Adam7"):
+        _parse_png(_build_png(arr, [0], interlace=1))
+
+    # decompression bomb: huge declared dims, tiny IDAT → size-cap error
+    ihdr = struct.pack(">IIBBBBB", 1 << 20, 1 << 20, 8, 2, 0, 0, 0)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="size cap"):
+        _parse_png(bomb)
+
+
+def test_png_features_and_resize_end_to_end(spark):
+    """PNG decodes for REAL through the distributed feature/resize path:
+    true dimensions and exact Rec.601 luma/ahash; resize emits a valid
+    PNG with nearest-neighbor-exact pixels; corrupt PNGs null out."""
+    import numpy as np
+
+    from sap_spark.functions.multimodal import (
+        _ahash64,
+        _encode_png,
+        _parse_png,
+        extract_image_features,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, size=(24, 40, 3), dtype=np.uint8)
+    png = _encode_png(arr)
+    corrupt = bytearray(png)
+    corrupt[50] ^= 0x55
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, corrupt)],
+        "asset_id long, payload binary",
+    )
+    got = {r["asset_id"]: r.asDict() for r in extract_image_features(df).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (40, 24, 3)
+    luma = 0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
+    assert abs(got[1]["mean_luma"] - luma.mean() / 255.0) < 1e-6
+    assert got[1]["phash"] == _ahash64(luma)
+    assert got[2]["width"] is None  # corrupt nulls out, job survives
+
+    out = {r["asset_id"]: r for r in resize_images(df, target_px=10).collect()}
+    assert out[1]["format"] == "png"
+    resized = _parse_png(bytes(out[1]["resized_png"]))
+    assert resized.shape == (6, 10, 3)
+    rows_ix = (np.arange(6) * 24) // 6
+    cols_ix = (np.arange(10) * 40) // 10
+    assert (resized == arr[np.ix_(rows_ix, cols_ix)]).all()
+    assert out[2]["format"] is None and out[2]["resized_png"] is None
