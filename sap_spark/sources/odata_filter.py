@@ -39,9 +39,13 @@ pipeline (filter → groupBy().agg() → limit/offset).
   accesses, and lambdas nest); argument-less ``Tags/any()`` tests
   non-emptiness.
 
-The rest of the V4 grammar (``in``, type casts, ``$it``, …) is out of
-scope and raises ``ODataFilterError`` with the offending token, so
-callers can fall back or surface a clean message.
+- ``member in ('a','b',...)`` (V4) → Catalyst ``In`` (parquet-pushable,
+  ``InSet`` for long literal lists; SQL 3VL nulls, matching the spec's
+  OR-of-eq definition).
+
+The rest of the V4 grammar (type casts, ``$it``, …) is out of scope and
+raises ``ODataFilterError`` with the offending token, so callers can
+fall back or surface a clean message.
 """
 
 from __future__ import annotations
@@ -161,6 +165,18 @@ class _Parser:
 
     def cmp_expr(self):
         left = self.add_expr()
+        if self.at_keyword("in"):
+            # V4 `in`: member in ('a','b',...) — compiles to Catalyst In
+            # (parquet-pushable; InSet for long literal lists), which has
+            # the same 3VL null semantics as the OData spec's OR-of-eq.
+            self.next()
+            self.expect("lparen")
+            items = [self.add_expr()]
+            while self.peek() and self.peek()[0] == "comma":
+                self.next()
+                items.append(self.add_expr())
+            self.expect("rparen")
+            return self._col(left).isin(*[self._col(x) for x in items])
         op = self.at_keyword("eq", "ne", "gt", "ge", "lt", "le")
         if op is None:
             return left

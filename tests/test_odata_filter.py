@@ -103,7 +103,6 @@ def test_literal_suffixes(df):
 def test_unsupported_raises(df):
     for bad in (
         "value = 10",            # SQL operator, not OData
-        "value in (1,2)",        # V4 `in` — out of scope
         "frobnicate(value)",     # unknown function
         "value gt",              # truncated
         "value gt 1 extra",      # trailing garbage
@@ -297,3 +296,29 @@ def test_property_paths_and_lambdas(spark):
         parse_odata_filter("tags/any(t t eq 'x')")
     with pytest.raises(ODataFilterError, match="expected property name"):
         parse_odata_filter("addr/1 eq 2")
+
+
+def test_in_operator(df):
+    """V4 `in`: literal lists of any primitive type, 3VL nulls (a null
+    member never matches), pushdown-friendly Catalyst In."""
+    assert ids(df, "event_type in ('click','error')") == [1, 3, 5]
+    assert ids(df, "id in (2, 4, 99)") == [2, 4]
+    # composes with the rest of the grammar at the comparison level
+    assert ids(df, "event_type in ('click') and value gt 5") == [1]
+    assert ids(df, "not (event_type in ('click','view'))") == [4, 5]
+    # null member column: row 3's lang is null → never matches (SQL 3VL)
+    assert ids(df, "lang in ('en','fr')") == [1, 4, 5]
+    # arithmetic operands work on both sides
+    assert ids(df, "id add 1 in (2, 3)") == [1, 2]
+    with pytest.raises(ODataFilterError):
+        parse_odata_filter("id in (")
+    with pytest.raises(ODataFilterError):
+        parse_odata_filter("id in 3")
+
+
+def test_in_pushes_down(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = ev.filter(
+        parse_odata_filter("event_type in ('click','view')")
+    )._jdf.queryExecution().toString()
+    assert "PushedFilters" in plan and "In(event_type" in plan
