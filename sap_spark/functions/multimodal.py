@@ -248,10 +248,15 @@ def _parse_png(blob: bytes) -> "np.ndarray | None":
     channels = _PNG_CHANNELS[color]
     bps = depth // 8
     stride = width * channels * bps
-    if height * (stride + 1) > _PNG_MAX_RAW:
+    expected = height * (stride + 1)
+    if expected > _PNG_MAX_RAW:
         raise ValueError("PNG exceeds decode size cap")
-    raw = zlib.decompress(b"".join(idat))
-    if len(raw) != height * (stride + 1):
+    # Bounded inflate: cap what zlib may ALLOCATE, not just what the
+    # header claims — a 1x1-claiming IHDR with a multi-GB-inflating IDAT
+    # must fail here without ever materializing the stream (zlib packs
+    # up to ~1032:1, so an unbounded decompress is the actual bomb).
+    raw = zlib.decompressobj().decompress(b"".join(idat), expected + 1)
+    if len(raw) != expected:
         raise ValueError("PNG scanline buffer size mismatch")
     img = _unfilter_scanlines(raw, height, stride, channels * bps)
     if depth == 16:

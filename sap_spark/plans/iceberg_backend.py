@@ -265,9 +265,9 @@ class IcebergTable:
         self.catalog, self.namespace, self.table = path.split(".")
         self._ancestry = self._load_ancestry()
         self.version = len(self._ancestry) if version is None else version
-        if self.version > len(self._ancestry):
+        if not 0 <= self.version <= len(self._ancestry):
             raise ValueError(
-                f"version {version} > latest {len(self._ancestry)}"
+                f"version {version} outside [0, {len(self._ancestry)}]"
             )
         self._props = self._load_props()
 
@@ -398,7 +398,13 @@ class IcebergTable:
 
     def read(self) -> DataFrame:
         df = self.read_internal()
-        user_cols = [f.name for f in self.schema.fields]
+        # user columns from the SNAPSHOT's own schema, not the current
+        # table's: a time-traveled handle predating an ADD COLUMNS
+        # evolution must not select columns its snapshot lacks (Iceberg
+        # time travel reads under the snapshot's schema)
+        user_cols = [
+            f.name for f in df.schema.fields if f.name not in INTERNAL_COLS
+        ]
         return df.where(~F.col(DELETED_COL)).select(*user_cols)
 
     # -- writes ------------------------------------------------------------
@@ -424,6 +430,20 @@ class IcebergTable:
     ) -> bool:
         if batch_id in self.committed_batches():
             return False  # law 2: replay is a no-op
+        if affected_buckets is not None and not affected_buckets:
+            # An all-cancelled (or empty) batch touches no buckets.
+            # LakeTable commits it as a no-op; here a MERGE would stage
+            # no snapshot for publish_changes to find, so the batch id is
+            # recorded straight into the durable batch ledger (the same
+            # property expire_snapshots mirrors into — law 2).
+            batches = self.committed_batches() | {batch_id}
+            self.spark.sql(
+                _sql_set_property(
+                    self.path, PROP_BATCHES, json.dumps(sorted(batches))
+                )
+            )
+            self._props = self._load_props()
+            return True
         self.evolve_schema(
             T.StructType(
                 [
@@ -493,7 +513,10 @@ class IcebergTable:
         writer = full.writeTo(_qname(self.path))
         if batch_id is not None:
             writer = writer.option("snapshot-property.wap.id", batch_id)
-        writer.overwritePartitions()
+        # full-table replace (the contract's overwrite), NOT dynamic
+        # partition overwrite — a df touching only some _bucket
+        # partitions must still truncate the rest
+        writer.overwrite(F.lit(True))
         self._ancestry = self._load_ancestry()
         self.version = len(self._ancestry)
 
@@ -518,8 +541,18 @@ class IcebergTable:
 
         before = type(self)(self.spark, self.path, version=from_version)
         after = type(self)(self.spark, self.path, version=to_version)
+        before_df, after_df = before.read(), after.read()
+        # schema evolution between the two versions: columns the old
+        # snapshot lacks read as typed nulls (snapshot-diff semantics —
+        # an added column's first value reports as part of the U/I row)
+        have = set(before_df.columns)
+        for f in after_df.schema.fields:
+            if f.name not in have:
+                before_df = before_df.withColumn(
+                    f.name, F.lit(None).cast(f.dataType)
+                )
         return snapshot_diff(
-            before.read(), after.read(), key_columns=self.key_columns
+            before_df, after_df, key_columns=self.key_columns
         )
 
     # -- maintenance -------------------------------------------------------

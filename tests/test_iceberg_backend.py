@@ -156,3 +156,10 @@ def test_availability_false_without_catalog(spark):
 def test_constructor_rejects_non_identifier_path(spark):
     with pytest.raises(ValueError, match="catalog.namespace.table"):
         IcebergTable(spark, "/some/fs/path")
+
+
+def test_constructor_rejects_negative_version(spark):
+    # negative versions would silently pin the wrong snapshot via Python
+    # negative indexing into the ancestry list
+    with pytest.raises(ValueError, match="outside"):
+        IcebergTable(spark, "ice.cdc.nope", version=-1)

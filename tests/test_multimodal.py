@@ -479,3 +479,26 @@ def test_png_features_and_resize_end_to_end(spark):
     cols_ix = (np.arange(10) * 40) // 10
     assert (resized == arr[np.ix_(rows_ix, cols_ix)]).all()
     assert out[2]["format"] is None and out[2]["resized_png"] is None
+
+
+def test_png_bomb_with_honest_header_is_still_bounded():
+    """The real bomb shape: a tiny IHDR (1x1) with an IDAT that inflates
+    to many MB. The decoder must cap the zlib ALLOCATION at the header's
+    expected scanline size, not merely validate dimensions after a full
+    inflate."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from sap_spark.functions.multimodal import _parse_png
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)  # claims 1x1 gray
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * (32 << 20)))  # 32 MB
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="size mismatch"):
+        _parse_png(bomb)
