@@ -613,7 +613,12 @@ _DOCS_SHA256_SQL = """
 
 
 def _docs_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring + language ID + fingerprint per document."""
+    """Quality scoring + language ID + normalized-text digest per document
+    (functions/text.py: Gopher/C4-style heuristics, marker-lexicon lang
+    ID, dedup normalization) — fully oracle-checked: every heuristic is
+    mirrored in DuckDB SQL (the digest uses md5, identical in both
+    engines, rather than xxhash64 which DuckDB lacks; the xxhash64
+    fingerprint() kernel keeps its own invariance pytest)."""
     from sap_spark.functions import text as TX
 
     docs = _t(spark, sf_dir, "documents")
@@ -622,8 +627,65 @@ def _docs_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.quality_score(F.col("text")).alias("quality"),
         TX.lang_id(F.col("text")).alias("lang_pred"),
         TX.token_count(F.col("text")).alias("n_tokens"),
-        TX.fingerprint(F.col("text")).alias("fingerprint"),
+        F.md5(TX.normalize_text(F.col("text"))).alias("norm_md5"),
     )
+
+
+# DuckDB mirror of quality_score/lang_id/token_count/normalize_text —
+# list ops term-for-term (Spark filter/aggregate ≙ DuckDB list_filter/
+# list_sum; array_max over (score, lang) structs ≙ list_sort[-1]); the
+# 'g' flags matter (DuckDB regexp_replace is first-match by default,
+# Spark's is replace-all).
+_DOCS_QUALITY_LANG_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS n_toks
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, text, toks, n_toks,
+    CASE WHEN len(toks) > 0
+         THEN list_sum(list_transform(toks, t -> length(t))) / CAST(len(toks) AS DOUBLE)
+         ELSE 0.0 END AS mwl,
+    CASE WHEN length(text) > 0
+         THEN length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) / CAST(length(text) AS DOUBLE)
+         ELSE 0.0 END AS punct_r,
+    CASE WHEN length(text) > 0
+         THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / CAST(length(text) AS DOUBLE)
+         ELSE 0.0 END AS alpha_r,
+    CASE WHEN len(toks) > 0
+         THEN len(list_filter(toks, t -> list_contains(
+              ['the','and','of','to','in','is','that','it','was','for','a','an','as','at','be','by','on','or','are','this','with','from'], t)))
+              / CAST(len(toks) AS DOUBLE)
+         ELSE 0.0 END AS sw_r
+  FROM base
+),
+scored AS (
+  SELECT doc_id, n_toks,
+    round(CAST(
+      (CASE WHEN n_toks >= 10 AND n_toks <= 100000 THEN 1.0 ELSE 0.2 END)
+      * (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.3 END)
+      * (CASE WHEN punct_r <= 0.3 THEN 1.0 ELSE 0.4 END)
+      * (CASE WHEN alpha_r >= 0.55 THEN 1.0 ELSE 0.5 END)
+      * (CASE WHEN sw_r >= 0.05 THEN 1.0 ELSE 0.6 END) AS DOUBLE), 6) AS quality,
+    list_sort([
+      {'score': len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is','that','it','was','for'], t))), 'lang': 'en'},
+      {'score': len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','nicht','ein','mit','für','auf'], t))), 'lang': 'de'},
+      {'score': len(list_filter(toks, t -> list_contains(['le','la','les','et','est','pas','pour','que','une','dans'], t))), 'lang': 'fr'},
+      {'score': len(list_filter(toks, t -> list_contains(['el','la','los','de','que','es','en','un','por','con'], t))), 'lang': 'es'},
+      {'score': len(list_filter(toks, t -> list_contains(['il','la','di','che','è','per','un','non','con','del'], t))), 'lang': 'it'},
+      {'score': len(list_filter(toks, t -> list_contains(['o','a','de','que','em','um','para','com','não','os'], t))), 'lang': 'pt'}
+    ])[-1] AS best,
+    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS norm_md5
+  FROM feat
+)
+SELECT doc_id, quality,
+       CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred,
+       n_toks AS n_tokens, norm_md5
+FROM scored
+"""
 
 
 def _docs_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1775,6 +1837,7 @@ def oracle_sql() -> dict[str, str]:
         "supplier_part_stats": _SUPPLIER_PART_STATS_SQL,
         "docs_exact_dedup": _DOCS_EXACT_DEDUP_SQL,
         "docs_lang_profile": _DOCS_LANG_PROFILE_SQL,
+        "docs_quality_lang": _DOCS_QUALITY_LANG_SQL,
         "docs_token_stats": _DOCS_TOKEN_STATS_SQL,
         "docs_pack_sequences": _DOCS_PACK_SEQUENCES_SQL,
         "docs_top_words": _DOCS_TOP_WORDS_SQL,
