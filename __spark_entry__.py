@@ -798,16 +798,39 @@ _DOCS_SNAPSHOT_DIFF_SQL = """
 def _docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic identity-hash stratified sampling + train/eval split
     (operators/sampling.py): membership is a pure function of doc_id, so
-    retries/repartitions/cluster sizes reproduce the same corpus.
-    Rows-only: xxhash64 has no DuckDB equivalent; determinism, nesting,
-    and per-stratum rates are pinned in tests/test_sampling.py."""
+    retries/repartitions/cluster sizes reproduce the same corpus. Run
+    with hash_fn='md5' (first 15 md5 hex digits → bigint), the portable
+    variant whose membership any md5-bearing engine reproduces — DuckDB
+    verifies the exact kept set and split tags. The xxhash64 default
+    (production: cheapest JVM hash) shares every property and is pinned
+    in tests/test_sampling.py."""
     from sap_spark.operators.sampling import split_train_eval, stratified_sample
 
     docs = _t(spark, sf_dir, "documents")
-    sampled = stratified_sample(docs, ["doc_id"], 0.5)
-    return split_train_eval(sampled, ["doc_id"], 0.1).select(
+    sampled = stratified_sample(docs, ["doc_id"], 0.5, hash_fn="md5")
+    return split_train_eval(sampled, ["doc_id"], 0.1, hash_fn="md5").select(
         "doc_id", "lang", "split"
     )
+
+
+# DuckDB mirror of the md5 identity-hash bucket: same concat_ws key
+# (\x1f-separated id parts + domain + seed), same 15-hex-digit prefix →
+# bigint, same pmod scale. The 0.1::DOUBLE * 1000000 form reproduces the
+# exact IEEE product Spark computes from Python floats (100000.00000000001
+# — a plain DECIMAL 100000 would misclassify a bucket landing exactly on
+# the boundary).
+_DOCS_STRATIFIED_SAMPLE_SQL = r"""
+WITH b AS (
+  SELECT doc_id, lang,
+    ('0x' || substr(md5(concat_ws(chr(31), doc_id::VARCHAR, 'sample', '0')), 1, 15))::BIGINT % 1000000 AS b_sample,
+    ('0x' || substr(md5(concat_ws(chr(31), doc_id::VARCHAR, 'split', '0')), 1, 15))::BIGINT % 1000000 AS b_split
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN b_split < 0.1::DOUBLE * 1000000 THEN 'eval' ELSE 'train' END AS split
+FROM b
+WHERE b_sample < 0.5::DOUBLE * 1000000
+"""
 
 
 def _docs_neardup_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1838,6 +1861,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_exact_dedup": _DOCS_EXACT_DEDUP_SQL,
         "docs_lang_profile": _DOCS_LANG_PROFILE_SQL,
         "docs_quality_lang": _DOCS_QUALITY_LANG_SQL,
+        "docs_stratified_sample": _DOCS_STRATIFIED_SAMPLE_SQL,
         "docs_token_stats": _DOCS_TOKEN_STATS_SQL,
         "docs_pack_sequences": _DOCS_PACK_SEQUENCES_SQL,
         "docs_top_words": _DOCS_TOP_WORDS_SQL,

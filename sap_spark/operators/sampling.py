@@ -23,16 +23,40 @@ from pyspark.sql import functions as F
 _SCALE = 1_000_000
 
 
-def _bucket(id_cols: list[str], seed: int, domain: str) -> Column:
+def _bucket(
+    id_cols: list[str], seed: int, domain: str, hash_fn: str = "xxhash64"
+) -> Column:
     """Identity hash bucket, domain-separated per operator: without the
     domain tag, stratified_sample and split_train_eval at the same seed
     would share hash ranges — composing them would make the eval split a
     fixed prefix of the sample (e.g. a 0.1 split of a 0.2 sample tags
-    50% of rows eval, not 10%)."""
-    return F.pmod(
-        F.xxhash64(*[F.col(c) for c in id_cols], F.lit(domain), F.lit(seed)),
-        F.lit(_SCALE),
-    )
+    50% of rows eval, not 10%).
+
+    ``hash_fn``: ``xxhash64`` (default — cheapest JVM identity hash, the
+    production choice) or ``md5`` (first 15 hex digits → bigint; ~same
+    uniformity, portable to any engine with md5 — DuckDB, Trino,
+    Snowflake compute IDENTICAL membership, which is what makes the
+    contract query oracle-checkable and a corpus reproducible outside
+    Spark). Both are pure functions of row identity; the two produce
+    different (equally valid) samples."""
+    if hash_fn == "xxhash64":
+        return F.pmod(
+            F.xxhash64(*[F.col(c) for c in id_cols], F.lit(domain), F.lit(seed)),
+            F.lit(_SCALE),
+        )
+    if hash_fn == "md5":
+        # \x1f separator: unambiguous concat of id parts + domain + seed
+        key = F.concat_ws(
+            "\x1f",
+            *[F.col(c).cast("string") for c in id_cols],
+            F.lit(domain),
+            F.lit(str(seed)),
+        )
+        return F.pmod(
+            F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint"),
+            F.lit(_SCALE),
+        )
+    raise ValueError(f"unknown hash_fn {hash_fn!r} (xxhash64 | md5)")
 
 
 def stratified_sample(
@@ -42,6 +66,7 @@ def stratified_sample(
     strata_col: str | None = None,
     seed: int = 0,
     default_rate: float = 0.0,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Keep each row with its stratum's rate, deterministically.
 
@@ -51,7 +76,7 @@ def stratified_sample(
     """
     if isinstance(rates, dict) and strata_col is None:
         raise ValueError("strata_col is required when rates is a map")
-    b = _bucket(id_cols, seed, "sample")
+    b = _bucket(id_cols, seed, "sample", hash_fn)
     if isinstance(rates, dict):
         rate_map = F.create_map(
             *[
@@ -72,13 +97,14 @@ def split_train_eval(
     eval_fraction: float,
     seed: int = 0,
     split_col: str = "split",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Tag rows 'eval' / 'train' by identity hash — the split survives
     reshuffles and incremental corpus growth (a row never migrates
     between splits as data is added)."""
     if not (0.0 <= eval_fraction <= 1.0):
         raise ValueError("eval_fraction must be in [0, 1]")
-    b = _bucket(id_cols, seed, "split")
+    b = _bucket(id_cols, seed, "split", hash_fn)
     return df.withColumn(
         split_col,
         F.when(b < F.lit(eval_fraction * _SCALE), F.lit("eval")).otherwise(

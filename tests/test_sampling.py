@@ -84,3 +84,41 @@ def test_sample_then_split_composition(spark, docs):
 def test_rates_map_requires_strata_col(spark, docs):
     with pytest.raises(ValueError, match="strata_col"):
         stratified_sample(docs, ["doc_id"], {"en": 0.5})
+
+
+def test_md5_hash_variant_shares_all_properties(spark):
+    """hash_fn='md5' (the portable/oracle-checkable bucket) keeps the
+    operator laws: deterministic, nested (threshold sampling), composes
+    with the split without range-sharing; unknown hash_fn fails fast."""
+    import pytest
+
+    from sap_spark.operators.sampling import (
+        split_train_eval,
+        stratified_sample,
+    )
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    s20 = {r["doc_id"] for r in
+           stratified_sample(df, ["doc_id"], 0.2, hash_fn="md5").collect()}
+    s50 = {r["doc_id"] for r in
+           stratified_sample(df, ["doc_id"], 0.5, hash_fn="md5").collect()}
+    assert s20 < s50  # strict nesting
+    assert 0.15 < len(s20) / 2000 < 0.25
+    assert 0.45 < len(s50) / 2000 < 0.55
+    again = {r["doc_id"] for r in
+             stratified_sample(df, ["doc_id"], 0.5, hash_fn="md5").collect()}
+    assert s50 == again  # deterministic
+    # different hash, different (valid) sample — the two are not aliases
+    xx = {r["doc_id"] for r in
+          stratified_sample(df, ["doc_id"], 0.5).collect()}
+    assert xx != s50
+    # domain separation holds for md5 too: eval fraction of the sample
+    # stays ~10%, not a fixed prefix of the sample range
+    tagged = split_train_eval(
+        stratified_sample(df, ["doc_id"], 0.5, hash_fn="md5"),
+        ["doc_id"], 0.1, hash_fn="md5",
+    ).collect()
+    frac = sum(r["split"] == "eval" for r in tagged) / len(tagged)
+    assert 0.05 < frac < 0.15
+    with pytest.raises(ValueError, match="hash_fn"):
+        stratified_sample(df, ["doc_id"], 0.5, hash_fn="sha9000").collect()
