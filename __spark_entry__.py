@@ -369,7 +369,7 @@ _DOCS_LANG_PROFILE_SQL = """
 def _docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token counting + char stats per doc (text-analysis op)."""
     docs = _t(spark, sf_dir, "documents")
-    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    toks = F.size(F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+"))
     return docs.select(
         "doc_id",
         toks.alias("n_tokens"),
@@ -379,7 +379,7 @@ def _docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DOCS_TOKEN_STATS_SQL = r"""
     SELECT doc_id,
-           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+           len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS n_tokens,
            length(text) AS len_chars
     FROM documents
     ORDER BY doc_id
@@ -607,8 +607,10 @@ _DOCS_SHA256_SQL = """
 
 
 # ---------------------------------------------------------------------------
-# rows-only queries (non-SQL-expressible operators; exact semantics are
-# pytest-verified — the driver records a weaker rows>0 check)
+# training-data-pipeline queries. Most are oracle-checked (docs_quality_lang,
+# docs_stratified_sample, packing, snapshot-diff, …); the hash-seeded /
+# UDF-backed ones (neardup methods, ANN, media features) are rows-only with
+# exact semantics pinned in pytest — see the oracle_sql() trailer comment.
 # ---------------------------------------------------------------------------
 
 
@@ -639,9 +641,9 @@ def _docs_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DOCS_QUALITY_LANG_SQL = r"""
 WITH base AS (
   SELECT doc_id, text,
-         regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+         regexp_split_to_array(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS toks,
          CASE WHEN trim(text) = '' THEN 0
-              ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS n_toks
+              ELSE len(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0B\f\r]+')) END AS n_toks
   FROM documents
 ),
 feat AS (
@@ -678,7 +680,7 @@ scored AS (
       {'score': len(list_filter(toks, t -> list_contains(['il','la','di','che','è','per','un','non','con','del'], t))), 'lang': 'it'},
       {'score': len(list_filter(toks, t -> list_contains(['o','a','de','que','em','um','para','com','não','os'], t))), 'lang': 'pt'}
     ])[-1] AS best,
-    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS norm_md5
+    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \t\n\x0B\f\r]', ' ', 'g'), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS norm_md5
   FROM feat
 )
 SELECT doc_id, quality,
@@ -694,7 +696,7 @@ def _docs_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays inside whole-stage codegen, aggregation is two-phase hash."""
     docs = _t(spark, sf_dir, "documents")
     words = docs.where(F.trim("text") != "").select(
-        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+        F.explode(F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+")).alias("word")
     )
     return (
         words.where(F.col("word") != "")
@@ -708,7 +710,7 @@ def _docs_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DOCS_TOP_WORDS_SQL = r"""
     SELECT word, COUNT(*) AS n
     FROM (
-        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        SELECT unnest(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS word
         FROM documents WHERE trim(text) <> ''
     )
     WHERE word <> ''
@@ -735,7 +737,7 @@ _DOCS_PACK_SEQUENCES_SQL = r"""
     WITH t AS (
         SELECT doc_id,
                CASE WHEN trim(text) = '' THEN 0
-                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                    ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) END
                    AS n_tokens
         FROM documents
     )
@@ -813,8 +815,9 @@ def _docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# DuckDB mirror of the md5 identity-hash bucket: same concat_ws key
-# (\x1f-separated id parts + domain + seed), same 15-hex-digit prefix →
+# DuckDB mirror of the md5 identity-hash bucket: same prefix-free key
+# ('V<len>:<value>' per part — doc_id, then domain, then seed; NULL would
+# encode as 'N;' but doc_id is non-null), same 15-hex-digit prefix →
 # bigint, same pmod scale. The 0.1::DOUBLE * 1000000 form reproduces the
 # exact IEEE product Spark computes from Python floats (100000.00000000001
 # — a plain DECIMAL 100000 would misclassify a bucket landing exactly on
@@ -822,8 +825,8 @@ def _docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DOCS_STRATIFIED_SAMPLE_SQL = r"""
 WITH b AS (
   SELECT doc_id, lang,
-    ('0x' || substr(md5(concat_ws(chr(31), doc_id::VARCHAR, 'sample', '0')), 1, 15))::BIGINT % 1000000 AS b_sample,
-    ('0x' || substr(md5(concat_ws(chr(31), doc_id::VARCHAR, 'split', '0')), 1, 15))::BIGINT % 1000000 AS b_split
+    ('0x' || substr(md5('V' || length(doc_id::VARCHAR)::VARCHAR || ':' || doc_id::VARCHAR || 'V6:sample' || 'V1:0'), 1, 15))::BIGINT % 1000000 AS b_sample,
+    ('0x' || substr(md5('V' || length(doc_id::VARCHAR)::VARCHAR || ':' || doc_id::VARCHAR || 'V5:split' || 'V1:0'), 1, 15))::BIGINT % 1000000 AS b_split
   FROM documents
 )
 SELECT doc_id, lang,
@@ -1893,8 +1896,7 @@ def oracle_sql() -> dict[str, str]:
         "decode_kernels": _DECODE_KERNELS_SQL,
         # intentionally no oracle for: cdc_replay_synthetic (non-SQL source;
         # exact-state parity pytest-verified against the sequential fold),
-        # docs_quality_lang / docs_stratified_sample / docs_neardup_methods /
-        # emb_cosine_dedup / emb_ann_methods / assets_media_features /
-        # cdc_token_progress (hash-seeded / UDF / approx operators —
-        # semantics pinned in tests).
+        # docs_neardup_methods / emb_cosine_dedup / emb_ann_methods /
+        # assets_media_features / cdc_token_progress (hash-seeded / UDF /
+        # approx operators — semantics pinned in tests).
     }

@@ -27,10 +27,15 @@ _EN_STOPWORDS = _LANG_MARKERS["en"] + [
     "a", "an", "as", "at", "be", "by", "on", "or", "are", "this", "with", "from"
 ]
 
+# Java's \s == [ \t\n\x0B\f\r] exactly; RE2 (DuckDB) drops \x0B from \s.
+# Spelling the class out keeps Spark behavior bit-identical while making
+# the DuckDB oracle mirrors (__spark_entry__.py) agree on \x0B-bearing text.
+WS_CLASS = r" \t\n\x0B\f\r"
+
 
 def tokens(text: Column) -> Column:
     """Whitespace tokenization of lowercased text."""
-    return F.split(F.trim(F.lower(text)), r"\s+")
+    return F.split(F.trim(F.lower(text)), rf"[{WS_CLASS}]+")
 
 
 def token_count(text: Column) -> Column:
@@ -44,7 +49,7 @@ def token_count_bpe(text: Column) -> Column:
     this regex matches its pre-split behavior, which is the right
     cost-estimate granularity for data pipelines."""
     pieces = F.regexp_extract_all(
-        text, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0
+        text, F.lit(rf"[A-Za-z]+|[0-9]|[^A-Za-z0-9{WS_CLASS}]"), 0
     )
     # long words split into ~4-char subwords on average
     return F.aggregate(
@@ -117,8 +122,8 @@ def normalize_text(text: Column) -> Column:
     """Dedup normalization: lowercase, strip punctuation, collapse runs of
     whitespace — the canonical form for exact/fingerprint dedup."""
     t = F.lower(text)
-    t = F.regexp_replace(t, r"[^a-z0-9\s]", " ")
-    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    t = F.regexp_replace(t, rf"[^a-z0-9{WS_CLASS}]", " ")
+    t = F.trim(F.regexp_replace(t, rf"[{WS_CLASS}]+", " "))
     return t
 
 

@@ -34,23 +34,34 @@ def _bucket(
 
     ``hash_fn``: ``xxhash64`` (default — cheapest JVM identity hash, the
     production choice) or ``md5`` (first 15 hex digits → bigint; ~same
-    uniformity, portable to any engine with md5 — DuckDB, Trino,
-    Snowflake compute IDENTICAL membership, which is what makes the
-    contract query oracle-checkable and a corpus reproducible outside
-    Spark). Both are pure functions of row identity; the two produce
-    different (equally valid) samples."""
+    uniformity, portable: any engine with md5 computes identical
+    membership for integer/string id columns — cast-to-string of
+    floats/timestamps is engine-specific, so hash those via an explicit
+    string column if cross-engine parity matters). The md5 key encodes
+    each part prefix-free ('N;' for NULL, 'V<len>:<value>' otherwise),
+    so NULL-vs-value layouts and separator-looking characters inside a
+    value cannot collide. The xxhash64 path hashes columns natively;
+    note Spark hash functions skip NULL inputs, so id_cols should be
+    non-null identity columns there. Both are pure functions of row
+    identity; the two produce different (equally valid) samples."""
     if hash_fn == "xxhash64":
         return F.pmod(
             F.xxhash64(*[F.col(c) for c in id_cols], F.lit(domain), F.lit(seed)),
             F.lit(_SCALE),
         )
     if hash_fn == "md5":
-        # \x1f separator: unambiguous concat of id parts + domain + seed
-        key = F.concat_ws(
-            "\x1f",
-            *[F.col(c).cast("string") for c in id_cols],
-            F.lit(domain),
-            F.lit(str(seed)),
+        def enc(c: Column) -> Column:
+            # prefix-free: 'N;' | 'V' + char-length + ':' + value — a value
+            # containing 'N;' or 'V…:' can't forge a boundary because the
+            # declared length fixes the value's extent.
+            return F.when(c.isNull(), F.lit("N;")).otherwise(
+                F.concat(F.lit("V"), F.length(c).cast("string"), F.lit(":"), c)
+            )
+
+        key = F.concat(
+            *[enc(F.col(c).cast("string")) for c in id_cols],
+            enc(F.lit(domain)),
+            enc(F.lit(str(seed))),
         )
         return F.pmod(
             F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint"),

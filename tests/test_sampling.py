@@ -90,13 +90,6 @@ def test_md5_hash_variant_shares_all_properties(spark):
     """hash_fn='md5' (the portable/oracle-checkable bucket) keeps the
     operator laws: deterministic, nested (threshold sampling), composes
     with the split without range-sharing; unknown hash_fn fails fast."""
-    import pytest
-
-    from sap_spark.operators.sampling import (
-        split_train_eval,
-        stratified_sample,
-    )
-
     df = spark.range(2000).withColumnRenamed("id", "doc_id")
     s20 = {r["doc_id"] for r in
            stratified_sample(df, ["doc_id"], 0.2, hash_fn="md5").collect()}
@@ -122,3 +115,28 @@ def test_md5_hash_variant_shares_all_properties(spark):
     assert 0.05 < frac < 0.15
     with pytest.raises(ValueError, match="hash_fn"):
         stratified_sample(df, ["doc_id"], 0.5, hash_fn="sha9000").collect()
+
+
+def test_md5_key_encoding_is_prefix_free(spark):
+    """The md5 bucket key must be injective over multi-column identities:
+    (NULL,'x') vs ('x',NULL) and a value containing a would-be separator
+    must all land in distinct key strings (a concat_ws key collides on
+    both)."""
+    from sap_spark.operators.sampling import _bucket
+
+    rows = [
+        (None, "x"),
+        ("x", None),
+        ("a\x1fb", None),  # separator-injection attempt vs ('a','b')
+        ("a", "b"),
+        ("V2:a", "b"),  # tag-injection attempt
+        ("a", "bV1:c"),
+    ]
+    df = spark.createDataFrame(rows, "a string, b string")
+    buckets = [
+        r["bkt"]
+        for r in df.select(
+            _bucket(["a", "b"], 0, "sample", hash_fn="md5").alias("bkt")
+        ).collect()
+    ]
+    assert len(set(buckets)) == len(rows)  # all distinct identities, distinct keys

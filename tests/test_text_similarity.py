@@ -346,3 +346,31 @@ def test_dedup_exact_bounds_member_ids(spark):
     assert row["n_copies"] == n
     assert row["keep_id"] == 0
     assert row["member_ids"] == list(range(50))
+
+
+def test_tokenizer_vertical_tab_matches_duckdb(spark):
+    """Java \\s includes \\x0B, RE2 \\s does not — the shared explicit
+    class (text.WS_CLASS) must make Spark and DuckDB tokenize
+    vertical-tab text identically (the docs_quality_lang oracle depends
+    on it)."""
+    import duckdb
+
+    samples = ["foo\x0bbar", "a\x0b b\tc", "plain text", " \x0b "]
+    df = spark.createDataFrame([(s,) for s in samples], "text string")
+    got = [
+        r["n"]
+        for r in df.select(TX.token_count(F.col("text")).alias("n"))
+        .collect()
+    ]
+    duck = duckdb.connect()
+    oracle = [
+        duck.execute(
+            "SELECT CASE WHEN trim(?) = '' THEN 0 ELSE len(regexp_split_to_array("
+            r"trim(lower(?)), '[ \t\n\x0B\f\r]+')) END",
+            [s, s],
+        ).fetchone()[0]
+        for s in samples
+    ]
+    # " \x0b ": trim strips only spaces, so the lone \x0B splits into two
+    # empty fields on BOTH engines — agreement, not zero, is the contract.
+    assert got == oracle == [2, 3, 2, 2]
