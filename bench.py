@@ -12,6 +12,13 @@ partitioned) → checkpointed Structured Streaming pipeline → LakeTable COW
 merge — measured as change-events/sec to correct final state (the
 BASELINE.json metric), plus the contract queries at $SPARK_GRAFT_SF_DIR.
 
+Every reported number is a median: the replay runs SPARK_GRAFT_BENCH_REPS
+(default 3) times over one prebuilt log, and the query set is timed as the
+same number of full interleaved passes (this VM's deliverable CPU swings
+2-6x on hypervisor throttling windows spanning whole passes — a single
+shot is as likely to measure the hypervisor as the plan; see
+BENCH/QUERIES_r4.md). Raw samples ship alongside the medians in the JSON.
+
 Scaling evidence (north_rule, sandbox substitute for N vs 4N executors):
 
     python bench.py --scaling
@@ -43,6 +50,9 @@ N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "4000000"))
 # parquet row groups instead (see write_change_log).
 BENCH_MFT = int(os.environ.get("SPARK_GRAFT_BENCH_MFT", "5"))
 FILES_PER_TOKEN = int(os.environ.get("SPARK_GRAFT_BENCH_FPT", "1"))
+# timed repetitions per measurement (median reported); interleaved for the
+# query set so one throttling window cannot poison every sample of a query
+BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 # contract queries worth timing at sf (headline operator families)
 BENCH_QUERIES = [
@@ -195,27 +205,53 @@ def run_bench(
         },
     )
     queries: dict[str, float] = {}
+    prep_dir = None
 
     try:
+        # One prebuilt log for every replay rep: generation is setup, and
+        # reps must replay byte-identical input for their medians to be
+        # comparable.
+        if log is None:
+            prep_dir = tempfile.mkdtemp(prefix="sap_spark_bench_log_")
+            log = f"{prep_dir}/log"
+            prepare_log(spark, n_events, log)
+
         # Untimed warmup replay: JIT-compiles the whole code path (codegen,
-        # parquet, shuffle) so the timed run measures steady-state
+        # parquet, shuffle) so the timed runs measure steady-state
         # throughput, not JVM warmup — runs are ~1 min, warmup would
         # otherwise dominate.
         bench_cdc_replay(
             spark, cores, max(n_events // 20, 10_000), log_path=warmup_log
         )
 
-        cdc = bench_cdc_replay(spark, cores, n_events, log_path=log)
+        replay_reps = [
+            bench_cdc_replay(spark, cores, n_events, log_path=log)
+            for _ in range(BENCH_REPS)
+        ]
+        # median rep by wall (upper median for even rep counts); its wall
+        # window also scopes the task-time accounting below, so busy
+        # fraction and throughput describe the same run
+        cdc = sorted(replay_reps, key=lambda r: r["sec"])[len(replay_reps) // 2]
         queries["cdc_replay"] = cdc["sec"]
 
+        query_samples: dict[str, list[float]] = {}
         if not cdc_only:
             qmap = contract.queries()
             for name in BENCH_QUERIES:
-                fn = qmap[name]
-                fn(spark, sf_dir).count()  # warm (plan + file listing)
-                t0 = time.monotonic()
-                _force(fn(spark, sf_dir))
-                queries[name] = round(time.monotonic() - t0, 3)
+                qmap[name](spark, sf_dir).count()  # warm (plan + file listing)
+                query_samples[name] = []
+            # full interleaved passes, not per-query back-to-back repeats:
+            # a multi-second throttling window then inflates one PASS, and
+            # each query's median still has two clean samples
+            for _ in range(BENCH_REPS):
+                for name in BENCH_QUERIES:
+                    t0 = time.monotonic()
+                    _force(qmap[name](spark, sf_dir))
+                    query_samples[name].append(
+                        round(time.monotonic() - t0, 3)
+                    )
+            for name, s in query_samples.items():
+                queries[name] = sorted(s)[len(s) // 2]
 
         # Stop the session BEFORE parsing the event log: stop() closes the
         # EventLoggingListener's buffered writer, the only guaranteed flush
@@ -234,6 +270,8 @@ def run_bench(
         )
     finally:
         shutil.rmtree(evdir, ignore_errors=True)
+        if prep_dir:
+            shutil.rmtree(prep_dir, ignore_errors=True)
 
     total = round(sum(queries.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -244,11 +282,14 @@ def run_bench(
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cores": cores,
+        "reps": BENCH_REPS,
         "cdc_events": cdc["events"],
         "cdc_events_per_sec": cdc["events_per_sec"],
         "cdc_final_rows": cdc["final_rows"],
         "cdc_task_run_sec": cdc.get("task_run_sec"),
         "cdc_core_busy_fraction": cdc.get("core_busy_fraction"),
+        "cdc_replay_samples": [r["sec"] for r in replay_reps],
+        "query_samples": query_samples,
     }
 
 
@@ -320,6 +361,10 @@ def run_scaling(
                      "--warmup-log", f"{shared}/warmup"],
                     capture_output=True, text=True, timeout=7200,
                     cwd=os.path.dirname(os.path.abspath(__file__)),
+                    # this loop IS the median protocol (interleaved N/4N);
+                    # a child running its own reps would nest medians and
+                    # triple the cost for no extra robustness
+                    env={**os.environ, "SPARK_GRAFT_BENCH_REPS": "1"},
                 )
                 line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
                 samples[cores].append(json.loads(line))
