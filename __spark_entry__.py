@@ -903,11 +903,11 @@ def _emb_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _assets_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal image AND audio feature extraction over binary assets in
-    one contract query, Arrow-batched via mapInPandas. A third of the
-    generated payloads are REAL netpbm images (pure-numpy decode: true
-    dims/luma/a-hash) and a third REAL PCM WAV clips (stdlib wave codec:
-    true duration/rate/RMS); the opaque rest exercise the env-gated stub
-    tier (compressed codecs absent from this image). Each modality's typed
+    one contract query, Arrow-batched via mapInPandas. Most generated
+    payloads are REAL media — netpbm and PNG images, baseline JPEGs
+    (from-the-spec numpy codec, functions/jpeg.py), PCM WAV clips — and
+    decode to true dims/luma/a-hash/duration/RMS; the opaque rest
+    (video) exercise the env-gated stub tier. Each modality's typed
     feature row is serialized to JSON so the two schemas union; exact
     per-feature values are pinned in tests/test_multimodal.py."""
     from sap_spark.functions.multimodal import (

@@ -13,18 +13,22 @@ Codecs, honestly tiered:
   a numpy parser; **PNG via a stdlib-zlib decoder** (all five scanline
   filters, gray/RGB/palette/alpha color types, 8- and 16-bit, CRC
   checked, decompression-bomb capped — and a filter-0 encoder for the
-  resize output); PCM WAV audio via the stdlib ``wave`` module. These
-  produce true width/height/channels, Rec.601 mean luma, an 8×8
-  average-hash perceptual hash, real nearest-neighbor resizes, and true
+  resize output); **baseline JPEG via a from-the-spec numpy codec**
+  (functions/jpeg.py: SOF0/SOF1, 4:4:4/4:2:2/4:2:0 chroma, restart
+  markers, plus an Annex-K-table encoder for resize output and synthetic
+  fixtures — validated against libjpeg-encoded third-party files);
+  PCM WAV audio via the stdlib ``wave`` module. These produce true
+  width/height/channels, Rec.601 mean luma, an 8×8 average-hash
+  perceptual hash, real nearest-neighbor resizes, and true
   duration/rate/RMS dBFS/clip fraction.
-- **Lossy/container formats (JPEG/MP4/...) stay stubbed** — PIL/ffmpeg/
-  soundfile are NOT in this image and their codecs are not reasonably
-  reimplementable. The stub either raises CodecUnavailableError (strict
-  mode) or produces a deterministic fake (test mode). Swapping in a real
-  codec changes one pure-Python function; the Spark-side plumbing —
-  schema, Arrow batch iteration, column pruning, UDF signatures — is
-  identical for both tiers and is what these operators actually test at
-  scale.
+- **Remaining container/lossy formats (MP4, MP3, progressive JPEG, ...)
+  stay stubbed** — ffmpeg/soundfile are NOT in this image and those
+  codecs are not reasonably reimplementable. The stub either raises
+  CodecUnavailableError (strict mode) or produces a deterministic fake
+  (test mode). Swapping in a real codec changes one pure-Python
+  function; the Spark-side plumbing — schema, Arrow batch iteration,
+  column pruning, UDF signatures — is identical for both tiers and is
+  what these operators actually test at scale.
 """
 
 from __future__ import annotations
@@ -38,6 +42,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from sap_spark.functions import jpeg as _jpeg
 
 ASSET_META_SCHEMA = T.StructType(
     [
@@ -311,16 +317,23 @@ def _is_png(blob: bytes) -> bool:
 
 
 def _decode_image_real(blob: bytes) -> "dict | None":
-    """Real decode for netpbm (uncompressed) and PNG (zlib-compressed)
-    images. None → neither format by magic (caller falls through to the
-    stub tier). A blob that claims a real format but is corrupt/
-    truncated/out-of-scope yields the all-null feature row: one bad
-    upload must null out, never kill the job (production
-    feature-extraction semantics)."""
-    if not (_is_netpbm(blob) or _is_png(blob)):
+    """Real decode for netpbm (uncompressed), PNG (zlib-compressed) and
+    baseline JPEG images. None → none of the formats by magic (caller
+    falls through to the stub tier). A blob that claims a real format
+    but is corrupt/truncated/out-of-scope (e.g. progressive JPEG)
+    yields the all-null feature row: one bad upload must null out,
+    never kill the job (production feature-extraction semantics)."""
+    from sap_spark.functions.jpeg import is_jpeg, parse_jpeg
+
+    if not (_is_netpbm(blob) or _is_png(blob) or is_jpeg(blob)):
         return None
     try:
-        arr = _parse_ppm(blob) if _is_netpbm(blob) else _parse_png(blob)
+        if _is_netpbm(blob):
+            arr = _parse_ppm(blob)
+        elif _is_png(blob):
+            arr = _parse_png(blob)
+        else:
+            arr = parse_jpeg(blob)
         if arr is None or arr.shape[0] <= 0 or arr.shape[1] <= 0:
             return dict(_NULL_IMAGE)
         if arr.shape[2] >= 3:  # RGB / RGBA (alpha ignored for luma)
@@ -371,6 +384,18 @@ def _resize_png_real(blob: bytes, target_px: int) -> "bytes | None":
     if arr is None:
         return None
     return _encode_png(_nn_resize(arr, target_px))
+
+
+def _resize_jpeg_real(blob: bytes, target_px: int) -> "bytes | None":
+    """Real nearest-neighbor resize of a baseline JPEG, re-encoded as
+    baseline 4:4:4 JPEG (one quantization generation of loss, like any
+    decode→re-encode resize pipeline)."""
+    from sap_spark.functions.jpeg import encode_jpeg, parse_jpeg
+
+    arr = parse_jpeg(blob)
+    if arr is None:
+        return None
+    return encode_jpeg(_nn_resize(arr, target_px), quality=85)
 
 
 _NULL_AUDIO = {
@@ -612,14 +637,17 @@ def resize_images(
                     fmts.append(None)
                     continue
                 b = bytes(b)
-                if _is_netpbm(b) or _is_png(b):
+                if _is_netpbm(b) or _is_png(b) or _jpeg.is_jpeg(b):
                     try:
                         if _is_netpbm(b):
                             blobs.append(_resize_ppm_real(b, target_px))
                             fmts.append("ppm")
-                        else:
+                        elif _is_png(b):
                             blobs.append(_resize_png_real(b, target_px))
                             fmts.append("png")
+                        else:
+                            blobs.append(_resize_jpeg_real(b, target_px))
+                            fmts.append("jpeg")
                     except Exception:  # noqa: BLE001 — corrupt nulls out
                         blobs.append(None)
                         fmts.append(None)
@@ -647,8 +675,23 @@ def resize_images(
 def _gen_asset_payload(i: int) -> tuple[bytes, str]:
     """Deterministic payload for asset ``i``: every 3rd asset is a REAL
     netpbm image, every 3rd+1 a REAL PCM WAV, every 6th+2 a REAL PNG
-    (gray/RGB/RGBA rotating) — all three decode through the real codec
-    tier — and the rest opaque bytes (stub tier)."""
+    (gray/RGB/RGBA rotating), every 6th+5 alternates a REAL baseline
+    JPEG (4:4:4 / 4:2:0 / grayscale rotating) with opaque video bytes
+    (stub tier) — so all four real codecs decode wherever this table
+    flows."""
+    if i % 6 == 5 and (i // 6) % 2 == 0:
+        w, h = 10 + (i % 5) * 4, 9 + (i % 7) * 3
+        kind = (i // 12) % 3
+        c = 1 if kind == 2 else 3
+        arr = (
+            (np.arange(h * w * c, dtype=np.uint64) * (11 + i) % 256)
+            .astype("uint8")
+            .reshape(h, w, c)
+        )
+        return (
+            _jpeg.encode_jpeg(arr, quality=85, subsample=kind == 1),
+            "image/jpeg",
+        )
     if i % 6 == 2:
         c = (1, 3, 4)[(i // 6) % 3]
         w, h = 6 + (i % 7) * 3, 5 + (i % 5) * 3
@@ -685,7 +728,7 @@ def _gen_asset_payload(i: int) -> tuple[bytes, str]:
         return buf.getvalue(), "audio/wav"
     return (
         hashlib.blake2b(b"asset-%d" % i, digest_size=64).digest(),
-        ("image/jpeg", "video/mp4")[i % 2],
+        "video/mp4",
     )
 
 

@@ -1,0 +1,170 @@
+"""Baseline JPEG codec: spec-level behavior of sap_spark.functions.jpeg.
+
+The encoder exists mainly to give the decoder same-repo fixtures, so a
+symmetric bug in both directions is the risk round-trip tests can't see.
+Two independent anchors close that hole: solid-color images decode
+EXACTLY (the DC-only path is analytically checkable), and the repo's
+decode of real libjpeg output was validated visually/structurally during
+development (third-party files decode to correct dims/content; see
+functions/jpeg.py docstring)."""
+
+import numpy as np
+import pytest
+
+from sap_spark.functions.jpeg import (
+    DCT_A,
+    ZIGZAG,
+    encode_jpeg,
+    is_jpeg,
+    parse_jpeg,
+)
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def _smooth_rgb(h: int = 48, w: int = 80, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = 128 + 80 * np.sin(xx / 11.0) * np.cos(yy / 7.0)
+    img = np.stack([base, np.roll(base, 5, axis=1), 255 - base], axis=-1)
+    return np.clip(img + rng.normal(0, 4, img.shape), 0, 255).astype(np.uint8)
+
+
+def test_dct_basis_is_orthonormal():
+    assert np.allclose(DCT_A @ DCT_A.T, np.eye(8), atol=1e-12)
+    assert sorted(ZIGZAG.tolist()) == list(range(64))
+
+
+def test_round_trip_444_and_420():
+    img = _smooth_rgb()
+    for sub, floor in [(False, 34.0), (True, 31.0)]:
+        out = parse_jpeg(encode_jpeg(img, quality=90, subsample=sub))
+        assert out.shape == img.shape and out.dtype == np.uint8
+        assert _psnr(img, out) > floor
+
+
+def test_solid_color_round_trips_exactly():
+    """DC-only blocks are analytically lossless at any quality: quant of
+    a constant block has one nonzero (DC) coefficient, and the IDCT of
+    that single coefficient reproduces the constant exactly (any
+    remaining error would be a scaling/level-shift bug, which round-trip
+    PSNR alone could hide symmetrically)."""
+    for v in (0, 77, 128, 255):
+        solid = np.full((16, 24, 3), v, np.uint8)
+        out = parse_jpeg(encode_jpeg(solid, quality=90))
+        assert int(np.abs(out.astype(int) - v).max()) == 0
+    gray = np.full((8, 8, 1), 200, np.uint8)
+    assert int(np.abs(parse_jpeg(encode_jpeg(gray)).astype(int) - 200).max()) == 0
+
+
+def test_grayscale_and_odd_dimensions():
+    img = _smooth_rgb()[:41, :69]
+    for sub in (False, True):
+        out = parse_jpeg(encode_jpeg(img, quality=80, subsample=sub))
+        assert out.shape == (41, 69, 3)
+        assert _psnr(img, out) > 30.0
+    g = img[..., :1]
+    out = parse_jpeg(encode_jpeg(g, quality=85))
+    assert out.shape == (41, 69, 1)
+    assert _psnr(g, out) > 35.0
+
+
+def test_restart_markers_round_trip():
+    """DRI/RSTn: segments decode with DC predictor resets; the result
+    must be bit-identical to the no-restart encode of the same pixels
+    (restarts change the entropy stream, not the quantized data)."""
+    img = _smooth_rgb(40, 64, seed=3)
+    plain = parse_jpeg(encode_jpeg(img, quality=85))
+    for dri in (1, 3, 7):
+        blob = encode_jpeg(img, quality=85, restart_interval=dri)
+        assert b"\xff\xdd" in blob  # DRI segment present
+        assert np.array_equal(parse_jpeg(blob), plain)
+
+
+def test_sniffer_and_non_jpeg_passthrough():
+    assert not is_jpeg(None) and not is_jpeg(b"") and not is_jpeg(b"\x89PNG")
+    assert parse_jpeg(b"P6\n1 1\n255\n\x00\x00\x00") is None
+    assert is_jpeg(encode_jpeg(np.zeros((8, 8, 1), np.uint8)))
+
+
+def test_out_of_scope_and_corrupt_raise_value_error():
+    img = _smooth_rgb(24, 24)
+    blob = bytearray(encode_jpeg(img, quality=85))
+    # progressive: flip SOF0 -> SOF2
+    prog = blob.copy()
+    prog[prog.find(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(ValueError, match="non-baseline"):
+        parse_jpeg(bytes(prog))
+    # truncation inside the entropy stream
+    with pytest.raises(ValueError):
+        parse_jpeg(bytes(blob[: len(blob) // 2]))
+    # truncated segment header
+    with pytest.raises(ValueError):
+        parse_jpeg(bytes(blob[:10]))
+    # dimension bomb: patch SOF height/width to exceed MAX_PIXELS
+    bomb = blob.copy()
+    sof = bomb.find(b"\xff\xc0")
+    bomb[sof + 5 : sof + 9] = (9999).to_bytes(2, "big") * 2
+    with pytest.raises(ValueError, match="dimensions"):
+        parse_jpeg(bytes(bomb))
+
+
+def test_decoder_handles_16bit_quant_tables():
+    """DQT precision 1 (16-bit entries) is legal in extended streams;
+    re-pack the encoder's 8-bit table as 16-bit and the image must
+    decode identically."""
+    import struct
+
+    img = _smooth_rgb(16, 16)
+    blob = encode_jpeg(img[..., :1], quality=85)
+    plain = parse_jpeg(blob)
+    i = blob.find(b"\xff\xdb")
+    (length,) = struct.unpack(">H", blob[i + 2 : i + 4])
+    tid, entries = blob[i + 4], blob[i + 5 : i + 2 + length]
+    wide = struct.pack(">BBH", 0xFF, 0xDB, 2 + 1 + 128) + bytes(
+        [0x10 | tid]
+    ) + b"".join(struct.pack(">H", e) for e in entries)
+    patched = blob[:i] + wide + blob[i + 2 + length :]
+    assert np.array_equal(parse_jpeg(patched), plain)
+
+
+def test_jpeg_tier_in_feature_extraction(spark):
+    """e2e through the Spark plumbing: real JPEG payloads produce true
+    dims/channels/luma; a progressive-marked JPEG nulls out without
+    killing the job."""
+    from sap_spark.functions.multimodal import extract_image_features
+
+    img = _smooth_rgb(20, 30)
+    good = encode_jpeg(img, quality=90)
+    prog = bytearray(good)
+    prog[prog.find(b"\xff\xc0") + 1] = 0xC2
+    rows = [(1, bytearray(good)), (2, bytearray(bytes(prog)))]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    got = {r["asset_id"]: r.asDict() for r in extract_image_features(df).collect()}
+    assert got[1]["width"] == 30 and got[1]["height"] == 20
+    assert got[1]["channels"] == 3
+    expected_luma = float(
+        (
+            0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+        ).mean()
+        / 255.0
+    )
+    assert abs(got[1]["mean_luma"] - expected_luma) < 0.02
+    assert got[2]["width"] is None and got[2]["phash"] is None
+
+
+def test_jpeg_resize_through_spark(spark):
+    from sap_spark.functions.multimodal import resize_images
+
+    img = _smooth_rgb(32, 64)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg(img, quality=90)))],
+        "asset_id long, payload binary",
+    )
+    row = resize_images(df, target_px=16).collect()[0]
+    assert row["format"] == "jpeg"
+    out = parse_jpeg(bytes(row["resized_png"]))
+    assert out.shape == (8, 16, 3)  # aspect preserved, long side 16

@@ -27,7 +27,18 @@ def test_image_features_deterministic(spark):
     assert all(
         r["channels"] in (1, 3, 4) for r in rows if r["asset_id"] % 6 == 2
     )
-    assert all(r["width"] >= 64 for r in rows if r["asset_id"] % 6 == 5)
+    # id%6==5 alternates a real baseline JPEG (small true dims, gray or
+    # RGB) with an opaque video stub (digest-derived large dims)
+    assert all(
+        r["width"] >= 64
+        for r in rows
+        if r["asset_id"] % 6 == 5 and (r["asset_id"] // 6) % 2 == 1
+    )
+    assert all(
+        r["width"] <= 26 and r["channels"] in (1, 3)
+        for r in rows
+        if r["asset_id"] % 6 == 5 and (r["asset_id"] // 6) % 2 == 0
+    )
     # deterministic across runs
     again = extract_image_features(gen_assets(spark, 50)).orderBy("asset_id").collect()
     assert rows == again
@@ -82,9 +93,17 @@ def test_resize_images_plumbing(spark):
     assert len(rows) == 20
     assert all(r["target_px"] == 128 for r in rows)
     # stub tier (opaque payloads) → 32-byte digests; real netpbm tier →
-    # actual resized PPM payloads; real PNG tier → actual resized PNGs
+    # actual resized PPM payloads; real PNG tier → actual resized PNGs;
+    # real JPEG tier (id%6==5, even id//6) → actual resized JPEGs
     assert all(
-        len(r["resized_png"]) == 32 for r in rows if r["asset_id"] % 6 == 5
+        len(r["resized_png"]) == 32
+        for r in rows
+        if r["asset_id"] % 6 == 5 and (r["asset_id"] // 6) % 2 == 1
+    )
+    assert all(
+        bytes(r["resized_png"])[:3] == b"\xff\xd8\xff"
+        for r in rows
+        if r["asset_id"] % 6 == 5 and (r["asset_id"] // 6) % 2 == 0
     )
     assert all(
         bytes(r["resized_png"])[:2] == b"P6"
