@@ -398,6 +398,95 @@ def _resize_jpeg_real(blob: bytes, target_px: int) -> "bytes | None":
     return encode_jpeg(_nn_resize(arr, target_px), quality=85)
 
 
+# -- real MJPEG-in-AVI video tier (RIFF walk + functions/jpeg.py frames) -----
+#
+# AVI is the one video container whose common intra-only codec (MJPEG) this
+# repo can genuinely decode: every frame chunk is a standalone baseline
+# JPEG. The container walk is ~40 lines of public RIFF spec; inter-coded
+# codecs (H.264/MP4 etc.) remain env-gated stubs.
+
+
+def _is_avi(blob: bytes) -> bool:
+    return (
+        blob is not None
+        and len(blob) >= 12
+        and blob[:4] == b"RIFF"
+        and blob[8:12] == b"AVI "
+    )
+
+
+def _avi_mjpeg_frames(blob: bytes) -> "list[bytes]":
+    """Walk the RIFF chunk tree (little-endian sizes, word-aligned) and
+    return the video frame payloads from every 'movi' list — chunks whose
+    fourcc is '##db'/'##dc' — that sniff as JPEG. An AVI carrying a
+    non-MJPEG codec yields []; structurally broken RIFF raises."""
+    import struct as _struct
+
+    frames: list[bytes] = []
+
+    def walk(data: bytes, pos: int, end: int, in_movi: bool) -> None:
+        while pos + 8 <= end:
+            fourcc = data[pos : pos + 4]
+            (size,) = _struct.unpack("<I", data[pos + 4 : pos + 8])
+            body_end = pos + 8 + size
+            if body_end > end:
+                raise ValueError("truncated RIFF chunk")
+            if fourcc == b"LIST" and size >= 4:
+                ltype = data[pos + 8 : pos + 12]
+                walk(data, pos + 12, body_end, in_movi or ltype == b"movi")
+            elif (
+                in_movi
+                and len(fourcc) == 4
+                and fourcc[2:4] in (b"db", b"dc")
+                and fourcc[:2].isdigit()
+            ):
+                frame = data[pos + 8 : body_end]
+                if _jpeg.is_jpeg(frame):
+                    frames.append(frame)
+            pos = body_end + (size & 1)  # chunks are word-aligned
+
+    (riff_size,) = _struct.unpack("<I", blob[4:8])
+    walk(blob, 12, min(len(blob), 8 + riff_size), False)
+    return frames
+
+
+def _gen_avi_mjpeg(frames: "list[bytes]", w: int, h: int, fps: int = 10) -> bytes:
+    """Minimal spec-shaped MJPEG AVI writer (avih + one 'vids'/'MJPG'
+    stream + movi). Exists to give the real video tier same-repo
+    fixtures; round-trips through _avi_mjpeg_frames byte-exactly."""
+    import struct as _struct
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        return fourcc + _struct.pack("<I", len(data)) + data + (
+            b"\x00" if len(data) & 1 else b""
+        )
+
+    def lst(ltype: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", ltype + data)
+
+    max_bytes = max((len(f) for f in frames), default=0)
+    avih = _struct.pack(
+        "<14I", 10**6 // fps, max_bytes * fps, 0, 0x10, len(frames), 0, 1,
+        max_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = b"vids" + b"MJPG" + _struct.pack(
+        "<IHH8I4h",
+        0, 0, 0,  # flags, priority, language
+        0, 1, fps,  # initial frames, scale, rate (fps = rate/scale)
+        0, len(frames), max_bytes, 0xFFFFFFFF, 0,  # start, length, buf, quality, sampsize
+        0, 0, w, h,  # rcFrame
+    )
+    strf = _struct.pack(
+        "<I2i2H4sI2i2I", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    movi = b"movi" + b"".join(chunk(b"00dc", f) for f in frames)
+    body = (
+        lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+        + chunk(b"LIST", movi)
+    )
+    return b"RIFF" + _struct.pack("<I", 4 + len(body)) + b"AVI " + body
+
+
 _NULL_AUDIO = {
     "duration_sec": None, "sample_rate": None, "n_channels": None,
     "rms_db": None, "clip_fraction": None,
@@ -513,8 +602,12 @@ def sample_video_frames(
     deterministic_fake: bool = True,
 ) -> DataFrame:
     """Frame sampling (1 row in → ≤max_frames rows out) via mapInPandas —
-    the flatMap shape a real ffmpeg-based sampler needs. Stubbed decode:
-    fake 'frames' are deterministic slices of the blob digest."""
+    the flatMap shape a real ffmpeg-based sampler needs. MJPEG-in-AVI
+    payloads decode for REAL (RIFF walk + the repo's baseline JPEG
+    codec): every every_n-th frame comes back as an actual PNG. Other
+    containers are stubbed — fake 'frames' are deterministic slices of
+    the blob digest — and a corrupt AVI contributes no rows rather than
+    killing the job."""
     pruned = df.select(F.col(id_col).alias("asset_id"), F.col(blob_col).alias("payload"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -522,6 +615,27 @@ def sample_video_frames(
             rows = []
             for asset_id, blob in zip(pdf["asset_id"], pdf["payload"]):
                 if blob is None:
+                    continue
+                blob = bytes(blob)
+                if _is_avi(blob):
+                    try:
+                        frames = _avi_mjpeg_frames(blob)
+                        vid_rows = [
+                            {
+                                "asset_id": asset_id,
+                                "frame_idx": idx,
+                                "frame_png": _encode_png(
+                                    _jpeg.parse_jpeg(frames[idx])
+                                ),
+                            }
+                            for j, idx in enumerate(
+                                range(0, len(frames), every_n)
+                            )
+                            if j < max_frames
+                        ]
+                    except Exception:  # noqa: BLE001 — corrupt video: no rows
+                        vid_rows = []
+                    rows.extend(vid_rows)
                     continue
                 if not deterministic_fake:
                     raise CodecUnavailableError("video codec not available")
@@ -675,10 +789,25 @@ def resize_images(
 def _gen_asset_payload(i: int) -> tuple[bytes, str]:
     """Deterministic payload for asset ``i``: every 3rd asset is a REAL
     netpbm image, every 3rd+1 a REAL PCM WAV, every 6th+2 a REAL PNG
-    (gray/RGB/RGBA rotating), every 6th+5 alternates a REAL baseline
-    JPEG (4:4:4 / 4:2:0 / grayscale rotating) with opaque video bytes
-    (stub tier) — so all four real codecs decode wherever this table
-    flows."""
+    (gray/RGB/RGBA rotating), every 6th+5 cycles REAL baseline JPEG
+    (4:4:4 / 4:2:0 / grayscale rotating), REAL MJPEG AVI video, and
+    opaque mp4 bytes (stub tier) — so all five real codecs decode
+    wherever this table flows."""
+    if i % 6 == 5 and (i // 6) % 4 == 1:
+        w, h = 16 + (i % 3) * 8, 12 + (i % 2) * 4
+        frames = [
+            _jpeg.encode_jpeg(
+                (
+                    (np.arange(h * w * 3, dtype=np.uint64) * (7 + i) + f * 31)
+                    % 256
+                )
+                .astype("uint8")
+                .reshape(h, w, 3),
+                quality=85,
+            )
+            for f in range(3 + i % 4)
+        ]
+        return _gen_avi_mjpeg(frames, w, h), "video/avi"
     if i % 6 == 5 and (i // 6) % 2 == 0:
         w, h = 10 + (i % 5) * 4, 9 + (i % 7) * 3
         kind = (i // 12) % 3

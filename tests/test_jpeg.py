@@ -168,3 +168,77 @@ def test_jpeg_resize_through_spark(spark):
     assert row["format"] == "jpeg"
     out = parse_jpeg(bytes(row["resized_png"]))
     assert out.shape == (8, 16, 3)  # aspect preserved, long side 16
+
+
+def test_avi_mjpeg_round_trip_and_frame_sampling(spark):
+    """MJPEG-in-AVI: the RIFF writer/walker round-trips frame payloads
+    byte-exactly, and sample_video_frames returns REAL PNG frames whose
+    pixels match a direct decode of the same JPEG frames."""
+    from sap_spark.functions.multimodal import (
+        _avi_mjpeg_frames,
+        _gen_avi_mjpeg,
+        _parse_png,
+        sample_video_frames,
+    )
+
+    frames = [
+        encode_jpeg(_smooth_rgb(16, 24, seed=s), quality=90) for s in range(5)
+    ]
+    avi = _gen_avi_mjpeg(frames, 24, 16)
+    assert _avi_mjpeg_frames(avi) == frames
+
+    df = spark.createDataFrame(
+        [(7, bytearray(avi))], "asset_id long, payload binary"
+    )
+    rows = (
+        sample_video_frames(df, every_n=2, max_frames=2)
+        .orderBy("frame_idx")
+        .collect()
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 2]
+    for r in rows:
+        got = _parse_png(bytes(r["frame_png"]))
+        assert np.array_equal(got, parse_jpeg(frames[r["frame_idx"]]))
+
+
+def test_avi_corrupt_and_foreign_codec_yield_no_rows(spark):
+    from sap_spark.functions.multimodal import (
+        _avi_mjpeg_frames,
+        _gen_avi_mjpeg,
+        sample_video_frames,
+    )
+
+    frames = [encode_jpeg(_smooth_rgb(8, 8), quality=85)]
+    good = _gen_avi_mjpeg(frames, 8, 8)
+    # a non-JPEG payload in the frame chunk = some other codec → no frames
+    foreign = _gen_avi_mjpeg([b"\x00" * 40], 8, 8)
+    assert _avi_mjpeg_frames(foreign) == []
+    # truncated RIFF raises at the codec level…
+    with pytest.raises(ValueError):
+        _avi_mjpeg_frames(good[:40] + b"\xff" * 8)
+    # …and both contribute zero rows (not a crash) through the operator
+    df = spark.createDataFrame(
+        [(1, bytearray(foreign)), (2, bytearray(good[: len(good) // 2]))],
+        "asset_id long, payload binary",
+    )
+    assert sample_video_frames(df, every_n=1).count() == 0
+
+
+def test_gen_assets_includes_real_avi_tier(spark):
+    """id%6==5, (id//6)%4==1 rows are real MJPEG AVIs: frame sampling
+    yields PNG frames for them and digest stubs for the opaque mp4 rows."""
+    from sap_spark.functions.multimodal import gen_assets, sample_video_frames
+
+    assets = gen_assets(spark, 48)
+    rows = sample_video_frames(assets, every_n=1, max_frames=3).collect()
+    by_id: dict[int, list] = {}
+    for r in rows:
+        by_id.setdefault(r["asset_id"] % 48, []).append(bytes(r["frame_png"]))
+    avi_ids = [i for i in range(48) if i % 6 == 5 and (i // 6) % 4 == 1]
+    assert avi_ids and all(
+        all(f[:8] == b"\x89PNG\r\n\x1a\n" for f in by_id[i]) for i in avi_ids
+    )
+    mp4_ids = [i for i in range(48) if i % 6 == 5 and (i // 6) % 4 == 3]
+    assert mp4_ids and all(
+        all(len(f) == 32 for f in by_id[i]) for i in mp4_ids
+    )

@@ -58,7 +58,15 @@ def test_frame_sampling_flatmap_shape(spark):
     per_asset = pdf.groupby("asset_id").size()
     assert per_asset.max() <= 4
     assert (pdf["frame_idx"] % 30 == 0).all()
-    assert pdf["frame_png"].map(len).eq(32).all()
+    # real MJPEG-AVI rows (id%6==5, id//6%4==1) yield actual PNG frames;
+    # everything else is the 32-byte stub digest
+    is_avi = (pdf["asset_id"] % 6 == 5) & (pdf["asset_id"] // 6 % 4 == 1)
+    assert pdf.loc[~is_avi, "frame_png"].map(len).eq(32).all()
+    assert (
+        pdf.loc[is_avi, "frame_png"]
+        .map(lambda b: bytes(b)[:8] == b"\x89PNG\r\n\x1a\n")
+        .all()
+    )
 
 
 def test_metadata_struct_schema(spark):
