@@ -243,9 +243,19 @@ def parse_jpeg(blob: bytes) -> "np.ndarray | None":
     None when the blob is not JPEG by signature (caller falls through to
     the stub tier); ValueError for JPEG-by-signature blobs that are
     corrupt, truncated, or out of scope (progressive / arithmetic /
-    12-bit / CMYK) — the caller nulls the row."""
+    12-bit / CMYK) — the caller nulls the row. The ValueError contract
+    holds for ARBITRARY bytes after the signature (fuzz-tested): header
+    slicing that comes up short surfaces as struct/index errors below
+    and is normalized here."""
     if not is_jpeg(blob):
         return None
+    try:
+        return _parse_jpeg_checked(blob)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"malformed JPEG structure: {e}") from e
+
+
+def _parse_jpeg_checked(blob: bytes) -> "np.ndarray":
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], _HuffTable] = {}  # (class, id)
     sof = None

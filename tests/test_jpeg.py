@@ -242,3 +242,48 @@ def test_gen_assets_includes_real_avi_tier(spark):
     assert mp4_ids and all(
         all(len(f) == 32 for f in by_id[i]) for i in mp4_ids
     )
+
+
+def test_fuzzed_jpeg_never_escapes_the_error_contract():
+    """Production contract: for ANY bytes, parse_jpeg returns an array,
+    returns None (not JPEG by signature), or raises ValueError — never
+    struct.error/IndexError/hangs. Fuzz with deterministic mutations of
+    a valid stream (bit flips, truncations, splices) and random
+    signature-prefixed garbage."""
+    rng = np.random.default_rng(42)
+    base = bytearray(
+        encode_jpeg(_smooth_rgb(24, 32), quality=80, restart_interval=2)
+    )
+    cases = []
+    for _ in range(150):
+        mutated = base.copy()
+        kind = rng.integers(0, 3)
+        if kind == 0:  # flip 1-4 bytes anywhere
+            for _ in range(int(rng.integers(1, 5))):
+                mutated[int(rng.integers(2, len(mutated)))] = int(
+                    rng.integers(0, 256)
+                )
+        elif kind == 1:  # truncate
+            mutated = mutated[: int(rng.integers(3, len(mutated)))]
+        else:  # splice a random window over itself
+            a, b = sorted(rng.integers(2, len(mutated), size=2).tolist())
+            mutated[a:b] = bytes(rng.integers(0, 256, size=max(0, b - a), dtype=np.uint8))
+        cases.append(bytes(mutated))
+    for _ in range(50):
+        cases.append(
+            b"\xff\xd8\xff"
+            + bytes(rng.integers(0, 256, size=int(rng.integers(0, 300)), dtype=np.uint8))
+        )
+    outcomes = {"ok": 0, "value_error": 0}
+    for blob in cases:
+        try:
+            out = parse_jpeg(blob)
+            assert out is None or (
+                isinstance(out, np.ndarray) and out.dtype == np.uint8
+            )
+            outcomes["ok"] += 1
+        except ValueError:
+            outcomes["value_error"] += 1
+    # the mutation mix must actually exercise both outcomes
+    assert outcomes["value_error"] > 20
+    assert outcomes["ok"] > 5
