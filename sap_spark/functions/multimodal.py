@@ -17,10 +17,14 @@ Codecs, honestly tiered:
   (functions/jpeg.py: SOF0/SOF1, 4:4:4/4:2:2/4:2:0 chroma, restart
   markers, plus an Annex-K-table encoder for resize output and synthetic
   fixtures — validated against libjpeg-encoded third-party files);
-  PCM WAV audio via the stdlib ``wave`` module. These produce true
-  width/height/channels, Rec.601 mean luma, an 8×8 average-hash
-  perceptual hash, real nearest-neighbor resizes, and true
-  duration/rate/RMS dBFS/clip fraction.
+  **GIF incl. animation** (functions/gif.py: variable-width LZW both
+  directions, interlace, transparency/disposal composition,
+  palette-space lossless resize); **MJPEG-in-AVI video** (RIFF walk +
+  the JPEG codec per frame); PCM WAV audio via the stdlib ``wave``
+  module. These produce true width/height/channels, Rec.601 mean luma,
+  an 8×8 average-hash perceptual hash, real nearest-neighbor resizes,
+  real sampled video frames, and true duration/rate/RMS dBFS/clip
+  fraction.
 - **Remaining container/lossy formats (MP4, MP3, progressive JPEG, ...)
   stay stubbed** — ffmpeg/soundfile are NOT in this image and those
   codecs are not reasonably reimplementable. The stub either raises
@@ -43,6 +47,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from sap_spark.functions import gif as _gif
 from sap_spark.functions import jpeg as _jpeg
 
 ASSET_META_SCHEMA = T.StructType(
@@ -317,23 +322,29 @@ def _is_png(blob: bytes) -> bool:
 
 
 def _decode_image_real(blob: bytes) -> "dict | None":
-    """Real decode for netpbm (uncompressed), PNG (zlib-compressed) and
-    baseline JPEG images. None → none of the formats by magic (caller
-    falls through to the stub tier). A blob that claims a real format
-    but is corrupt/truncated/out-of-scope (e.g. progressive JPEG)
-    yields the all-null feature row: one bad upload must null out,
-    never kill the job (production feature-extraction semantics)."""
-    from sap_spark.functions.jpeg import is_jpeg, parse_jpeg
-
-    if not (_is_netpbm(blob) or _is_png(blob) or is_jpeg(blob)):
+    """Real decode for netpbm (uncompressed), PNG (zlib-compressed),
+    baseline JPEG and GIF (first composed frame) images. None → none of
+    the formats by magic (caller falls through to the stub tier). A blob
+    that claims a real format but is corrupt/truncated/out-of-scope
+    (e.g. progressive JPEG) yields the all-null feature row: one bad
+    upload must null out, never kill the job (production
+    feature-extraction semantics)."""
+    if not (
+        _is_netpbm(blob)
+        or _is_png(blob)
+        or _jpeg.is_jpeg(blob)
+        or _gif.is_gif(blob)
+    ):
         return None
     try:
         if _is_netpbm(blob):
             arr = _parse_ppm(blob)
         elif _is_png(blob):
             arr = _parse_png(blob)
+        elif _jpeg.is_jpeg(blob):
+            arr = _jpeg.parse_jpeg(blob)
         else:
-            arr = parse_jpeg(blob)
+            arr = _gif.parse_gif(blob)
         if arr is None or arr.shape[0] <= 0 or arr.shape[1] <= 0:
             return dict(_NULL_IMAGE)
         if arr.shape[2] >= 3:  # RGB / RGBA (alpha ignored for luma)
@@ -396,6 +407,32 @@ def _resize_jpeg_real(blob: bytes, target_px: int) -> "bytes | None":
     if arr is None:
         return None
     return encode_jpeg(_nn_resize(arr, target_px), quality=85)
+
+
+def _resize_gif_real(blob: bytes, target_px: int) -> "bytes | None":
+    """Real LOSSLESS nearest-neighbor resize of a GIF: indices are
+    resampled in palette space and re-encoded against the SAME palette
+    (transparency index preserved) — no color drift, unlike RGB
+    round-tripping. Multi-image/offset GIFs fall back to composing the
+    first frame and encoding it over its own exact palette."""
+    indexed = _gif.parse_gif_indexed(blob)
+    if indexed is not None:
+        pal, idx, transparent = indexed
+        small = _nn_resize(idx[..., None], target_px)[..., 0]
+        return _gif.encode_gif(
+            palette=pal, indexed_frames=[small], transparent=transparent
+        )
+    arr = _gif.parse_gif(blob)  # composed first frame, ValueError if corrupt
+    small = _nn_resize(arr, target_px)
+    colors, inverse = np.unique(
+        small.reshape(-1, 3), axis=0, return_inverse=True
+    )
+    if len(colors) > 256:  # composed frame can exceed one palette
+        raise ValueError("composed GIF frame exceeds 256 colors")
+    return _gif.encode_gif(
+        palette=colors.astype(np.uint8),
+        indexed_frames=[inverse.astype(np.uint8).reshape(small.shape[:2])],
+    )
 
 
 # -- real MJPEG-in-AVI video tier (RIFF walk + functions/jpeg.py frames) -----
@@ -617,16 +654,23 @@ def sample_video_frames(
                 if blob is None:
                     continue
                 blob = bytes(blob)
-                if _is_avi(blob):
+                if _is_avi(blob) or _gif.is_gif(blob):
                     try:
-                        frames = _avi_mjpeg_frames(blob)
+                        if _is_avi(blob):
+                            frames = [
+                                _jpeg.parse_jpeg(f)
+                                for f in _avi_mjpeg_frames(blob)
+                            ]
+                        else:  # animated (or single-frame) GIF
+                            frames = _gif.gif_frames(
+                                blob,
+                                max_frames=(max_frames - 1) * every_n + 1,
+                            )
                         vid_rows = [
                             {
                                 "asset_id": asset_id,
                                 "frame_idx": idx,
-                                "frame_png": _encode_png(
-                                    _jpeg.parse_jpeg(frames[idx])
-                                ),
+                                "frame_png": _encode_png(frames[idx]),
                             }
                             for j, idx in enumerate(
                                 range(0, len(frames), every_n)
@@ -751,7 +795,12 @@ def resize_images(
                     fmts.append(None)
                     continue
                 b = bytes(b)
-                if _is_netpbm(b) or _is_png(b) or _jpeg.is_jpeg(b):
+                if (
+                    _is_netpbm(b)
+                    or _is_png(b)
+                    or _jpeg.is_jpeg(b)
+                    or _gif.is_gif(b)
+                ):
                     try:
                         if _is_netpbm(b):
                             blobs.append(_resize_ppm_real(b, target_px))
@@ -759,9 +808,12 @@ def resize_images(
                         elif _is_png(b):
                             blobs.append(_resize_png_real(b, target_px))
                             fmts.append("png")
-                        else:
+                        elif _jpeg.is_jpeg(b):
                             blobs.append(_resize_jpeg_real(b, target_px))
                             fmts.append("jpeg")
+                        else:
+                            blobs.append(_resize_gif_real(b, target_px))
+                            fmts.append("gif")
                     except Exception:  # noqa: BLE001 — corrupt nulls out
                         blobs.append(None)
                         fmts.append(None)
@@ -790,9 +842,25 @@ def _gen_asset_payload(i: int) -> tuple[bytes, str]:
     """Deterministic payload for asset ``i``: every 3rd asset is a REAL
     netpbm image, every 3rd+1 a REAL PCM WAV, every 6th+2 a REAL PNG
     (gray/RGB/RGBA rotating), every 6th+5 cycles REAL baseline JPEG
-    (4:4:4 / 4:2:0 / grayscale rotating), REAL MJPEG AVI video, and
-    opaque mp4 bytes (stub tier) — so all five real codecs decode
-    wherever this table flows."""
+    (4:4:4 / 4:2:0 / grayscale rotating), REAL MJPEG AVI video, REAL
+    animated GIF, and opaque mp4 bytes (stub tier) — so all six real
+    codecs decode wherever this table flows."""
+    if i % 6 == 5 and (i // 6) % 8 == 3:
+        w, h = 14 + (i % 4) * 6, 10 + (i % 3) * 4
+        rng = np.arange(h * w, dtype=np.uint64)
+        pal = (
+            (np.arange(16 * 3, dtype=np.uint64) * (23 + i) % 256)
+            .astype("uint8")
+            .reshape(16, 3)
+        )
+        frames = [
+            ((rng * (5 + i) + f * 7) % 16).astype("uint8").reshape(h, w)
+            for f in range(2 + i % 3)
+        ]
+        return (
+            _gif.encode_gif(palette=pal, indexed_frames=frames),
+            "image/gif",
+        )
     if i % 6 == 5 and (i // 6) % 4 == 1:
         w, h = 16 + (i % 3) * 8, 12 + (i % 2) * 4
         frames = [

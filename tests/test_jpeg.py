@@ -235,10 +235,12 @@ def test_gen_assets_includes_real_avi_tier(spark):
     for r in rows:
         by_id.setdefault(r["asset_id"] % 48, []).append(bytes(r["frame_png"]))
     avi_ids = [i for i in range(48) if i % 6 == 5 and (i // 6) % 4 == 1]
-    assert avi_ids and all(
-        all(f[:8] == b"\x89PNG\r\n\x1a\n" for f in by_id[i]) for i in avi_ids
+    gif_ids = [i for i in range(48) if i % 6 == 5 and (i // 6) % 8 == 3]
+    assert avi_ids and gif_ids and all(
+        all(f[:8] == b"\x89PNG\r\n\x1a\n" for f in by_id[i])
+        for i in avi_ids + gif_ids
     )
-    mp4_ids = [i for i in range(48) if i % 6 == 5 and (i // 6) % 4 == 3]
+    mp4_ids = [i for i in range(48) if i % 6 == 5 and (i // 6) % 8 == 7]
     assert mp4_ids and all(
         all(len(f) == 32 for f in by_id[i]) for i in mp4_ids
     )

@@ -27,12 +27,20 @@ def test_image_features_deterministic(spark):
     assert all(
         r["channels"] in (1, 3, 4) for r in rows if r["asset_id"] % 6 == 2
     )
-    # id%6==5 alternates a real baseline JPEG (small true dims, gray or
-    # RGB) with an opaque video stub (digest-derived large dims)
+    # id%6==5 cycles real baseline JPEG / MJPEG AVI / animated GIF /
+    # opaque mp4; JPEG+GIF rows carry small true dims, AVI+mp4 rows get
+    # the image-stub's digest-derived large dims (an AVI is not an image)
     assert all(
         r["width"] >= 64
         for r in rows
-        if r["asset_id"] % 6 == 5 and (r["asset_id"] // 6) % 2 == 1
+        if r["asset_id"] % 6 == 5
+        and (r["asset_id"] // 6) % 2 == 1
+        and (r["asset_id"] // 6) % 8 != 3
+    )
+    assert all(
+        r["width"] <= 40 and r["channels"] == 3
+        for r in rows
+        if r["asset_id"] % 6 == 5 and (r["asset_id"] // 6) % 8 == 3
     )
     assert all(
         r["width"] <= 26 and r["channels"] in (1, 3)
@@ -58,12 +66,15 @@ def test_frame_sampling_flatmap_shape(spark):
     per_asset = pdf.groupby("asset_id").size()
     assert per_asset.max() <= 4
     assert (pdf["frame_idx"] % 30 == 0).all()
-    # real MJPEG-AVI rows (id%6==5, id//6%4==1) yield actual PNG frames;
-    # everything else is the 32-byte stub digest
-    is_avi = (pdf["asset_id"] % 6 == 5) & (pdf["asset_id"] // 6 % 4 == 1)
-    assert pdf.loc[~is_avi, "frame_png"].map(len).eq(32).all()
+    # real MJPEG-AVI rows (id//6%4==1) and animated-GIF rows (id//6%8==3)
+    # yield actual PNG frames; everything else is the 32-byte stub digest
+    vid = pdf["asset_id"] % 6 == 5
+    is_real = vid & (
+        (pdf["asset_id"] // 6 % 4 == 1) | (pdf["asset_id"] // 6 % 8 == 3)
+    )
+    assert pdf.loc[~is_real, "frame_png"].map(len).eq(32).all()
     assert (
-        pdf.loc[is_avi, "frame_png"]
+        pdf.loc[is_real, "frame_png"]
         .map(lambda b: bytes(b)[:8] == b"\x89PNG\r\n\x1a\n")
         .all()
     )
