@@ -530,44 +530,113 @@ _NULL_AUDIO = {
 }
 
 
+def _g711_tables() -> "tuple[np.ndarray, np.ndarray]":
+    """256-entry A-law / mu-law expansion tables from the public G.711
+    formulas (A-law: XOR 0x55, sign bit set = positive; mu-law: ones'
+    complement, bias 0x84, sign bit set = negative)."""
+    alaw = np.empty(256, np.int32)
+    ulaw = np.empty(256, np.int32)
+    for i in range(256):
+        b = i ^ 0x55
+        sign, exp, mant = b & 0x80, (b >> 4) & 0x07, b & 0x0F
+        x = (mant << 4) + 8 if exp == 0 else ((mant << 4) + 0x108) << (exp - 1)
+        alaw[i] = x if sign else -x
+        u = ~i & 0xFF
+        sign, exp, mant = u & 0x80, (u >> 4) & 0x07, u & 0x0F
+        x = (((mant << 3) + 0x84) << exp) - 0x84
+        ulaw[i] = -x if sign else x
+    return alaw, ulaw
+
+
+_ALAW_TABLE, _ULAW_TABLE = _g711_tables()
+
+
+def _wav_samples(blob: bytes) -> "tuple[np.ndarray, int, int, float] | None":
+    """Manual RIFF/WAVE parse → (normalized float64 samples (interleaved),
+    rate, channels, clip threshold). Handles PCM 8/16/24/32-bit, IEEE
+    float 32/64, G.711 A-law/mu-law, and WAVE_FORMAT_EXTENSIBLE wrapping
+    any of those. None for formats outside that set (ADPCM, MP3-in-WAV);
+    ValueError for structurally broken RIFF."""
+    import struct as _struct
+
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        (size,) = _struct.unpack("<I", blob[pos + 4 : pos + 8])
+        body = blob[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or len(fmt) < 16 or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, ch, rate, _bps, _align, bits = _struct.unpack("<HHIIHH", fmt[:16])
+    if tag == 0xFFFE and len(fmt) >= 26:  # EXTENSIBLE: real tag leads the GUID
+        (tag,) = _struct.unpack("<H", fmt[24:26])
+    if ch == 0 or rate == 0:
+        raise ValueError("bad WAV fmt fields")
+    if tag == 1 and bits == 8:
+        x = (np.frombuffer(data, np.uint8).astype(np.float64) - 128) / 128.0
+        clip = 127 / 128.0
+    elif tag == 1 and bits == 16:
+        x = np.frombuffer(data, "<i2").astype(np.float64) / 32768.0
+        clip = 32767 / 32768.0
+    elif tag == 1 and bits == 24:
+        b = np.frombuffer(data[: len(data) - len(data) % 3], np.uint8)
+        b = b.reshape(-1, 3).astype(np.int32)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2].astype(np.int8).astype(np.int32) << 16)
+        x = v.astype(np.float64) / (1 << 23)
+        clip = ((1 << 23) - 1) / (1 << 23)
+    elif tag == 1 and bits == 32:
+        x = np.frombuffer(data, "<i4").astype(np.float64) / (1 << 31)
+        clip = ((1 << 31) - 1) / (1 << 31)
+    elif tag == 3 and bits == 32:
+        x = np.frombuffer(data, "<f4").astype(np.float64)
+        clip = 1.0
+    elif tag == 3 and bits == 64:
+        x = np.frombuffer(data, "<f8").copy()
+        clip = 1.0
+    elif tag == 6 and bits == 8:  # G.711 A-law
+        x = _ALAW_TABLE[np.frombuffer(data, np.uint8)].astype(np.float64) / 32768.0
+        clip = 32256 / 32768.0
+    elif tag == 7 and bits == 8:  # G.711 mu-law
+        x = _ULAW_TABLE[np.frombuffer(data, np.uint8)].astype(np.float64) / 32768.0
+        clip = 32124 / 32768.0
+    else:
+        return None
+    return x, rate, ch, clip
+
+
 def _decode_audio_real(blob: bytes) -> "dict | None":
-    """Real decode for PCM WAV via the stdlib wave module. None → not
-    RIFF/WAVE (stub tier). RIFF/WAVE blobs that are truncated, non-PCM
-    (mu-law/float/ADPCM) or an unsupported sample width yield the
-    all-null feature row — bad media nulls out, never kills the job."""
+    """Real decode for WAV audio — PCM 8/16/24/32-bit, IEEE float,
+    G.711 A-law/mu-law (numpy table expansion), EXTENSIBLE wrappers.
+    None → not RIFF/WAVE (stub tier). RIFF/WAVE blobs that are
+    truncated or carry a genuinely absent codec (ADPCM, MP3-in-WAV)
+    yield the all-null feature row — bad media nulls out, never kills
+    the job."""
     if blob is None or len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
         return None
-    import io
-    import wave
-
     try:
-        with wave.open(io.BytesIO(blob)) as wf:
-            n_channels = wf.getnchannels()
-            rate = wf.getframerate()
-            n_frames = wf.getnframes()
-            sampwidth = wf.getsampwidth()
-            raw = wf.readframes(n_frames)
-        if sampwidth == 2:
-            samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
-            clip_at = 32767 / 32768.0
-        elif sampwidth == 1:
-            samples = (
-                np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128
-            ) / 128.0
-            clip_at = 127 / 128.0
-        else:
-            return dict(_NULL_AUDIO)  # 24/32-bit: unsupported depth
+        parsed = _wav_samples(blob)
+        if parsed is None:
+            return dict(_NULL_AUDIO)
+        samples, rate, n_channels, clip_at = parsed
+        n_frames = samples.size // n_channels
         rms = float(np.sqrt(np.mean(samples**2))) if samples.size else 0.0
         rms_db = 20.0 * np.log10(rms) if rms > 0 else -120.0
         clip = float(np.mean(np.abs(samples) >= clip_at)) if samples.size else 0.0
         return {
-            "duration_sec": round(n_frames / rate, 6) if rate else None,
+            "duration_sec": round(n_frames / rate, 6),
             "sample_rate": rate,
             "n_channels": n_channels,
             "rms_db": round(rms_db, 6),
             "clip_fraction": round(clip, 6),
         }
-    except Exception:  # noqa: BLE001 — corrupt/non-PCM media nulls out
+    except Exception:  # noqa: BLE001 — corrupt media nulls out
         return dict(_NULL_AUDIO)
 
 

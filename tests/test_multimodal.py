@@ -540,3 +540,108 @@ def test_png_bomb_with_honest_header_is_still_bounded():
     )
     with pytest.raises(ValueError, match="size mismatch"):
         _parse_png(bomb)
+
+
+def _wav_blob(tag, ch, rate, bits, data):
+    """Hand-rolled RIFF/WAVE container for format-tag tests."""
+    import struct
+
+    fmt = struct.pack(
+        "<HHIIHH", tag, ch, rate, rate * ch * bits // 8, ch * bits // 8, bits
+    )
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_g711_tables_match_audioop():
+    """The A-law/mu-law expansion tables must agree byte-for-byte with
+    an independent implementation (stdlib audioop, available on this
+    Python) — the round-trip-blind oracle for the G.711 formulas."""
+    audioop = pytest.importorskip("audioop")
+    from sap_spark.functions.multimodal import _ALAW_TABLE, _ULAW_TABLE
+
+    for i in range(256):
+        assert _ALAW_TABLE[i] == audioop.alaw2lin(bytes([i]), 2)[0] | (
+            audioop.alaw2lin(bytes([i]), 2)[1] << 8
+        ) - (0x10000 if audioop.alaw2lin(bytes([i]), 2)[1] & 0x80 else 0)
+        assert _ULAW_TABLE[i] == audioop.ulaw2lin(bytes([i]), 2)[0] | (
+            audioop.ulaw2lin(bytes([i]), 2)[1] << 8
+        ) - (0x10000 if audioop.ulaw2lin(bytes([i]), 2)[1] & 0x80 else 0)
+
+
+def test_extended_wav_formats_decode(spark):
+    """Float32, 24-bit PCM, and G.711 mu-law WAVs all yield real
+    features now (they used to null out); ADPCM still nulls."""
+    import struct
+
+    import numpy as np
+
+    from sap_spark.functions.multimodal import extract_audio_features
+
+    rate = 8000
+    t = np.arange(rate // 4)  # 250 ms
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t / rate)
+
+    f32 = _wav_blob(3, 1, rate, 32, sine.astype("<f4").tobytes())
+    i24 = (sine * (1 << 23)).astype("<i4")
+    b24 = b"".join(struct.pack("<i", int(v))[:3] for v in i24)
+    pcm24 = _wav_blob(1, 1, rate, 24, b24)
+    audioop = pytest.importorskip("audioop")
+    ulaw = _wav_blob(
+        7, 1, rate, 8,
+        audioop.lin2ulaw((sine * 32768).astype("<i2").tobytes(), 2),
+    )
+    adpcm = _wav_blob(2, 1, rate, 4, b"\x00" * 128)
+
+    rows = [
+        (1, bytearray(f32)), (2, bytearray(pcm24)),
+        (3, bytearray(ulaw)), (4, bytearray(adpcm)),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    got = {r["asset_id"]: r.asDict() for r in extract_audio_features(df).collect()}
+
+    true_rms_db = 20 * np.log10(np.sqrt(np.mean(sine**2)))
+    for aid in (1, 2, 3):
+        assert got[aid]["duration_sec"] == 0.25
+        assert got[aid]["sample_rate"] == rate
+        assert got[aid]["n_channels"] == 1
+        # mu-law is 8-bit companded: ~0.2 dB of quantization error is
+        # expected; float/24-bit are near-exact
+        tol = 0.5 if aid == 3 else 0.01
+        assert abs(got[aid]["rms_db"] - true_rms_db) < tol
+        assert got[aid]["clip_fraction"] == 0.0
+    assert got[4]["duration_sec"] is None  # ADPCM: honest null
+
+
+def test_wav_extensible_wrapper_and_float_clip(spark):
+    """WAVE_FORMAT_EXTENSIBLE wrapping float32 resolves to the inner
+    tag; full-scale float samples count as clipped."""
+    import struct
+
+    import numpy as np
+
+    from sap_spark.functions.multimodal import extract_audio_features
+
+    rate = 8000
+    x = np.ones(800, dtype="<f4")  # constant full-scale -> 100% clipped
+    # cbSize=22: wValidBits(2) + dwChannelMask(4) + GUID(16, tag leads)
+    fmt = struct.pack(
+        "<HHIIHHH", 0xFFFE, 1, rate, rate * 4, 4, 32, 22
+    ) + struct.pack("<HIH", 32, 0, 3) + b"\x00" * 14
+    data = x.tobytes()
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    blob = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    df = spark.createDataFrame(
+        [(1, bytearray(blob))], "asset_id long, payload binary"
+    )
+    got = extract_audio_features(df).collect()[0]
+    assert got["duration_sec"] == 0.1
+    assert got["clip_fraction"] == 1.0
+    assert abs(got["rms_db"] - 0.0) < 1e-6  # unit amplitude = 0 dBFS
