@@ -19,13 +19,15 @@ Codecs, honestly tiered:
   fixtures — validated against libjpeg-encoded third-party files);
   **GIF incl. animation** (functions/gif.py: variable-width LZW both
   directions, interlace, transparency/disposal composition,
-  palette-space lossless resize); **MJPEG-in-AVI video** (RIFF walk +
-  the JPEG codec per frame); PCM WAV audio via the stdlib ``wave``
-  module. These produce true width/height/channels, Rec.601 mean luma,
-  an 8×8 average-hash perceptual hash, real nearest-neighbor resizes,
-  real sampled video frames, and true duration/rate/RMS dBFS/clip
-  fraction.
-- **Remaining container/lossy formats (MP4, MP3, progressive JPEG, ...)
+  palette-space lossless resize); **BMP** (uncompressed BI_RGB 8/24/32-
+  bit, both row orders); **MJPEG-in-AVI video** (RIFF walk + the JPEG
+  codec per frame); **WAV audio** — PCM 8/16/24/32-bit, IEEE float,
+  G.711 A-law/mu-law (numpy expansion tables verified against audioop),
+  EXTENSIBLE wrappers. These produce true width/height/channels,
+  Rec.601 mean luma, an 8×8 average-hash perceptual hash, real
+  nearest-neighbor resizes, real sampled video frames, and true
+  duration/rate/RMS dBFS/clip fraction.
+- **Remaining formats (MP4/H.264, MP3, progressive JPEG, ADPCM, ...)
   stay stubbed** — ffmpeg/soundfile are NOT in this image and those
   codecs are not reasonably reimplementable. The stub either raises
   CodecUnavailableError (strict mode) or produces a deterministic fake
@@ -334,6 +336,7 @@ def _decode_image_real(blob: bytes) -> "dict | None":
         or _is_png(blob)
         or _jpeg.is_jpeg(blob)
         or _gif.is_gif(blob)
+        or _is_bmp(blob)
     ):
         return None
     try:
@@ -343,8 +346,10 @@ def _decode_image_real(blob: bytes) -> "dict | None":
             arr = _parse_png(blob)
         elif _jpeg.is_jpeg(blob):
             arr = _jpeg.parse_jpeg(blob)
-        else:
+        elif _gif.is_gif(blob):
             arr = _gif.parse_gif(blob)
+        else:
+            arr = _parse_bmp(blob)
         if arr is None or arr.shape[0] <= 0 or arr.shape[1] <= 0:
             return dict(_NULL_IMAGE)
         if arr.shape[2] >= 3:  # RGB / RGBA (alpha ignored for luma)
@@ -432,6 +437,81 @@ def _resize_gif_real(blob: bytes, target_px: int) -> "bytes | None":
     return _gif.encode_gif(
         palette=colors.astype(np.uint8),
         indexed_frames=[inverse.astype(np.uint8).reshape(small.shape[:2])],
+    )
+
+
+# -- real BMP codec (uncompressed BI_RGB; the remaining common web format) ---
+
+
+def _is_bmp(blob: bytes) -> bool:
+    return blob is not None and len(blob) >= 2 and blob[:2] == b"BM"
+
+
+def _parse_bmp(blob: bytes) -> "np.ndarray | None":
+    """Uncompressed BI_RGB BMP decode → uint8 (H, W, C), C in {1, 3, 4}.
+    Covers 8-bit paletted, 24-bit BGR and 32-bit BGRA, top-down and
+    bottom-up row orders, 4-byte row padding. None when not BMP by
+    magic; ValueError for BMP-by-magic blobs that are corrupt or use
+    RLE/bitfield compression (caller nulls the row)."""
+    import struct as _struct
+
+    if not _is_bmp(blob):
+        return None
+    if len(blob) < 54:
+        raise ValueError("truncated BMP header")
+    (data_off,) = _struct.unpack("<I", blob[10:14])
+    hdr_size, w, h, _planes, bpp, comp = _struct.unpack("<IiiHHI", blob[14:34])
+    if hdr_size < 40:
+        raise ValueError("BMP core header not supported")
+    if comp != 0:  # BI_RLE*/BI_BITFIELDS/embedded PNG-JPEG
+        raise ValueError(f"compressed BMP (method {comp}) not supported")
+    top_down = h < 0
+    h = abs(h)
+    if w <= 0 or h == 0 or w * h > _PNG_MAX_RAW:
+        raise ValueError("BMP dimensions out of range")
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    stride = (w * bpp // 8 + 3) & ~3
+    if data_off + stride * h > len(blob):
+        raise ValueError("truncated BMP pixel data")
+    raw = np.frombuffer(blob, np.uint8, stride * h, data_off).reshape(h, stride)
+    if bpp == 8:
+        (n_colors,) = _struct.unpack("<I", blob[46:50])
+        n_colors = n_colors or 256
+        pal_off = 14 + hdr_size
+        if pal_off + 4 * n_colors > data_off:
+            raise ValueError("BMP palette overruns pixel data")
+        pal = np.frombuffer(blob, np.uint8, 4 * n_colors, pal_off).reshape(-1, 4)
+        idx = raw[:, :w]
+        if int(idx.max()) >= n_colors:
+            raise ValueError("BMP palette index out of range")
+        img = pal[idx][:, :, [2, 1, 0]]  # BGRX palette → RGB
+    else:
+        c = bpp // 8
+        px = raw[:, : w * c].reshape(h, w, c)
+        img = px[:, :, [2, 1, 0]] if c == 3 else px[:, :, [2, 1, 0, 3]]
+    if not top_down:
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+def _encode_bmp(arr: "np.ndarray") -> bytes:
+    """24-bit bottom-up BI_RGB writer for uint8 (H, W, 1|3|4) arrays
+    (gray expands, alpha drops — BI_RGB has no alpha semantics).
+    Round-trips exactly through _parse_bmp."""
+    import struct as _struct
+
+    h, w, c = arr.shape
+    rgb = arr[:, :, :1].repeat(3, axis=2) if c == 1 else arr[:, :, :3]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = rgb[::-1, :, [2, 1, 0]].reshape(h, w * 3)
+    data = rows.tobytes()
+    return (
+        b"BM"
+        + _struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+        + _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+        + data
     )
 
 
@@ -869,6 +949,7 @@ def resize_images(
                     or _is_png(b)
                     or _jpeg.is_jpeg(b)
                     or _gif.is_gif(b)
+                    or _is_bmp(b)
                 ):
                     try:
                         if _is_netpbm(b):
@@ -880,9 +961,14 @@ def resize_images(
                         elif _jpeg.is_jpeg(b):
                             blobs.append(_resize_jpeg_real(b, target_px))
                             fmts.append("jpeg")
-                        else:
+                        elif _gif.is_gif(b):
                             blobs.append(_resize_gif_real(b, target_px))
                             fmts.append("gif")
+                        else:
+                            blobs.append(
+                                _encode_bmp(_nn_resize(_parse_bmp(b), target_px))
+                            )
+                            fmts.append("bmp")
                     except Exception:  # noqa: BLE001 — corrupt nulls out
                         blobs.append(None)
                         fmts.append(None)
