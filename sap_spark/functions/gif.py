@@ -46,11 +46,8 @@ def _lzw_decode(min_code_size: int, data: bytes, expected: int) -> "np.ndarray":
         raise ValueError("bad LZW minimum code size")
     clear = 1 << min_code_size
     end = clear + 1
-    # bit reader over the concatenated sub-block payload, LSB-first
-    bits = np.unpackbits(
-        np.frombuffer(data, np.uint8), bitorder="little"
-    ).tolist()
-    nbits = len(bits)
+    # LSB-first reader indexing the bytes directly (no 64x bit-list blowup)
+    nbits = 8 * len(data)
     pos = 0
     prefix: list[int] = [-1] * (clear + 2)
     tail: list[int] = list(range(clear)) + [0, 0]
@@ -76,9 +73,11 @@ def _lzw_decode(min_code_size: int, data: bytes, expected: int) -> "np.ndarray":
     while filled < expected:
         if pos + code_size > nbits:
             raise ValueError("LZW stream truncated")
-        code = 0
-        for i in range(code_size):
-            code |= bits[pos + i] << i
+        byte = pos >> 3
+        code = (
+            int.from_bytes(data[byte : byte + 3], "little")
+            >> (pos & 7)
+        ) & ((1 << code_size) - 1)
         pos += code_size
         if code == clear:
             prefix = [-1] * (clear + 2)

@@ -169,20 +169,26 @@ class _HuffTable:
 
 class _BitReader:
     """MSB-first reader over destuffed entropy bytes (one restart
-    segment). Reading past the end pads with 1-bits, as the spec's
-    final-byte padding allows — a truly truncated scan then decodes an
-    invalid symbol and raises."""
+    segment), O(1) memory — indexes the byte string directly instead of
+    materializing a bit list (a 64x blowup that would let a crafted
+    multi-MB scan allocate GBs before failing; cf. the PNG tier's
+    bounded inflate). Reading past the end pads with 1-bits, as the
+    spec's final-byte padding allows — a truly truncated scan then
+    decodes an invalid symbol and raises."""
 
-    __slots__ = ("bits", "pos")
+    __slots__ = ("data", "nbits", "pos")
 
     def __init__(self, data: bytes):
-        self.bits = np.unpackbits(np.frombuffer(data, np.uint8)).tolist()
+        self.data = data
+        self.nbits = 8 * len(data)
         self.pos = 0
 
     def read_bit(self) -> int:
         p = self.pos
         self.pos = p + 1
-        return self.bits[p] if p < len(self.bits) else 1
+        if p >= self.nbits:
+            return 1
+        return (self.data[p >> 3] >> (7 - (p & 7))) & 1
 
     def receive(self, n: int) -> int:
         v = 0
@@ -202,6 +208,25 @@ class _BitReader:
 def _extend(v: int, t: int) -> int:
     """T.81 F.2.2.1: map the t-bit magnitude to its signed value."""
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+_DEFAULT_HUFF: dict[tuple[int, int], _HuffTable] = {}
+
+
+def _default_huff(cls: int, tid: int) -> _HuffTable:
+    """Annex K 'typical' tables as implicit defaults. The original MJPEG
+    convention omits DHT from every frame and relies on exactly these
+    tables; players (ffmpeg's mjpeg decoder, libjpeg-turbo consumers)
+    install them when a scan references an undeclared table — matching
+    that keeps the AVI tier working on real-world files."""
+    if tid not in (0, 1) or cls not in (0, 1):
+        raise ValueError("missing Huffman table")
+    if not _DEFAULT_HUFF:
+        _DEFAULT_HUFF[(0, 0)] = _HuffTable(DC_LUMA_BITS, DC_LUMA_VALS)
+        _DEFAULT_HUFF[(0, 1)] = _HuffTable(DC_CHROMA_BITS, DC_CHROMA_VALS)
+        _DEFAULT_HUFF[(1, 0)] = _HuffTable(AC_LUMA_BITS, AC_LUMA_VALS)
+        _DEFAULT_HUFF[(1, 1)] = _HuffTable(AC_CHROMA_BITS, AC_CHROMA_VALS)
+    return _DEFAULT_HUFF[(cls, tid)]
 
 
 def _split_scan(blob: bytes, start: int) -> tuple[list[bytes], int]:
@@ -251,8 +276,8 @@ def parse_jpeg(blob: bytes) -> "np.ndarray | None":
         return None
     try:
         return _parse_jpeg_checked(blob)
-    except (struct.error, IndexError) as e:
-        raise ValueError(f"malformed JPEG structure: {e}") from e
+    except (struct.error, IndexError, KeyError) as e:
+        raise ValueError(f"malformed JPEG structure: {e!r}") from e
 
 
 def _parse_jpeg_checked(blob: bytes) -> "np.ndarray":
@@ -263,6 +288,9 @@ def _parse_jpeg_checked(blob: bytes) -> "np.ndarray":
     i = 2
     n = len(blob)
     while True:
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while i + 1 < n and blob[i] == 0xFF and blob[i + 1] == 0xFF:
+            i += 1
         if i + 4 > n:
             raise ValueError("truncated JPEG before SOS")
         if blob[i] != 0xFF:
@@ -316,6 +344,13 @@ def _parse_jpeg_checked(blob: bytes) -> "np.ndarray":
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
+            if nc == 1:
+                # T.81 A.2: a single-component scan is non-interleaved —
+                # one 8x8 data unit per MCU in raster order at FULL
+                # resolution, whatever sampling factors the SOF declares
+                # (jpegtran -grayscale keeps the source's 2x2). Forcing
+                # 1x1 reproduces exactly that layout.
+                comps[0]["h"] = comps[0]["v"] = 1
             sof = {"h": h, "w": w, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -355,10 +390,8 @@ def _parse_jpeg_checked(blob: bytes) -> "np.ndarray":
         if c["tq"] not in qt:
             raise ValueError("missing quant table")
         dc_id, ac_id = scan_tables[c["id"]]
-        if (0, dc_id) not in huff or (1, ac_id) not in huff:
-            raise ValueError("missing Huffman table")
-        c["dc"] = huff[(0, dc_id)]
-        c["ac"] = huff[(1, ac_id)]
+        c["dc"] = huff.get((0, dc_id)) or _default_huff(0, dc_id)
+        c["ac"] = huff.get((1, ac_id)) or _default_huff(1, ac_id)
         c["zz"] = []  # per-block zigzag coefficient vectors
 
     segments, _ = _split_scan(blob, i + 2 + length)
@@ -404,11 +437,13 @@ def _parse_jpeg_checked(blob: bytes) -> "np.ndarray":
         raise ValueError("scan ended before all MCUs")
 
     # Vectorized tail: dequant + de-zigzag + IDCT + reassemble per plane.
+    # DQT entries arrive in zigzag order (T.81 B.2.4.1), matching zz's
+    # layout elementwise; the joint scatter through ZIGZAG de-zigzags both.
     planes = []
     for c in comps:
         zz = np.asarray(c["zz"], dtype=np.int64)  # (nblocks, 64) zigzag
         coef = np.zeros_like(zz)
-        coef[:, ZIGZAG] = zz * qt[c["tq"]][ZIGZAG]
+        coef[:, ZIGZAG] = zz * qt[c["tq"]]
         coef = coef.reshape(-1, 8, 8).astype(np.float64)
         pix = np.einsum("ij,njk,kl->nil", DCT_A.T, coef, DCT_A) + 128.0
         pix = np.clip(np.rint(pix), 0, 255).astype(np.uint8)
@@ -600,10 +635,6 @@ def encode_jpeg(
             p = pad(plane, mcus_y * mcu, mcus_x * mcu)
             samp.append((factor, factor) if ci == 0 or not subsample else (1, 1))
         comp_blocks.append(blockify(p - 128.0))
-    if not gray and not subsample:
-        samp = [(1, 1)] * 3
-        # 4:4:4: every component is full resolution, MCU is one block
-        mcus_x, mcus_y = -(-w // 8), -(-h // 8)
 
     dc_l = _encode_codes(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_l = _encode_codes(AC_LUMA_BITS, AC_LUMA_VALS)
@@ -650,7 +681,9 @@ def encode_jpeg(
         return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
     def dqt(tid: int, table: "np.ndarray") -> bytes:
-        return seg(0xDB, bytes([tid]) + bytes(int(x) for x in table))
+        # table is raster-ordered in this module; the wire format is
+        # zigzag-ordered (T.81 B.2.4.1)
+        return seg(0xDB, bytes([tid]) + bytes(int(x) for x in table[ZIGZAG]))
 
     def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
         return seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))

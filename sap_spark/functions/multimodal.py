@@ -806,25 +806,33 @@ def sample_video_frames(
                 if _is_avi(blob) or _gif.is_gif(blob):
                     try:
                         if _is_avi(blob):
-                            frames = [
-                                _jpeg.parse_jpeg(f)
-                                for f in _avi_mjpeg_frames(blob)
-                            ]
-                        else:  # animated (or single-frame) GIF
-                            frames = _gif.gif_frames(
+                            # container walk is cheap; JPEG-decode ONLY the
+                            # sampled frames (a 3000-frame MJPEG must not
+                            # cost 3000 decodes for 4 emitted rows)
+                            raw = _avi_mjpeg_frames(blob)
+                            wanted = list(range(0, len(raw), every_n))
+                            wanted = wanted[:max_frames]
+                            frames = {
+                                idx: _jpeg.parse_jpeg(raw[idx])
+                                for idx in wanted
+                            }
+                        else:  # animated GIF: frames compose sequentially,
+                            # so decode up to the last sampled index only
+                            seq = _gif.gif_frames(
                                 blob,
                                 max_frames=(max_frames - 1) * every_n + 1,
                             )
+                            wanted = [
+                                i for i in range(0, len(seq), every_n)
+                            ][:max_frames]
+                            frames = {i: seq[i] for i in wanted}
                         vid_rows = [
                             {
                                 "asset_id": asset_id,
                                 "frame_idx": idx,
                                 "frame_png": _encode_png(frames[idx]),
                             }
-                            for j, idx in enumerate(
-                                range(0, len(frames), every_n)
-                            )
-                            if j < max_frames
+                            for idx in wanted
                         ]
                     except Exception:  # noqa: BLE001 — corrupt video: no rows
                         vid_rows = []

@@ -289,3 +289,177 @@ def test_fuzzed_jpeg_never_escapes_the_error_contract():
     # the mutation mix must actually exercise both outcomes
     assert outcomes["value_error"] > 20
     assert outcomes["ok"] > 5
+
+
+def test_dqt_wire_order_is_zigzag():
+    """T.81 B.2.4.1: DQT wire entries are zigzag-ordered. A raster-
+    ordered table round-trips with itself and hides the bug (quant
+    tables are near-symmetric under the zigzag permutation, so even
+    third-party decodes LOOK right) — assert the wire bytes directly."""
+    import struct
+
+    from sap_spark.functions.jpeg import QUANT_LUMA, _scale_quant
+
+    blob = encode_jpeg(_smooth_rgb(8, 8)[..., :1], quality=85)
+    i = blob.find(b"\xff\xdb")
+    (length,) = struct.unpack(">H", blob[i + 2 : i + 4])
+    entries = np.frombuffer(blob[i + 5 : i + 2 + length], np.uint8)
+    expect = _scale_quant(QUANT_LUMA, 85)[ZIGZAG]
+    assert np.array_equal(entries.astype(np.int64), expect)
+
+
+def _handmade_gray_jpeg(q_zigzag, entropy_bits):
+    """Minimal 8x8 grayscale baseline JPEG assembled byte-by-byte:
+    zigzag-ordered DQT, standard Annex K Huffman tables, one block whose
+    entropy-coded payload the test controls exactly."""
+    import struct
+
+    from sap_spark.functions.jpeg import (
+        AC_LUMA_BITS,
+        AC_LUMA_VALS,
+        DC_LUMA_BITS,
+        DC_LUMA_VALS,
+    )
+
+    def seg(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes(int(v) for v in q_zigzag))
+    out += seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0x00, 0x3F, 0x00]))
+    acc = 0
+    for b in entropy_bits:
+        acc = (acc << 1) | b
+    pad = (-len(entropy_bits)) % 8
+    acc = (acc << pad) | ((1 << pad) - 1)
+    out += int(acc).to_bytes((len(entropy_bits) + pad) // 8, "big")
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_decoder_applies_quant_step_to_matching_zigzag_position():
+    """Known-answer test, independent of the encoder: a hand-assembled
+    stream with DQT=1 everywhere except zigzag position 1 (raster basis
+    (0,1)) = 200, and exactly one AC coefficient (value 1) at that same
+    zigzag position. The decoded block must equal the IDCT of a raster
+    coefficient grid with F[0,1] = 200 — if the decoder permuted the
+    quant table (raster-vs-zigzag confusion), the step would be 1 and
+    every pixel would land ~128 instead."""
+    from sap_spark.functions.jpeg import (
+        AC_LUMA_BITS,
+        AC_LUMA_VALS,
+        DC_LUMA_BITS,
+        DC_LUMA_VALS,
+        _encode_codes,
+    )
+
+    q = np.ones(64, np.int64)
+    q[1] = 200
+    dc = _encode_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac = _encode_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+
+    def bits_of(code, length):
+        return [(code >> (length - 1 - i)) & 1 for i in range(length)]
+
+    entropy = (
+        bits_of(*dc[0])            # DC category 0 (diff = 0)
+        + bits_of(*ac[0x01]) + [1]  # run 0, size 1, value +1 at zigzag pos 1
+        + bits_of(*ac[0x00])        # EOB
+    )
+    blob = _handmade_gray_jpeg(q, entropy)
+    out = parse_jpeg(blob)
+    coef = np.zeros((8, 8))
+    coef[0, 1] = 200.0
+    expect = np.clip(np.rint(DCT_A.T @ coef @ DCT_A + 128.0), 0, 255)
+    assert np.array_equal(out[..., 0], expect.astype(np.uint8))
+    # sanity: the pattern is strongly non-constant (a permuted-table
+    # decode would leave every pixel at ~128)
+    assert out.max() - out.min() > 60
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker; decoding must be unaffected."""
+    img = _smooth_rgb(16, 16)
+    blob = encode_jpeg(img, quality=85)
+    plain = parse_jpeg(blob)
+    sof = blob.find(b"\xff\xc0")
+    padded = blob[:sof] + b"\xff\xff\xff" + blob[sof:]
+    assert np.array_equal(parse_jpeg(padded), plain)
+
+
+def test_sos_component_id_mismatch_raises_value_error():
+    """A SOS naming a component id absent from SOF must raise ValueError
+    (was a KeyError escaping the documented contract)."""
+    blob = bytearray(encode_jpeg(_smooth_rgb(8, 8)[..., :1], quality=85))
+    sos = bytes(blob).find(b"\xff\xda")
+    blob[sos + 5] = 9  # first scan component id: 1 -> 9
+    with pytest.raises(ValueError):
+        parse_jpeg(bytes(blob))
+
+
+def test_single_component_scan_ignores_sampling_factors():
+    """T.81 A.2: a single-component scan is non-interleaved — one 8x8
+    unit per MCU at full resolution regardless of the SOF's declared
+    sampling (jpegtran -grayscale keeps the source's 2x2). Patching the
+    sampling byte from 1x1 to 2x2 must not change the decode."""
+    img = _smooth_rgb(24, 24)[..., :1]
+    blob = bytearray(encode_jpeg(img, quality=85))
+    plain = parse_jpeg(bytes(blob))
+    sof = bytes(blob).find(b"\xff\xc0")
+    assert blob[sof + 11] == 0x11  # component 1 sampling byte
+    blob[sof + 11] = 0x22
+    assert np.array_equal(parse_jpeg(bytes(blob)), plain)
+
+
+def test_mjpeg_frames_without_dht_use_default_tables():
+    """The original MJPEG convention omits DHT and relies on the Annex K
+    tables; players install them implicitly. Stripping both DHT
+    segments from an encoder output (which uses exactly those tables)
+    must decode identically."""
+    img = _smooth_rgb(16, 16)[..., :1]
+    blob = encode_jpeg(img, quality=85)
+    plain = parse_jpeg(blob)
+    import struct
+
+    stripped = bytearray()
+    i = 0
+    while i < len(blob):
+        if blob[i] == 0xFF and i + 1 < len(blob) and blob[i + 1] == 0xC4:
+            (length,) = struct.unpack(">H", blob[i + 2 : i + 4])
+            i += 2 + length
+            continue
+        stripped.append(blob[i])
+        i += 1
+    assert b"\xff\xc4" not in bytes(stripped)
+    assert np.array_equal(parse_jpeg(bytes(stripped)), plain)
+
+
+def test_avi_sampling_decodes_only_wanted_frames(spark):
+    """Frame sampling must JPEG-decode only the sampled frames: an AVI
+    whose NON-sampled frames are corrupt still yields the sampled rows
+    (decoding everything would throw and zero out the asset)."""
+    from sap_spark.functions.multimodal import (
+        _gen_avi_mjpeg,
+        _parse_png,
+        sample_video_frames,
+    )
+
+    good = [encode_jpeg(_smooth_rgb(8, 8, seed=s), quality=85) for s in (0, 1)]
+    corrupt = good[0][:3] + b"\x00" * 40  # JPEG by signature, broken body
+    frames = [good[0], corrupt, good[1], corrupt, corrupt]
+    avi = _gen_avi_mjpeg(frames, 8, 8)
+    df = spark.createDataFrame(
+        [(1, bytearray(avi))], "asset_id long, payload binary"
+    )
+    rows = (
+        sample_video_frames(df, every_n=2, max_frames=2)
+        .orderBy("frame_idx")
+        .collect()
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 2]
+    for r, src in zip(rows, good):
+        assert np.array_equal(_parse_png(bytes(r["frame_png"])), parse_jpeg(src))
