@@ -2,11 +2,14 @@
 ``image/jpeg`` assets (sap_spark.functions.multimodal).
 
 Everything here is implemented from the public ITU-T T.81 spec: baseline
-sequential DCT (SOF0, and SOF1's identical Huffman path), 8-bit samples,
-grayscale and YCbCr with any 1-2x sampling factors (covers 4:4:4, 4:2:2,
-4:2:0), restart markers, byte stuffing, and the Annex K "typical" quant /
-Huffman tables for the encoder. Out of scope — progressive (SOF2),
-arithmetic coding, 12-bit, hierarchical, >3 components (CMYK) — raises
+sequential DCT (SOF0, and SOF1's identical Huffman path) AND progressive
+DCT (SOF2 — spectral selection, successive approximation with EOB runs,
+interleaved DC / non-interleaved AC scans, inter-scan DHT/DRI), 8-bit
+samples, grayscale and YCbCr with any 1-2x sampling factors (covers
+4:4:4, 4:2:2, 4:2:0), restart markers, byte stuffing, implicit Annex K
+default Huffman tables (the MJPEG convention), and the Annex K "typical"
+quant / Huffman tables for the encoder. Out of scope — arithmetic
+coding, 12-bit, hierarchical, >3 components (CMYK) — raises
 ``ValueError``, which the multimodal feature extractors turn into the
 all-null row (one bad upload must never kill the job).
 
@@ -264,10 +267,10 @@ def _split_scan(blob: bytes, start: int) -> tuple[list[bytes], int]:
 
 
 def parse_jpeg(blob: bytes) -> "np.ndarray | None":
-    """Baseline JPEG decode → uint8 array (H, W, C) with C in {1, 3}.
-    None when the blob is not JPEG by signature (caller falls through to
-    the stub tier); ValueError for JPEG-by-signature blobs that are
-    corrupt, truncated, or out of scope (progressive / arithmetic /
+    """Baseline or progressive JPEG decode → uint8 array (H, W, C) with
+    C in {1, 3}. None when the blob is not JPEG by signature (caller
+    falls through to the stub tier); ValueError for JPEG-by-signature
+    blobs that are corrupt, truncated, or out of scope (arithmetic /
     12-bit / CMYK) — the caller nulls the row. The ValueError contract
     holds for ARBITRARY bytes after the signature (fuzz-tested): header
     slicing that comes up short surfaces as struct/index errors below
@@ -332,7 +335,8 @@ def _parse_jpeg_checked(blob: bytes) -> "np.ndarray":
                     raise ValueError("truncated DHT")
                 huff[(cls, tid)] = _HuffTable(bits, vals)
                 p += 17 + cnt
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (same Huffman path)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
@@ -351,11 +355,11 @@ def _parse_jpeg_checked(blob: bytes) -> "np.ndarray":
                 # (jpegtran -grayscale keeps the source's 2x2). Forcing
                 # 1x1 reproduces exactly that layout.
                 comps[0]["h"] = comps[0]["v"] = 1
-            sof = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            sof = {"h": h, "w": w, "comps": comps, "progressive": progressive}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "non-baseline JPEG (progressive/arithmetic/lossless) "
+                "non-baseline JPEG (arithmetic/lossless/hierarchical) "
                 "not supported"
             )
         elif marker == 0xDD:  # DRI
@@ -366,14 +370,6 @@ def _parse_jpeg_checked(blob: bytes) -> "np.ndarray":
         i += 2 + length
     if sof is None:
         raise ValueError("SOS before SOF")
-
-    ns = seg[0]
-    if ns != len(sof["comps"]):
-        raise ValueError("multi-scan baseline JPEG not supported")
-    scan_tables = {}
-    for c in range(ns):
-        cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
-        scan_tables[cid] = (tabs >> 4, tabs & 0x0F)
 
     h, w, comps = sof["h"], sof["w"], sof["comps"]
     if h <= 0 or w <= 0 or h * w > MAX_PIXELS:
@@ -386,73 +382,44 @@ def _parse_jpeg_checked(blob: bytes) -> "np.ndarray":
         raise ValueError("unsupported sampling factors")
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
-    for c in comps:
+    for ci, c in enumerate(comps):
         if c["tq"] not in qt:
             raise ValueError("missing quant table")
-        dc_id, ac_id = scan_tables[c["id"]]
-        c["dc"] = huff.get((0, dc_id)) or _default_huff(0, dc_id)
-        c["ac"] = huff.get((1, ac_id)) or _default_huff(1, ac_id)
-        c["zz"] = []  # per-block zigzag coefficient vectors
+        c["ci"] = ci
+        c["gw"] = mcus_x * c["h"]  # block-grid width (incl. MCU padding)
+        c["gh"] = mcus_y * c["v"]
+        # real (coded in non-interleaved scans) block extent
+        comp_w = -(-(w * c["h"]) // hmax)
+        comp_h = -(-(h * c["v"]) // vmax)
+        c["nbw"] = -(-comp_w // 8)
+        c["nbh"] = -(-comp_h // 8)
+        c["blocks"] = [None] * (c["gw"] * c["gh"])  # zigzag coef vectors
 
-    segments, _ = _split_scan(blob, i + 2 + length)
-    blocks_per_mcu = [
-        (ci, c) for ci, c in enumerate(comps) for _ in range(c["h"] * c["v"])
-    ]
-    total_mcus = mcus_x * mcus_y
-    mcu_idx = 0
-    for seg_no, segment in enumerate(segments):
-        if mcu_idx >= total_mcus:
-            break
-        reader = _BitReader(segment)
-        pred = dict.fromkeys(range(len(comps)), 0)  # DC predictors reset
-        end = min(total_mcus, mcu_idx + dri) if dri else total_mcus
-        while mcu_idx < end:
-            for ci, c in blocks_per_mcu:
-                t = reader.decode(c["dc"])
-                if t > 11:
-                    raise ValueError("bad DC category")
-                diff = _extend(reader.receive(t), t)
-                pred[ci] += diff
-                zz = [0] * 64
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = reader.decode(c["ac"])
-                    r, s = rs >> 4, rs & 0x0F
-                    if s == 0:
-                        if r == 15:  # ZRL
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise ValueError("AC run past block end")
-                    zz[k] = _extend(reader.receive(s), s)
-                    k += 1
-                c["zz"].append(zz)
-            mcu_idx += 1
-        if dri == 0 and mcu_idx < total_mcus and seg_no == len(segments) - 1:
-            raise ValueError("scan ended before all MCUs")
-    if mcu_idx < total_mcus:
-        raise ValueError("scan ended before all MCUs")
+    if sof["progressive"]:
+        _decode_progressive_scans(blob, i, seg, length, comps,
+                                  huff, dri, mcus_x, mcus_y)
+    else:
+        _decode_baseline_scan(blob, i, seg, length, comps,
+                              huff, dri, mcus_x, mcus_y)
 
     # Vectorized tail: dequant + de-zigzag + IDCT + reassemble per plane.
-    # DQT entries arrive in zigzag order (T.81 B.2.4.1), matching zz's
-    # layout elementwise; the joint scatter through ZIGZAG de-zigzags both.
+    # DQT entries arrive in zigzag order (T.81 B.2.4.1), matching the
+    # blocks' layout elementwise; the joint scatter through ZIGZAG
+    # de-zigzags both. Blocks sit in (grid_y, grid_x) raster order.
+    zero = [0] * 64
     planes = []
     for c in comps:
-        zz = np.asarray(c["zz"], dtype=np.int64)  # (nblocks, 64) zigzag
+        zz = np.asarray(
+            [b if b is not None else zero for b in c["blocks"]],
+            dtype=np.int64,
+        )
         coef = np.zeros_like(zz)
         coef[:, ZIGZAG] = zz * qt[c["tq"]]
         coef = coef.reshape(-1, 8, 8).astype(np.float64)
         pix = np.einsum("ij,njk,kl->nil", DCT_A.T, coef, DCT_A) + 128.0
         pix = np.clip(np.rint(pix), 0, 255).astype(np.uint8)
-        # blocks arrive MCU-major: (mcu_y, mcu_x, v, h) block grid
-        bh, bw = c["v"], c["h"]
-        plane = pix.reshape(mcus_y, mcus_x, bh, bw, 8, 8)
-        plane = plane.transpose(0, 2, 4, 1, 3, 5).reshape(
-            mcus_y * bh * 8, mcus_x * bw * 8
-        )
+        plane = pix.reshape(c["gh"], c["gw"], 8, 8).transpose(0, 2, 1, 3)
+        plane = plane.reshape(c["gh"] * 8, c["gw"] * 8)
         # upsample to full resolution, crop to (h, w)
         plane = plane.repeat(vmax // c["v"], axis=0).repeat(
             hmax // c["h"], axis=1
@@ -473,6 +440,264 @@ def _parse_jpeg_checked(blob: bytes) -> "np.ndarray":
         axis=-1,
     )
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_baseline_scan(blob, i, seg, length, comps, huff, dri,
+                          mcus_x, mcus_y) -> None:
+    """The single interleaved baseline scan: fills each component's
+    zigzag block vectors in grid order."""
+    ns = seg[0]
+    if ns != len(comps):
+        raise ValueError("multi-scan baseline JPEG not supported")
+    scan_tables = {}
+    for c in range(ns):
+        cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
+        scan_tables[cid] = (tabs >> 4, tabs & 0x0F)
+    for c in comps:
+        dc_id, ac_id = scan_tables[c["id"]]
+        c["dc"] = huff.get((0, dc_id)) or _default_huff(0, dc_id)
+        c["ac"] = huff.get((1, ac_id)) or _default_huff(1, ac_id)
+
+    segments, _ = _split_scan(blob, i + 2 + length)
+    blocks_per_mcu = [
+        (c, by, bx)
+        for c in comps
+        for by in range(c["v"])
+        for bx in range(c["h"])
+    ]
+    total_mcus = mcus_x * mcus_y
+    mcu_idx = 0
+    for segment in segments:
+        if mcu_idx >= total_mcus:
+            break
+        reader = _BitReader(segment)
+        pred = dict.fromkeys(range(len(comps)), 0)  # DC predictors reset
+        end = min(total_mcus, mcu_idx + dri) if dri else total_mcus
+        while mcu_idx < end:
+            my, mx = divmod(mcu_idx, mcus_x)
+            for c, by, bx in blocks_per_mcu:
+                t = reader.decode(c["dc"])
+                if t > 11:
+                    raise ValueError("bad DC category")
+                diff = _extend(reader.receive(t), t)
+                pred[c["ci"]] += diff
+                zz = [0] * 64
+                zz[0] = pred[c["ci"]]
+                k = 1
+                while k < 64:
+                    rs = reader.decode(c["ac"])
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("AC run past block end")
+                    zz[k] = _extend(reader.receive(s), s)
+                    k += 1
+                c["blocks"][(my * c["v"] + by) * c["gw"] + mx * c["h"] + bx] = zz
+            mcu_idx += 1
+    if mcu_idx < total_mcus:
+        raise ValueError("scan ended before all MCUs")
+
+
+def _decode_progressive_scans(blob, i, seg, length, comps, huff, dri,
+                              mcus_x, mcus_y) -> None:
+    """Progressive (SOF2) multi-scan decode per T.81 G: DC/AC spectral
+    selection with successive approximation, EOB runs, interleaved DC
+    scans and non-interleaved AC scans, restart markers, and DHT/DQT/DRI
+    segments appearing between scans. Accumulates coefficients into each
+    component's zigzag block vectors; the shared assembly tail runs the
+    IDCT once at the end."""
+    n = len(blob)
+    by_id = {c["id"]: c for c in comps}
+    for c in comps:
+        c["blocks"] = [[0] * 64 for _ in range(c["gw"] * c["gh"])]
+
+    while True:
+        # ---- one SOS scan (header in `seg`) ----
+        ns = seg[0]
+        if not 1 <= ns <= len(comps):
+            raise ValueError("bad progressive scan component count")
+        scan_comps = []
+        for k in range(ns):
+            cid, tabs = seg[1 + 2 * k], seg[2 + 2 * k]
+            c = by_id.get(cid)
+            if c is None:
+                raise ValueError("scan names unknown component")
+            scan_comps.append((c, tabs >> 4, tabs & 0x0F))
+        ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+        ah, al = a >> 4, a & 0x0F
+        if ss > se or se > 63 or al > 13 or ah > 13:
+            raise ValueError("bad spectral selection / approximation")
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if ss > 0 and ns != 1:
+            raise ValueError("progressive AC scan must be single-component")
+
+        if ss == 0:
+            for c, dc_id, _ in scan_comps:
+                c["dc"] = (
+                    huff.get((0, dc_id)) or _default_huff(0, dc_id)
+                ) if ah == 0 else None  # refinement reads raw bits only
+        else:
+            c, _, ac_id = scan_comps[0]
+            c["ac"] = huff.get((1, ac_id)) or _default_huff(1, ac_id)
+
+        segments, pos = _split_scan(blob, i + 2 + length)
+        if ss == 0 and ns > 1:
+            total = mcus_x * mcus_y
+        elif ss == 0:
+            total = scan_comps[0][0]["nbw"] * scan_comps[0][0]["nbh"]
+        else:
+            total = scan_comps[0][0]["nbw"] * scan_comps[0][0]["nbh"]
+        unit = 0
+        for segment in segments:
+            if unit >= total:
+                break
+            reader = _BitReader(segment)
+            pred = dict.fromkeys(range(len(comps)), 0)
+            eobrun = 0
+            end = min(total, unit + dri) if dri else total
+            while unit < end:
+                if ss == 0:
+                    _prog_dc_unit(reader, scan_comps, pred, ah, al,
+                                  unit, ns, mcus_x)
+                else:
+                    eobrun = _prog_ac_block(
+                        reader, scan_comps[0][0], ss, se, ah, al,
+                        unit, eobrun,
+                    )
+                unit += 1
+        if unit < total:
+            raise ValueError("progressive scan ended before all units")
+
+        # ---- walk markers to the next SOS or EOI ----
+        i = pos
+        while True:
+            while i + 1 < n and blob[i] == 0xFF and blob[i + 1] == 0xFF:
+                i += 1
+            if i + 2 > n:
+                raise ValueError("truncated between progressive scans")
+            m = blob[i + 1]
+            if m == 0xD9:  # EOI
+                return
+            if i + 4 > n:
+                raise ValueError("truncated segment between scans")
+            (length,) = struct.unpack(">H", blob[i + 2 : i + 4])
+            seg = blob[i + 4 : i + 2 + length]
+            if len(seg) != length - 2:
+                raise ValueError("truncated segment between scans")
+            if m == 0xDA:
+                break  # next scan; outer loop consumes `seg`
+            if m == 0xC4:  # DHT between scans
+                p = 0
+                while p + 17 <= len(seg):
+                    cls, tid = seg[p] >> 4, seg[p] & 0x0F
+                    bits = list(seg[p + 1 : p + 17])
+                    cnt = sum(bits)
+                    vals = list(seg[p + 17 : p + 17 + cnt])
+                    if len(vals) != cnt:
+                        raise ValueError("truncated DHT")
+                    huff[(cls, tid)] = _HuffTable(bits, vals)
+                    p += 17 + cnt
+            elif m == 0xDD:
+                (dri,) = struct.unpack(">H", seg[:2])
+            # DQT between scans is legal but cannot retroactively apply;
+            # APPn/COM skipped
+            i += 2 + length
+
+
+def _prog_dc_unit(reader, scan_comps, pred, ah, al, unit, ns, mcus_x):
+    """One DC-scan unit: an MCU (interleaved) or one block (ns==1)."""
+    if ns > 1:
+        my, mx = divmod(unit, mcus_x)
+        for c, _dc_id, _ in scan_comps:
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    idx = (my * c["v"] + by) * c["gw"] + mx * c["h"] + bx
+                    _prog_dc_block(reader, c, pred, ah, al, idx)
+    else:
+        c = scan_comps[0][0]
+        by, bx = divmod(unit, c["nbw"])
+        _prog_dc_block(reader, c, pred, ah, al, by * c["gw"] + bx)
+
+
+def _prog_dc_block(reader, c, pred, ah, al, idx):
+    blk = c["blocks"][idx]
+    if ah == 0:  # first DC scan: diff-coded, scaled by 2^Al
+        t = reader.decode(c["dc"])
+        if t > 11:
+            raise ValueError("bad DC category")
+        pred[c["ci"]] += _extend(reader.receive(t), t)
+        blk[0] = pred[c["ci"]] << al
+    else:  # refinement: one correction bit
+        if reader.read_bit():
+            blk[0] |= 1 << al
+
+
+def _prog_ac_block(reader, c, ss, se, ah, al, unit, eobrun):
+    """One block of an AC scan (T.81 G.1.2.2-3); returns updated EOB run."""
+    by, bx = divmod(unit, c["nbw"])
+    blk = c["blocks"][by * c["gw"] + bx]
+    if ah == 0:  # first pass for this band
+        if eobrun:
+            return eobrun - 1
+        k = ss
+        while k <= se:
+            rs = reader.decode(c["ac"])
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                return (1 << r) - 1 + (reader.receive(r) if r else 0)
+            k += r
+            if k > se:
+                raise ValueError("AC run past band end")
+            blk[k] = _extend(reader.receive(s), s) << al
+            k += 1
+        return 0
+    # refinement pass
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode(c["ac"])
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) + (reader.receive(r) if r else 0)
+                    break
+                # r == 15: skip 16 zero-history coefficients
+            elif s == 1:
+                newval = p1 if reader.read_bit() else m1
+            else:
+                raise ValueError("bad AC refinement symbol")
+            while k <= se:
+                v = blk[k]
+                if v != 0:
+                    if reader.read_bit() and not (v & p1):
+                        blk[k] = v + (p1 if v > 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if k <= se and newval:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            v = blk[k]
+            if v != 0 and reader.read_bit() and not (v & p1):
+                blk[k] = v + (p1 if v > 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 # ---------------------------------------------------------------------------

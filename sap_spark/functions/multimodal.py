@@ -15,8 +15,10 @@ Codecs, honestly tiered:
   checked, decompression-bomb capped — and a filter-0 encoder for the
   resize output); **baseline JPEG via a from-the-spec numpy codec**
   (functions/jpeg.py: SOF0/SOF1, 4:4:4/4:2:2/4:2:0 chroma, restart
-  markers, plus an Annex-K-table encoder for resize output and synthetic
-  fixtures — validated against libjpeg-encoded third-party files);
+  markers, progressive SOF2 with successive approximation, plus an
+  Annex-K-table encoder for resize output and synthetic fixtures —
+  validated against libjpeg-encoded third-party files, baseline AND
+  progressive);
   **GIF incl. animation** (functions/gif.py: variable-width LZW both
   directions, interlace, transparency/disposal composition,
   palette-space lossless resize); **BMP** (uncompressed BI_RGB 8/24/32-
@@ -27,7 +29,7 @@ Codecs, honestly tiered:
   Rec.601 mean luma, an 8×8 average-hash perceptual hash, real
   nearest-neighbor resizes, real sampled video frames, and true
   duration/rate/RMS dBFS/clip fraction.
-- **Remaining formats (MP4/H.264, MP3, progressive JPEG, ADPCM, ...)
+- **Remaining formats (MP4/H.264, MP3, ADPCM, arithmetic JPEG, ...)
   stay stubbed** — ffmpeg/soundfile are NOT in this image and those
   codecs are not reasonably reimplementable. The stub either raises
   CodecUnavailableError (strict mode) or produces a deterministic fake
@@ -325,12 +327,12 @@ def _is_png(blob: bytes) -> bool:
 
 def _decode_image_real(blob: bytes) -> "dict | None":
     """Real decode for netpbm (uncompressed), PNG (zlib-compressed),
-    baseline JPEG and GIF (first composed frame) images. None → none of
-    the formats by magic (caller falls through to the stub tier). A blob
-    that claims a real format but is corrupt/truncated/out-of-scope
-    (e.g. progressive JPEG) yields the all-null feature row: one bad
-    upload must null out, never kill the job (production
-    feature-extraction semantics)."""
+    JPEG (baseline and progressive), GIF (first composed frame) and BMP
+    images. None → none of the formats by magic (caller falls through
+    to the stub tier). A blob that claims a real format but is corrupt/
+    truncated/out-of-scope (e.g. arithmetic-coded JPEG) yields the
+    all-null feature row: one bad upload must null out, never kill the
+    job (production feature-extraction semantics)."""
     if not (
         _is_netpbm(blob)
         or _is_png(blob)
