@@ -144,3 +144,53 @@ def test_animated_gif_frame_sampling(spark):
         assert np.array_equal(
             _parse_png(bytes(r["frame_png"])), pal[f[r["frame_idx"]]]
         )
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYPOTHESIS = False
+
+
+if _HAVE_HYPOTHESIS:
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        min_code=st.integers(min_value=2, max_value=8),
+        data=st.data(),
+    )
+    def test_lzw_round_trip_property(min_code, data):
+        """For any symbol stream over any alphabet size, encode→decode
+        is the identity — the LZW pair's dictionary growth, width
+        switches, and overflow clears must agree on every input, not
+        just the fixture shapes."""
+        n_sym = 1 << min_code
+        idx = data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=n_sym - 1),
+                min_size=1,
+                max_size=3000,
+            )
+        )
+        arr = np.asarray(idx, dtype=np.uint8)
+        out = _lzw_decode(min_code, _lzw_encode(min_code, arr), len(arr))
+        assert np.array_equal(out, arr)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=40),
+        h=st.integers(min_value=1, max_value=40),
+        n_colors=st.integers(min_value=2, max_value=256),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def test_gif_encode_decode_property(w, h, n_colors, seed):
+        """Any palette+index image round-trips exactly through the GIF
+        container (palette-lossless format)."""
+        rng = np.random.default_rng(seed)
+        pal = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+        idx = rng.integers(0, n_colors, size=(h, w), dtype=np.uint8)
+        out = parse_gif(encode_gif(palette=pal, indexed_frames=[idx]))
+        assert np.array_equal(out, pal[idx])

@@ -576,3 +576,42 @@ def test_progressive_third_party_scope_note():
     blob[blob.find(b"\xff\xc0") + 1] = 0xC9  # arithmetic sequential
     with pytest.raises(ValueError, match="non-baseline"):
         parse_jpeg(bytes(blob))
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYPOTHESIS = False
+
+
+if _HAVE_HYPOTHESIS:
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=48),
+        h=st.integers(min_value=1, max_value=48),
+        gray=st.booleans(),
+        sub=st.booleans(),
+        quality=st.integers(min_value=50, max_value=95),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def test_jpeg_round_trip_property(w, h, gray, sub, quality, seed):
+        """Any geometry (including 1-pixel edges and non-multiple-of-8/16
+        sizes), any quality, both samplings: encode→decode must preserve
+        shape/dtype and keep smooth content within lossy-codec bounds
+        (solid images exactly)."""
+        rng = np.random.default_rng(seed)
+        base = np.full((h, w), int(rng.integers(0, 256)), np.float64)
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.clip(
+            base + 30 * np.sin(xx / 9.0) + 30 * np.cos(yy / 7.0), 0, 255
+        ).astype(np.uint8)
+        img = img[..., None] if gray else np.stack([img] * 3, axis=-1)
+        out = parse_jpeg(
+            encode_jpeg(img, quality=quality, subsample=sub and not gray)
+        )
+        assert out.shape == img.shape and out.dtype == np.uint8
+        assert _psnr(img, out) > 25.0
