@@ -35,6 +35,12 @@ import numpy as np
 
 # Decode cost/size guard (pixels per component plane, pre-upsample).
 MAX_PIXELS = 1 << 24  # 16 MP
+# Progressive scan-count cap: libjpeg's default progression script emits
+# 10 scans and hand-tuned scripts a few dozen; without a cap, per-scan
+# cost (bounded by MAX_PIXELS) times an unbounded scan count lets a
+# sub-KB crafted file burn hours of CPU while _BitReader's 1-bit padding
+# keeps every scan "valid".
+MAX_SCANS = 32
 
 # zigzag position -> raster index (T.81 Figure A.6)
 ZIGZAG = np.array([
@@ -213,6 +219,21 @@ def _extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
+def _parse_dht(seg: bytes, huff: "dict[tuple[int, int], _HuffTable]") -> None:
+    """Install every table in one DHT segment (shared by the frame-header
+    walk and the progressive between-scans walk)."""
+    p = 0
+    while p + 17 <= len(seg):
+        cls, tid = seg[p] >> 4, seg[p] & 0x0F
+        bits = list(seg[p + 1 : p + 17])
+        cnt = sum(bits)
+        vals = list(seg[p + 17 : p + 17 + cnt])
+        if len(vals) != cnt:
+            raise ValueError("truncated DHT")
+        huff[(cls, tid)] = _HuffTable(bits, vals)
+        p += 17 + cnt
+
+
 _DEFAULT_HUFF: dict[tuple[int, int], _HuffTable] = {}
 
 
@@ -325,16 +346,7 @@ def _parse_jpeg_checked(blob: bytes) -> "np.ndarray":
                 if qt[tid].size != 64:
                     raise ValueError("truncated DQT")
         elif marker == 0xC4:  # DHT
-            p = 0
-            while p + 17 <= len(seg):
-                cls, tid = seg[p] >> 4, seg[p] & 0x0F
-                bits = list(seg[p + 1 : p + 17])
-                cnt = sum(bits)
-                vals = list(seg[p + 17 : p + 17 + cnt])
-                if len(vals) != cnt:
-                    raise ValueError("truncated DHT")
-                huff[(cls, tid)] = _HuffTable(bits, vals)
-                p += 17 + cnt
+            _parse_dht(seg, huff)
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
@@ -516,8 +528,15 @@ def _decode_progressive_scans(blob, i, seg, length, comps, huff, dri,
     for c in comps:
         c["blocks"] = [[0] * 64 for _ in range(c["gw"] * c["gh"])]
 
+    n_scans = 0
     while True:
         # ---- one SOS scan (header in `seg`) ----
+        n_scans += 1
+        if n_scans > MAX_SCANS:
+            # per-scan cost is pixel-capped but scan COUNT is attacker-
+            # controlled: a sub-KB file of empty refinement scans would
+            # otherwise cost O(file_size x pixels) CPU
+            raise ValueError("progressive scan count exceeds cap")
         ns = seg[0]
         if not 1 <= ns <= len(comps):
             raise ValueError("bad progressive scan component count")
@@ -547,10 +566,11 @@ def _decode_progressive_scans(blob, i, seg, length, comps, huff, dri,
             c["ac"] = huff.get((1, ac_id)) or _default_huff(1, ac_id)
 
         segments, pos = _split_scan(blob, i + 2 + length)
+        # interleaved scans count MCUs; non-interleaved ones (any AC
+        # scan, or a single-component DC scan) count that component's
+        # real blocks
         if ss == 0 and ns > 1:
             total = mcus_x * mcus_y
-        elif ss == 0:
-            total = scan_comps[0][0]["nbw"] * scan_comps[0][0]["nbh"]
         else:
             total = scan_comps[0][0]["nbw"] * scan_comps[0][0]["nbh"]
         unit = 0
@@ -593,16 +613,7 @@ def _decode_progressive_scans(blob, i, seg, length, comps, huff, dri,
             if m == 0xDA:
                 break  # next scan; outer loop consumes `seg`
             if m == 0xC4:  # DHT between scans
-                p = 0
-                while p + 17 <= len(seg):
-                    cls, tid = seg[p] >> 4, seg[p] & 0x0F
-                    bits = list(seg[p + 1 : p + 17])
-                    cnt = sum(bits)
-                    vals = list(seg[p + 17 : p + 17 + cnt])
-                    if len(vals) != cnt:
-                        raise ValueError("truncated DHT")
-                    huff[(cls, tid)] = _HuffTable(bits, vals)
-                    p += 17 + cnt
+                _parse_dht(seg, huff)
             elif m == 0xDD:
                 (dri,) = struct.unpack(">H", seg[:2])
             # DQT between scans is legal but cannot retroactively apply;

@@ -450,7 +450,8 @@ def _is_bmp(blob: bytes) -> bool:
 
 
 def _parse_bmp(blob: bytes) -> "np.ndarray | None":
-    """Uncompressed BI_RGB BMP decode → uint8 (H, W, C), C in {1, 3, 4}.
+    """Uncompressed BI_RGB BMP decode → uint8 (H, W, C), C in {3, 4}
+    (8-bit paletted input expands through its palette to RGB).
     Covers 8-bit paletted, 24-bit BGR and 32-bit BGRA, top-down and
     bottom-up row orders, 4-byte row padding. None when not BMP by
     magic; ValueError for BMP-by-magic blobs that are corrupt or use

@@ -566,17 +566,6 @@ def test_progressive_successive_approximation_known_answer():
     assert got.max() > got.min()  # non-constant content
 
 
-def test_progressive_third_party_scope_note():
-    """Dev-validated against a real libjpeg progressive photo (visually
-    and dimensionally correct decode incl. successive approximation);
-    in-repo the hermetic anchors are the hand-assembled scan tests. This
-    placeholder documents the scope: SOF2 Huffman progressive is IN
-    scope, arithmetic remains out."""
-    blob = bytearray(encode_jpeg(_smooth_rgb(8, 8), quality=85))
-    blob[blob.find(b"\xff\xc0") + 1] = 0xC9  # arithmetic sequential
-    with pytest.raises(ValueError, match="non-baseline"):
-        parse_jpeg(bytes(blob))
-
 
 try:
     from hypothesis import given, settings
@@ -615,3 +604,18 @@ if _HAVE_HYPOTHESIS:
         )
         assert out.shape == img.shape and out.dtype == np.uint8
         assert _psnr(img, out) > 25.0
+
+
+def test_progressive_scan_count_is_capped():
+    """A crafted stream of empty refinement scans must fail fast: per-
+    scan cost is pixel-capped but scan count is attacker-controlled
+    (_BitReader's legal 1-bit padding means empty scans 'succeed', so
+    without a cap a sub-KB file costs O(file_size x pixels) CPU)."""
+    from sap_spark.functions.jpeg import MAX_SCANS
+
+    q = np.ones(64, np.int64)
+    scans = [(0, 0, 0, 1, [0, 0])]  # DC first: category 0 (code '00')
+    scans += [(0, 0, 1, 0, [0])] * MAX_SCANS  # endless DC refinements
+    blob = _handmade_progressive_gray(q, scans)
+    with pytest.raises(ValueError, match="scan count"):
+        parse_jpeg(blob)

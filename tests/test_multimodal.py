@@ -705,8 +705,6 @@ def test_bmp_decode_resize_round_trip(spark):
     row = resize_images(df, target_px=9).collect()[0]
     assert row["format"] == "bmp"
     out = _parse_bmp(bytes(row["resized_png"]))
-    rows_ix = (np.arange(5) * 11) // 5  # ceil(11*9/18)=6? -> computed below
-    # recompute expected via the operator's own resize rule
     from sap_spark.functions.multimodal import _nn_resize
 
     assert np.array_equal(out, _nn_resize(arr, 9))
