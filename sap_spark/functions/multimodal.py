@@ -25,12 +25,14 @@ Codecs, honestly tiered:
   bit, both row orders); **MJPEG-in-AVI video** (RIFF walk + the JPEG
   codec per frame); **WAV audio** — PCM 8/16/24/32-bit, IEEE float,
   G.711 A-law/mu-law (numpy expansion tables verified against audioop),
-  EXTENSIBLE wrappers. These produce true width/height/channels,
+  IMA/DVI ADPCM (core step verified against audioop) and MS ADPCM
+  (vectorized across independent blocks), EXTENSIBLE wrappers, fact-
+  chunk frame trimming. These produce true width/height/channels,
   Rec.601 mean luma, an 8×8 average-hash perceptual hash, real
   nearest-neighbor resizes, real sampled video frames, and true
   duration/rate/RMS dBFS/clip fraction.
-- **Remaining formats (MP4/H.264, MP3, ADPCM, arithmetic JPEG, ...)
-  stay stubbed** — ffmpeg/soundfile are NOT in this image and those
+- **Remaining formats (MP4/H.264, MP3, arithmetic JPEG, ...) stay
+  stubbed** — ffmpeg/soundfile are NOT in this image and those
   codecs are not reasonably reimplementable. The stub either raises
   CodecUnavailableError (strict mode) or produces a deterministic fake
   (test mode). Swapping in a real codec changes one pure-Python
@@ -633,16 +635,277 @@ def _g711_tables() -> "tuple[np.ndarray, np.ndarray]":
 
 _ALAW_TABLE, _ULAW_TABLE = _g711_tables()
 
+# IMA/DVI ADPCM step-size table (89 entries) and index-adjust table —
+# both from the public IMA ADPCM spec (same tables stdlib audioop uses).
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], np.int32)
+_IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], np.int32)
+
+# MS ADPCM adaptation table and the 7 standard predictor-coefficient
+# pairs, from the public WAVE_FORMAT_ADPCM spec.
+_MS_ADAPT = np.array(
+    [230, 230, 230, 230, 307, 409, 512, 614,
+     768, 614, 512, 409, 307, 230, 230, 230], np.int32)
+_MS_COEFFS = np.array(
+    [(256, 0), (512, -256), (0, 64), (192, 64),
+     (240, 0), (460, -208), (392, -232)], np.int32)
+
+
+def _ima_decode_nibbles(nibbles: np.ndarray, pred0: np.ndarray,
+                        idx0: np.ndarray) -> np.ndarray:
+    """Core IMA ADPCM step over a (n_streams, n_nibbles) nibble matrix
+    with per-stream initial predictor/step-index. Returns int16 samples
+    of the same shape. Vectorized across streams; the sequential state
+    recurrence loops over nibble positions only. Cross-checked against
+    stdlib audioop.adpcm2lin (independent implementation of the same
+    spec) in tests."""
+    pred = pred0.astype(np.int32).copy()
+    idx = idx0.astype(np.int32).copy()
+    out = np.empty(nibbles.shape, np.int16)
+    for t in range(nibbles.shape[1]):
+        nib = nibbles[:, t].astype(np.int32)
+        step = _IMA_STEPS[idx]
+        diff = (step >> 3)
+        diff += np.where(nib & 1, step >> 2, 0)
+        diff += np.where(nib & 2, step >> 1, 0)
+        diff += np.where(nib & 4, step, 0)
+        pred = np.where(nib & 8, pred - diff, pred + diff)
+        pred = np.clip(pred, -32768, 32767)
+        idx = np.clip(idx + _IMA_INDEX_ADJ[nib & 7], 0, 88)
+        out[:, t] = pred
+    return out
+
+
+def _ima_wav_decode(data: bytes, ch: int, block_align: int) -> np.ndarray:
+    """IMA ADPCM (WAV format tag 0x11) → interleaved int16 samples.
+
+    WAV block layout: per channel a 4-byte header (initial int16 sample,
+    uint8 step index, reserved), then 4-byte groups per channel, round-
+    robin; each byte carries two nibbles, LOW nibble first (WAV order —
+    note audioop's raw stream is high-first). Trailing partial block is
+    dropped, as real writers only emit whole blocks."""
+    if block_align < 4 * ch or ch < 1:
+        raise ValueError("bad IMA ADPCM block_align")
+    n_blocks = len(data) // block_align
+    if n_blocks == 0:
+        return np.empty(0, np.int16)
+    blocks = np.frombuffer(
+        data[: n_blocks * block_align], np.uint8).reshape(n_blocks, block_align)
+    hdr = blocks[:, : 4 * ch].reshape(n_blocks, ch, 4)
+    pred0 = (hdr[:, :, 0].astype(np.int32)
+             | (hdr[:, :, 1].astype(np.int8).astype(np.int32) << 8))
+    idx0 = np.clip(hdr[:, :, 2].astype(np.int32), 0, 88)
+    body = blocks[:, 4 * ch:]
+    n_groups = body.shape[1] // (4 * ch)
+    # (n_blocks, groups, ch, 4 bytes) -> per-channel byte runs
+    grp = body[:, : n_groups * 4 * ch].reshape(n_blocks, n_groups, ch, 4)
+    by_chan = grp.transpose(0, 2, 1, 3).reshape(n_blocks * ch, n_groups * 4)
+    nibs = np.empty((n_blocks * ch, n_groups * 8), np.uint8)
+    nibs[:, 0::2] = by_chan & 0x0F   # low nibble first (WAV order)
+    nibs[:, 1::2] = by_chan >> 4
+    samples = _ima_decode_nibbles(
+        nibs, pred0.reshape(-1), idx0.reshape(-1)
+    ).reshape(n_blocks, ch, n_groups * 8)
+    # header sample leads each channel's block, then the decoded run
+    full = np.concatenate(
+        [pred0.astype(np.int16)[:, :, None], samples], axis=2)
+    # (block, ch, t) -> interleaved frames
+    return full.transpose(0, 2, 1).reshape(-1)
+
+
+def _wav_container(tag: int, ch: int, rate: int, bits: int, align: int,
+                   n_frames: int, data: bytes, ext: bytes = b"") -> bytes:
+    """Minimal RIFF/WAVE wrapper with a fact chunk (required for
+    compressed tags)."""
+    import struct as _struct
+
+    fmt = _struct.pack(
+        "<HHIIHH", tag, ch, rate, rate * align, align, bits
+    ) + (_struct.pack("<H", len(ext)) + ext if ext else b"")
+    chunks = (
+        b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + _struct.pack("<II", 4, n_frames)
+        + b"data" + _struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + _struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _ima_wav_encode(samples: np.ndarray, rate: int, ch: int = 1,
+                    frames_per_block: int = 505) -> bytes:
+    """Encode interleaved int16 samples as an IMA ADPCM WAV (tag 0x11).
+    Fixture/datagen encoder — plain Python per sample, small inputs
+    only. frames_per_block must be 8k+1 so channel data fills whole
+    4-byte groups."""
+    import struct as _struct
+
+    if (frames_per_block - 1) % 8:
+        raise ValueError("frames_per_block must be 8k+1")
+    x = np.asarray(samples, np.int32).reshape(-1, ch)
+    n_frames = x.shape[0]
+    pad = (-n_frames) % frames_per_block
+    if pad:
+        x = np.vstack([x, np.repeat(x[-1:], pad, axis=0)])
+    align = 4 * ch + (frames_per_block - 1) // 2 * ch
+    # initial step index sized to the signal; carried across blocks
+    # (header transmits it per block, like real encoders)
+    mean_diff = [
+        float(np.mean(np.abs(np.diff(x[:, c])))) or 1.0 for c in range(ch)
+    ]
+    idx_c = [int(np.searchsorted(_IMA_STEPS, mean_diff[c])) for c in range(ch)]
+    blocks = []
+    for b0 in range(0, x.shape[0], frames_per_block):
+        blk = x[b0 : b0 + frames_per_block]
+        hdr, chan_bytes = b"", []
+        for c in range(ch):
+            pred, idx = int(blk[0, c]), min(88, idx_c[c])
+            hdr += _struct.pack("<hBB", pred, idx, 0)
+            nibs = []
+            for s in blk[1:, c]:
+                step = int(_IMA_STEPS[idx])
+                diff = int(s) - pred
+                nib = 8 if diff < 0 else 0
+                diff = abs(diff)
+                if diff >= step:
+                    nib |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    nib |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    nib |= 1
+                # reconstruct exactly as the decoder will
+                d = (step >> 3) + ((step >> 2) if nib & 1 else 0) \
+                    + ((step >> 1) if nib & 2 else 0) + (step if nib & 4 else 0)
+                pred = max(-32768, min(32767, pred - d if nib & 8 else pred + d))
+                idx = max(0, min(88, idx + int(_IMA_INDEX_ADJ[nib & 7])))
+                nibs.append(nib)
+            by = bytes(
+                nibs[k] | (nibs[k + 1] << 4) for k in range(0, len(nibs), 2))
+            chan_bytes.append(by)
+        body = b"".join(
+            cb[g : g + 4] for g in range(0, len(chan_bytes[0]), 4)
+            for cb in chan_bytes)
+        blocks.append(hdr + body)
+    return _wav_container(0x11, ch, rate, 4, align, n_frames,
+                          b"".join(blocks),
+                          ext=_struct.pack("<H", frames_per_block))
+
+
+def _ms_adpcm_encode(samples: np.ndarray, rate: int, ch: int = 1,
+                     frames_per_block: int = 500) -> bytes:
+    """Encode interleaved int16 samples as MS ADPCM (tag 0x02) using
+    predictor pair 0 (pred = previous sample). Fixture/datagen encoder."""
+    import struct as _struct
+
+    x = np.asarray(samples, np.int32).reshape(-1, ch)
+    n_frames = x.shape[0]
+    pad = (-n_frames) % frames_per_block
+    if pad:
+        x = np.vstack([x, np.repeat(x[-1:], pad, axis=0)])
+    align = 7 * ch + (frames_per_block - 2) * ch // 2
+    blocks = []
+    for b0 in range(0, x.shape[0], frames_per_block):
+        blk = x[b0 : b0 + frames_per_block]
+        s2 = [int(blk[0, c]) for c in range(ch)]
+        s1 = [int(blk[1, c]) for c in range(ch)]
+        delta = [max(16, abs(s1[c] - s2[c]) // 4 or 16) for c in range(ch)]
+        hdr = bytes(ch)  # predictor index 0 per channel
+        hdr += b"".join(_struct.pack("<h", delta[c]) for c in range(ch))
+        hdr += b"".join(_struct.pack("<h", s1[c]) for c in range(ch))
+        hdr += b"".join(_struct.pack("<h", s2[c]) for c in range(ch))
+        nibs = []
+        for t in range(2, frames_per_block):
+            for c in range(ch):
+                pred = (s1[c] * 256 + s2[c] * 0) >> 8
+                code = max(-8, min(7, round((int(blk[t, c]) - pred) / delta[c])))
+                rec = max(-32768, min(32767, pred + code * delta[c]))
+                s2[c], s1[c] = s1[c], rec
+                delta[c] = max(16, (int(_MS_ADAPT[code & 0xF]) * delta[c]) >> 8)
+                nibs.append(code & 0xF)
+        body = bytes(
+            (nibs[k] << 4) | nibs[k + 1] for k in range(0, len(nibs), 2))
+        blocks.append(hdr + body)
+    ext = _struct.pack("<HH", frames_per_block, 7) + b"".join(
+        _struct.pack("<hh", int(a), int(b)) for a, b in _MS_COEFFS)
+    return _wav_container(0x02, ch, rate, 4, align, n_frames,
+                          b"".join(blocks), ext=ext)
+
+
+def _ms_adpcm_decode(data: bytes, ch: int, block_align: int) -> np.ndarray:
+    """MS ADPCM (WAV format tag 0x02) → interleaved int16 samples.
+
+    Block: per-channel uint8 predictor index, per-channel int16 initial
+    delta, per-channel int16 sample1 (newer) and sample2 (older); then
+    4-bit codes, high nibble first, alternating channels per nibble.
+    pred = ((s1*c1 + s2*c2) >> 8) + signed(code)*delta, int16-clamped;
+    delta = max(16, adapt[code]*delta >> 8)."""
+    hdr_len = 7 * ch
+    if block_align <= hdr_len or ch < 1:
+        raise ValueError("bad MS ADPCM block_align")
+    n_blocks = len(data) // block_align
+    if n_blocks == 0:
+        return np.empty(0, np.int16)
+    blocks = np.frombuffer(
+        data[: n_blocks * block_align], np.uint8).reshape(n_blocks, block_align)
+
+    def i16(lo, hi):
+        return lo.astype(np.int32) | (hi.astype(np.int8).astype(np.int32) << 8)
+
+    pred_idx = np.clip(blocks[:, :ch].astype(np.int32), 0, len(_MS_COEFFS) - 1)
+    o = ch
+    delta = i16(blocks[:, o:o + 2 * ch:2], blocks[:, o + 1:o + 2 * ch:2])
+    o += 2 * ch
+    s1 = i16(blocks[:, o:o + 2 * ch:2], blocks[:, o + 1:o + 2 * ch:2])
+    o += 2 * ch
+    s2 = i16(blocks[:, o:o + 2 * ch:2], blocks[:, o + 1:o + 2 * ch:2])
+    o += 2 * ch
+    c1 = _MS_COEFFS[pred_idx, 0]
+    c2 = _MS_COEFFS[pred_idx, 1]
+
+    body = blocks[:, o:]
+    nibs = np.empty((n_blocks, body.shape[1] * 2), np.uint8)
+    nibs[:, 0::2] = body >> 4            # high nibble first (MS order)
+    nibs[:, 1::2] = body & 0x0F
+    n_codes = nibs.shape[1] // ch        # coded samples per channel
+    # nibble stream alternates channels frame-by-frame
+    codes = nibs[:, : n_codes * ch].reshape(n_blocks, n_codes, ch)
+
+    out = np.empty((n_blocks, n_codes + 2, ch), np.int16)
+    out[:, 0, :] = s2.astype(np.int16)   # sample2 is the OLDER sample
+    out[:, 1, :] = s1.astype(np.int16)
+    delta = delta.copy()
+    s1 = s1.copy()
+    s2 = s2.copy()
+    for t in range(n_codes):
+        code = codes[:, t, :].astype(np.int32)
+        signed = np.where(code >= 8, code - 16, code)
+        pred = ((s1 * c1 + s2 * c2) >> 8) + signed * delta
+        pred = np.clip(pred, -32768, 32767)
+        s2 = s1
+        s1 = pred
+        delta = np.maximum(16, (_MS_ADAPT[code] * delta) >> 8)
+        out[:, t + 2, :] = pred
+    return out.reshape(-1)
+
 
 def _wav_samples(blob: bytes) -> "tuple[np.ndarray, int, int, float] | None":
     """Manual RIFF/WAVE parse → (normalized float64 samples (interleaved),
     rate, channels, clip threshold). Handles PCM 8/16/24/32-bit, IEEE
-    float 32/64, G.711 A-law/mu-law, and WAVE_FORMAT_EXTENSIBLE wrapping
-    any of those. None for formats outside that set (ADPCM, MP3-in-WAV);
-    ValueError for structurally broken RIFF."""
+    float 32/64, G.711 A-law/mu-law, IMA ADPCM (0x11), MS ADPCM (0x02),
+    and WAVE_FORMAT_EXTENSIBLE wrapping any of those. None for formats
+    outside that set (MP3-in-WAV, ...); ValueError for structurally
+    broken RIFF."""
     import struct as _struct
 
-    fmt = data = None
+    fmt = data = fact_frames = None
     pos = 12
     while pos + 8 <= len(blob):
         cid = blob[pos : pos + 4]
@@ -654,10 +917,12 @@ def _wav_samples(blob: bytes) -> "tuple[np.ndarray, int, int, float] | None":
             fmt = body
         elif cid == b"data":
             data = body
+        elif cid == b"fact" and size >= 4:
+            (fact_frames,) = _struct.unpack("<I", body[:4])
         pos += 8 + size + (size & 1)
     if fmt is None or len(fmt) < 16 or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    tag, ch, rate, _bps, _align, bits = _struct.unpack("<HHIIHH", fmt[:16])
+    tag, ch, rate, _bps, align, bits = _struct.unpack("<HHIIHH", fmt[:16])
     if tag == 0xFFFE and len(fmt) >= 26:  # EXTENSIBLE: real tag leads the GUID
         (tag,) = _struct.unpack("<H", fmt[24:26])
     if ch == 0 or rate == 0:
@@ -689,16 +954,27 @@ def _wav_samples(blob: bytes) -> "tuple[np.ndarray, int, int, float] | None":
     elif tag == 7 and bits == 8:  # G.711 mu-law
         x = _ULAW_TABLE[np.frombuffer(data, np.uint8)].astype(np.float64) / 32768.0
         clip = 32124 / 32768.0
+    elif tag == 0x11 and bits == 4:  # IMA/DVI ADPCM
+        x = _ima_wav_decode(data, ch, align).astype(np.float64) / 32768.0
+        clip = 32767 / 32768.0
+    elif tag == 0x02 and bits == 4:  # MS ADPCM
+        x = _ms_adpcm_decode(data, ch, align).astype(np.float64) / 32768.0
+        clip = 32767 / 32768.0
     else:
         return None
+    if fact_frames is not None and tag in (0x02, 0x11):
+        # ADPCM blocks are whole-block padded; fact gives the true
+        # per-channel frame count — trim the trailing pad
+        x = x[: fact_frames * ch]
     return x, rate, ch, clip
 
 
 def _decode_audio_real(blob: bytes) -> "dict | None":
     """Real decode for WAV audio — PCM 8/16/24/32-bit, IEEE float,
-    G.711 A-law/mu-law (numpy table expansion), EXTENSIBLE wrappers.
+    G.711 A-law/mu-law (numpy table expansion), IMA and MS ADPCM
+    (block-vectorized), EXTENSIBLE wrappers.
     None → not RIFF/WAVE (stub tier). RIFF/WAVE blobs that are
-    truncated or carry a genuinely absent codec (ADPCM, MP3-in-WAV)
+    truncated or carry a genuinely absent codec (MP3-in-WAV)
     yield the all-null feature row — bad media nulls out, never kills
     the job."""
     if blob is None or len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
@@ -1082,6 +1358,10 @@ def _gen_asset_payload(i: int) -> tuple[bytes, str]:
             * 32767
             * np.sin(2 * np.pi * (220 + i) * t / rate)
         ).astype("<i2")
+        if (i // 3) % 4 == 1:  # real IMA ADPCM tier
+            return _ima_wav_encode(samples, rate), "audio/wav"
+        if (i // 3) % 4 == 3:  # real MS ADPCM tier
+            return _ms_adpcm_encode(samples, rate), "audio/wav"
         buf = io.BytesIO()
         with wave.open(buf, "wb") as wf:
             wf.setnchannels(1)

@@ -577,7 +577,8 @@ def test_g711_tables_match_audioop():
 
 def test_extended_wav_formats_decode(spark):
     """Float32, 24-bit PCM, and G.711 mu-law WAVs all yield real
-    features now (they used to null out); ADPCM still nulls."""
+    features now (they used to null out); a structurally broken ADPCM
+    blob (block_align 0) still nulls."""
     import struct
 
     import numpy as np
@@ -597,7 +598,7 @@ def test_extended_wav_formats_decode(spark):
         7, 1, rate, 8,
         audioop.lin2ulaw((sine * 32768).astype("<i2").tobytes(), 2),
     )
-    adpcm = _wav_blob(2, 1, rate, 4, b"\x00" * 128)
+    adpcm = _wav_blob(2, 1, rate, 4, b"\x00" * 128)  # align=0: corrupt
 
     rows = [
         (1, bytearray(f32)), (2, bytearray(pcm24)),
@@ -616,7 +617,7 @@ def test_extended_wav_formats_decode(spark):
         tol = 0.5 if aid == 3 else 0.01
         assert abs(got[aid]["rms_db"] - true_rms_db) < tol
         assert got[aid]["clip_fraction"] == 0.0
-    assert got[4]["duration_sec"] is None  # ADPCM: honest null
+    assert got[4]["duration_sec"] is None  # corrupt ADPCM: honest null
 
 
 def test_wav_extensible_wrapper_and_float_clip(spark):
@@ -647,6 +648,120 @@ def test_wav_extensible_wrapper_and_float_clip(spark):
     assert got["duration_sec"] == 0.1
     assert got["clip_fraction"] == 1.0
     assert abs(got["rms_db"] - 0.0) < 1e-6  # unit amplitude = 0 dBFS
+
+
+def test_ima_adpcm_core_matches_audioop():
+    """The IMA ADPCM state recurrence must agree sample-for-sample with
+    stdlib audioop.adpcm2lin (an independent implementation of the same
+    public spec) over a long random nibble stream from state (0, 0).
+    audioop packs high nibble first; feed the matching order."""
+    audioop = pytest.importorskip("audioop")
+    import numpy as np
+
+    from sap_spark.functions.multimodal import _ima_decode_nibbles
+
+    nibs = np.random.RandomState(7).randint(0, 16, size=(1, 4096)).astype(np.uint8)
+    packed = bytes(
+        (int(nibs[0, k]) << 4) | int(nibs[0, k + 1]) for k in range(0, 4096, 2)
+    )
+    want = np.frombuffer(audioop.adpcm2lin(packed, 2, None)[0], "<i2")
+    got = _ima_decode_nibbles(
+        nibs, np.zeros(1, np.int32), np.zeros(1, np.int32)
+    )[0]
+    assert np.array_equal(got, want)
+
+
+def test_adpcm_wav_round_trips(spark):
+    """IMA and MS ADPCM WAVs decode to real features: encode a known
+    sine, decode through the full extractor, check duration (fact-chunk
+    trimmed to the exact frame count despite block padding), rate, and
+    RMS within 4-bit-ADPCM quantization tolerance. Mono and stereo."""
+    import numpy as np
+
+    from sap_spark.functions.multimodal import (
+        _ima_wav_encode,
+        _ms_adpcm_encode,
+        _wav_samples,
+        extract_audio_features,
+    )
+
+    rate = 8000
+    t = np.arange(rate)  # 1 s -> not a whole number of ADPCM blocks
+    sine = (0.5 * 32767 * np.sin(2 * np.pi * 440 * t / rate)).astype(np.int16)
+    stereo = np.empty(rate * 2, np.int16)
+    stereo[0::2] = sine
+    stereo[1::2] = sine // 2
+
+    blobs = {
+        1: _ima_wav_encode(sine, rate),
+        2: _ms_adpcm_encode(sine, rate),
+        3: _ima_wav_encode(stereo, rate, ch=2),
+        4: _ms_adpcm_encode(stereo, rate, ch=2),
+    }
+    # direct decode: fact chunk trims the block pad to exactly 1 s
+    for aid, blob in blobs.items():
+        x, r, ch, _clip = _wav_samples(blob)
+        assert x.size == rate * ch, aid
+        ref = (sine if ch == 1 else stereo).astype(np.float64) / 32768.0
+        rmse = float(np.sqrt(np.mean((x - ref) ** 2)))
+        assert rmse < 0.02, (aid, rmse)
+
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in blobs.items()],
+        "asset_id long, payload binary",
+    )
+    got = {r["asset_id"]: r.asDict() for r in extract_audio_features(df).collect()}
+    true_rms_db = 20 * np.log10(np.sqrt(np.mean((sine / 32768.0) ** 2)))
+    for aid in (1, 2):
+        assert got[aid]["duration_sec"] == 1.0
+        assert got[aid]["sample_rate"] == rate
+        assert got[aid]["n_channels"] == 1
+        assert abs(got[aid]["rms_db"] - true_rms_db) < 0.2
+        assert got[aid]["clip_fraction"] == 0.0
+    for aid in (3, 4):
+        assert got[aid]["duration_sec"] == 1.0
+        assert got[aid]["n_channels"] == 2
+
+
+def test_adpcm_corrupt_blocks_null_out(spark):
+    """Truncated/garbage ADPCM bodies produce the null feature row (or
+    a best-effort decode of whole blocks) — never an exception."""
+    import numpy as np
+
+    from sap_spark.functions.multimodal import (
+        _ima_wav_encode,
+        extract_audio_features,
+    )
+
+    rate = 8000
+    sine = (
+        0.4 * 32767 * np.sin(2 * np.pi * 330 * np.arange(rate) / rate)
+    ).astype(np.int16)
+    good = _ima_wav_encode(sine, rate)
+    # chop the data chunk mid-block: RIFF walk sees a truncated chunk
+    rows = [
+        (1, bytearray(good[: len(good) // 2])),
+        (2, bytearray(good)),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    got = {r["asset_id"]: r.asDict() for r in extract_audio_features(df).collect()}
+    assert got[1]["duration_sec"] is None  # corrupt: honest null
+    assert got[2]["duration_sec"] == 1.0
+
+
+def test_gen_assets_adpcm_tier(spark):
+    """gen_assets routes some audio assets through the real ADPCM
+    encoders; those assets must decode with real (non-null) features."""
+    from sap_spark.functions.multimodal import extract_audio_features, gen_assets
+
+    # i%3==1 and (i//3)%4 in (1,3): ids 4, 10, 16, 22 within 24
+    assets = gen_assets(spark, 24).filter("asset_id in (4, 10, 16, 22)")
+    got = {r["asset_id"]: r.asDict() for r in extract_audio_features(assets).collect()}
+    assert set(got) == {4, 10, 16, 22}
+    for aid, r in got.items():
+        assert r["duration_sec"] == 0.1, aid
+        assert r["sample_rate"] in (8000, 16000)
+        assert -40.0 < r["rms_db"] < 0.0
 
 
 def test_bmp_decode_resize_round_trip(spark):
