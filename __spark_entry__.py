@@ -902,17 +902,19 @@ def _emb_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _assets_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal image AND audio feature extraction over binary assets in
-    one contract query, Arrow-batched via mapInPandas. Most generated
-    payloads are REAL media — netpbm and PNG images, baseline JPEGs
-    (from-the-spec numpy codec, functions/jpeg.py), PCM WAV clips — and
-    decode to true dims/luma/a-hash/duration/RMS; the opaque rest
-    (video) exercise the env-gated stub tier. Each modality's typed
-    feature row is serialized to JSON so the two schemas union; exact
-    per-feature values are pinned in tests/test_multimodal.py."""
+    """Multimodal image, audio AND video-container feature extraction
+    over binary assets in one contract query, Arrow-batched via
+    mapInPandas. Most generated payloads are REAL media — netpbm/PNG/
+    JPEG/GIF/BMP images, PCM+ADPCM WAV clips, MJPEG AVIs, MP4
+    containers — and decode to true dims/luma/a-hash/duration/RMS/
+    codec/fps metadata; only coded MP4 samples stay env-gated. Each
+    modality's typed feature row is serialized to JSON so the schemas
+    union; exact per-feature values are pinned in
+    tests/test_multimodal.py and tests/test_mp4_meta.py."""
     from sap_spark.functions.multimodal import (
         extract_audio_features,
         extract_image_features,
+        extract_video_meta,
         gen_assets,
     )
 
@@ -933,7 +935,15 @@ def _assets_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "features_json"
         ),
     )
-    return img_feats.unionByName(aud_feats)
+    vid = extract_video_meta(assets)
+    vid_feats = vid.select(
+        F.lit("video").alias("modality"),
+        "asset_id",
+        F.to_json(F.struct(*[c for c in vid.columns if c != "asset_id"])).alias(
+            "features_json"
+        ),
+    )
+    return img_feats.unionByName(aud_feats).unionByName(vid_feats)
 
 
 def _cdc_token_progress(spark: SparkSession, sf_dir: str) -> DataFrame:

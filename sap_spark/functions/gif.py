@@ -232,6 +232,67 @@ def gif_frames(blob: bytes, max_frames: int = MAX_FRAMES) -> "list[np.ndarray]":
     return frames
 
 
+def gif_meta(blob: bytes) -> "dict | None":
+    """Cheap structural metadata — dimensions, frame count, total delay
+    — by walking block framing WITHOUT LZW decode (a 3000-frame GIF
+    costs a header skim, not 3000 decompressions). None if not a GIF;
+    ValueError on corrupt framing, same contract as the decoders."""
+    if not is_gif(blob):
+        return None
+    if len(blob) < 13:
+        raise ValueError("truncated GIF header")
+    w, h, packed, _bg, _aspect = struct.unpack("<HHBBB", blob[6:13])
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))
+    n_frames = 0
+    delay_cs = 0  # centiseconds, from graphic-control extensions
+
+    def skip_sub_blocks(p: int) -> int:
+        while True:
+            if p >= len(blob):
+                raise ValueError("unterminated sub-blocks")
+            n = blob[p]
+            p += 1
+            if n == 0:
+                return p
+            if p + n > len(blob):
+                raise ValueError("truncated sub-block")
+            p += n
+
+    while pos < len(blob):
+        b = blob[pos]
+        if b == 0x3B:
+            break
+        if b == 0x21:
+            if pos + 2 > len(blob):
+                raise ValueError("truncated extension")
+            label = blob[pos + 1]
+            if label == 0xF9 and pos + 7 <= len(blob) and blob[pos + 2] >= 4:
+                (d,) = struct.unpack("<H", blob[pos + 4 : pos + 6])
+                delay_cs += d
+            pos = skip_sub_blocks(pos + 2)
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        if pos + 10 > len(blob):
+            raise ValueError("truncated image descriptor")
+        fpacked = blob[pos + 9]
+        pos += 10
+        if fpacked & 0x80:
+            pos += 3 * (2 << (fpacked & 0x07))
+        if pos >= len(blob):
+            raise ValueError("truncated LZW header")
+        pos = skip_sub_blocks(pos + 1)
+        n_frames += 1
+    if n_frames == 0:
+        raise ValueError("GIF contains no image data")
+    return {
+        "width": int(w), "height": int(h), "n_frames": n_frames,
+        "duration_sec": round(delay_cs / 100.0, 6) if delay_cs else None,
+    }
+
+
 def parse_gif(blob: bytes) -> "np.ndarray | None":
     """First composed frame as uint8 (H, W, 3); None when not GIF by
     signature (stub-tier fallthrough); ValueError when corrupt."""

@@ -55,6 +55,7 @@ from pyspark.sql import types as T
 
 from sap_spark.functions import gif as _gif
 from sap_spark.functions import jpeg as _jpeg
+from sap_spark.functions import mp4 as _mp4
 
 ASSET_META_SCHEMA = T.StructType(
     [
@@ -570,6 +571,145 @@ def _avi_mjpeg_frames(blob: bytes) -> "list[bytes]":
     (riff_size,) = _struct.unpack("<I", blob[4:8])
     walk(blob, 12, min(len(blob), 8 + riff_size), False)
     return frames
+
+
+def _avi_meta(blob: bytes) -> dict:
+    """Container metadata from the AVI headers: avih gives frame period,
+    total frames and dimensions; the first 'vids' strh gives the video
+    codec fourcc; stream count from avih. No frame decode."""
+    import struct as _struct
+
+    found: dict = {}
+
+    def walk(data: bytes, pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            fourcc = data[pos : pos + 4]
+            (size,) = _struct.unpack("<I", data[pos + 4 : pos + 8])
+            body_end = pos + 8 + size
+            if body_end > end:
+                raise ValueError("truncated RIFF chunk")
+            if fourcc == b"LIST" and size >= 4:
+                walk(data, pos + 12, body_end)
+            elif fourcc == b"avih" and size >= 40:
+                (usec, _mbps, _pad, _flags, total, _init, streams,
+                 _buf, w, h) = _struct.unpack(
+                    "<10I", data[pos + 8 : pos + 48])
+                found.update(
+                    usec_per_frame=usec, n_frames=total,
+                    n_streams=streams, width=w, height=h)
+            elif fourcc == b"strh" and size >= 8 and "codec" not in found:
+                if data[pos + 8 : pos + 12] == b"vids":
+                    found["codec"] = (
+                        data[pos + 12 : pos + 16].decode("latin-1").strip()
+                    )
+            pos = body_end + (size & 1)
+
+    (riff_size,) = _struct.unpack("<I", blob[4:8])
+    walk(blob, 12, min(len(blob), 8 + riff_size))
+    if "usec_per_frame" not in found:
+        raise ValueError("AVI missing avih header")
+    return found
+
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("container", T.StringType(), True),
+        T.StructField("duration_sec", T.DoubleType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("fps", T.DoubleType(), True),
+        T.StructField("video_codec", T.StringType(), True),
+        T.StructField("n_tracks", T.IntegerType(), True),
+    ]
+)
+
+_NULL_VIDEO = {
+    "container": None, "duration_sec": None, "width": None, "height": None,
+    "n_frames": None, "fps": None, "video_codec": None, "n_tracks": None,
+}
+
+
+def _video_meta_one(blob: "bytes | None") -> dict:
+    """Typed container metadata for one video blob. MP4 metadata is a
+    REAL ISO-BMFF box walk (functions/mp4.py) even though its coded
+    samples stay undecodable here; AVI reads avih/strh; GIF uses the
+    structural walk (no LZW). Unknown containers and corrupt media
+    yield the all-null row — never an exception."""
+    if blob is None:
+        return dict(_NULL_VIDEO)
+    blob = bytes(blob)
+    try:
+        if _mp4.is_mp4(blob):
+            m = _mp4.parse_mp4_meta(blob)
+            vid = next(
+                (t for t in m["tracks"] if t["kind"] == "video"), None)
+            n = vid["n_samples"] if vid else None
+            tdur = vid["duration_sec"] if vid else None
+            return {
+                "container": "mp4",
+                "duration_sec": m["duration_sec"],
+                "width": vid["width"] if vid else None,
+                "height": vid["height"] if vid else None,
+                "n_frames": n,
+                "fps": round(n / tdur, 6) if n and tdur else None,
+                "video_codec": vid["codec"] if vid else None,
+                "n_tracks": m["n_tracks"],
+            }
+        if _is_avi(blob):
+            m = _avi_meta(blob)
+            usec = m["usec_per_frame"]
+            return {
+                "container": "avi",
+                "duration_sec": round(m["n_frames"] * usec / 1e6, 6)
+                if usec else None,
+                "width": m["width"],
+                "height": m["height"],
+                "n_frames": m["n_frames"],
+                "fps": round(1e6 / usec, 6) if usec else None,
+                "video_codec": m.get("codec"),
+                "n_tracks": m["n_streams"],
+            }
+        if _gif.is_gif(blob):
+            m = _gif.gif_meta(blob)
+            dur = m["duration_sec"]
+            return {
+                "container": "gif",
+                "duration_sec": dur,
+                "width": m["width"],
+                "height": m["height"],
+                "n_frames": m["n_frames"],
+                "fps": round(m["n_frames"] / dur, 6) if dur else None,
+                "video_codec": "gif-lzw",
+                "n_tracks": 1,
+            }
+    except ValueError:  # corrupt media nulls out, never kills the job
+        pass
+    return dict(_NULL_VIDEO)
+
+
+def extract_video_meta(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    blob_col: str = "payload",
+) -> DataFrame:
+    """Per-video container metadata via mapInPandas (1 row in → 1 row
+    out, Arrow-batched; binary never round-trips through Python rows).
+    Unlike frame decode, this tier is fully real for MP4/AVI/GIF."""
+    pruned = df.select(
+        F.col(id_col).alias("asset_id"), F.col(blob_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                {"asset_id": aid, **_video_meta_one(blob)}
+                for aid, blob in zip(pdf["asset_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_META_SCHEMA.fields])
+
+    return pruned.mapInPandas(run, VIDEO_META_SCHEMA)
 
 
 def _gen_avi_mjpeg(frames: "list[bytes]", w: int, h: int, fps: int = 10) -> bytes:
@@ -1285,8 +1425,9 @@ def _gen_asset_payload(i: int) -> tuple[bytes, str]:
     netpbm image, every 3rd+1 a REAL PCM WAV, every 6th+2 a REAL PNG
     (gray/RGB/RGBA rotating), every 6th+5 cycles REAL baseline JPEG
     (4:4:4 / 4:2:0 / grayscale rotating), REAL MJPEG AVI video, REAL
-    animated GIF, and opaque mp4 bytes (stub tier) — so all six real
-    codecs decode wherever this table flows."""
+    animated GIF, and REAL MP4 containers carrying opaque coded samples
+    (container metadata real, frame decode gated) — so every real
+    codec tier decodes wherever this table flows."""
     if i % 6 == 5 and (i // 6) % 8 == 3:
         w, h = 14 + (i % 4) * 6, 10 + (i % 3) * 4
         rng = np.arange(h * w, dtype=np.uint64)
@@ -1369,8 +1510,25 @@ def _gen_asset_payload(i: int) -> tuple[bytes, str]:
             wf.setframerate(rate)
             wf.writeframes(samples.tobytes())
         return buf.getvalue(), "audio/wav"
+    # real ISO-BMFF container with opaque coded samples: the metadata
+    # tier (extract_video_meta) is real, frame decode stays gated
     return (
-        hashlib.blake2b(b"asset-%d" % i, digest_size=64).digest(),
+        _mp4.encode_mp4(
+            [
+                {
+                    "kind": "video", "codec": "avc1",
+                    "width": 320 + (i % 5) * 64, "height": 240 + (i % 3) * 120,
+                    "n_samples": 24 + (i % 7) * 12,
+                },
+                {
+                    "kind": "audio", "codec": "mp4a", "channels": 1 + i % 2,
+                    "sample_rate": (22050, 44100)[i % 2],
+                    "n_samples": 40 + i % 9,
+                },
+            ],
+            duration_sec=1.0 + (i % 4) * 0.5,
+            mdat=hashlib.blake2b(b"asset-%d" % i, digest_size=64).digest(),
+        ),
         "video/mp4",
     )
 
