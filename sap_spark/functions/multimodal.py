@@ -538,38 +538,52 @@ def _is_avi(blob: bytes) -> bool:
     )
 
 
-def _avi_mjpeg_frames(blob: bytes) -> "list[bytes]":
-    """Walk the RIFF chunk tree (little-endian sizes, word-aligned) and
-    return the video frame payloads from every 'movi' list — chunks whose
-    fourcc is '##db'/'##dc' — that sniff as JPEG. An AVI carrying a
-    non-MJPEG codec yields []; structurally broken RIFF raises."""
+def _riff_walk(blob: bytes, on_chunk) -> None:
+    """Shared RIFF chunk-tree walk (little-endian sizes, word-aligned,
+    LIST recursion with a depth cap so adversarial nesting raises
+    ValueError instead of RecursionError). Calls
+    ``on_chunk(fourcc, body_start, body_end, enclosing_list_types)``
+    for every non-LIST chunk."""
     import struct as _struct
 
-    frames: list[bytes] = []
-
-    def walk(data: bytes, pos: int, end: int, in_movi: bool) -> None:
+    def walk(pos: int, end: int, lists: tuple, depth: int) -> None:
+        if depth > 16:
+            raise ValueError("RIFF nesting too deep")
         while pos + 8 <= end:
-            fourcc = data[pos : pos + 4]
-            (size,) = _struct.unpack("<I", data[pos + 4 : pos + 8])
+            fourcc = blob[pos : pos + 4]
+            (size,) = _struct.unpack("<I", blob[pos + 4 : pos + 8])
             body_end = pos + 8 + size
             if body_end > end:
                 raise ValueError("truncated RIFF chunk")
             if fourcc == b"LIST" and size >= 4:
-                ltype = data[pos + 8 : pos + 12]
-                walk(data, pos + 12, body_end, in_movi or ltype == b"movi")
-            elif (
-                in_movi
-                and len(fourcc) == 4
-                and fourcc[2:4] in (b"db", b"dc")
-                and fourcc[:2].isdigit()
-            ):
-                frame = data[pos + 8 : body_end]
-                if _jpeg.is_jpeg(frame):
-                    frames.append(frame)
+                ltype = blob[pos + 8 : pos + 12]
+                walk(pos + 12, body_end, lists + (ltype,), depth + 1)
+            else:
+                on_chunk(fourcc, pos + 8, body_end, lists)
             pos = body_end + (size & 1)  # chunks are word-aligned
 
     (riff_size,) = _struct.unpack("<I", blob[4:8])
-    walk(blob, 12, min(len(blob), 8 + riff_size), False)
+    walk(12, min(len(blob), 8 + riff_size), (), 0)
+
+
+def _avi_mjpeg_frames(blob: bytes) -> "list[bytes]":
+    """Return the video frame payloads from every 'movi' list — chunks
+    whose fourcc is '##db'/'##dc' — that sniff as JPEG. An AVI carrying
+    a non-MJPEG codec yields []; structurally broken RIFF raises."""
+    frames: list[bytes] = []
+
+    def on_chunk(fourcc: bytes, start: int, end: int, lists: tuple) -> None:
+        if (
+            b"movi" in lists
+            and len(fourcc) == 4
+            and fourcc[2:4] in (b"db", b"dc")
+            and fourcc[:2].isdigit()
+        ):
+            frame = blob[start:end]
+            if _jpeg.is_jpeg(frame):
+                frames.append(frame)
+
+    _riff_walk(blob, on_chunk)
     return frames
 
 
@@ -581,31 +595,19 @@ def _avi_meta(blob: bytes) -> dict:
 
     found: dict = {}
 
-    def walk(data: bytes, pos: int, end: int) -> None:
-        while pos + 8 <= end:
-            fourcc = data[pos : pos + 4]
-            (size,) = _struct.unpack("<I", data[pos + 4 : pos + 8])
-            body_end = pos + 8 + size
-            if body_end > end:
-                raise ValueError("truncated RIFF chunk")
-            if fourcc == b"LIST" and size >= 4:
-                walk(data, pos + 12, body_end)
-            elif fourcc == b"avih" and size >= 40:
-                (usec, _mbps, _pad, _flags, total, _init, streams,
-                 _buf, w, h) = _struct.unpack(
-                    "<10I", data[pos + 8 : pos + 48])
-                found.update(
-                    usec_per_frame=usec, n_frames=total,
-                    n_streams=streams, width=w, height=h)
-            elif fourcc == b"strh" and size >= 8 and "codec" not in found:
-                if data[pos + 8 : pos + 12] == b"vids":
-                    found["codec"] = (
-                        data[pos + 12 : pos + 16].decode("latin-1").strip()
-                    )
-            pos = body_end + (size & 1)
+    def on_chunk(fourcc: bytes, start: int, end: int, _lists: tuple) -> None:
+        if fourcc == b"avih" and end - start >= 40:
+            (usec, _mbps, _pad, _flags, total, _init, streams,
+             _buf, w, h) = _struct.unpack("<10I", blob[start : start + 40])
+            found.update(
+                usec_per_frame=usec, n_frames=total,
+                n_streams=streams, width=w, height=h)
+        elif (fourcc == b"strh" and end - start >= 8
+              and "codec" not in found
+              and blob[start : start + 4] == b"vids"):
+            found["codec"] = blob[start + 4 : start + 8].decode("latin-1").strip()
 
-    (riff_size,) = _struct.unpack("<I", blob[4:8])
-    walk(blob, 12, min(len(blob), 8 + riff_size))
+    _riff_walk(blob, on_chunk)
     if "usec_per_frame" not in found:
         raise ValueError("AVI missing avih header")
     return found
@@ -684,7 +686,7 @@ def _video_meta_one(blob: "bytes | None") -> dict:
                 "video_codec": "gif-lzw",
                 "n_tracks": 1,
             }
-    except ValueError:  # corrupt media nulls out, never kills the job
+    except Exception:  # noqa: BLE001 — corrupt media nulls out, never kills the job
         pass
     return dict(_NULL_VIDEO)
 
@@ -945,6 +947,8 @@ def _ms_adpcm_encode(samples: np.ndarray, rate: int, ch: int = 1,
     predictor pair 0 (pred = previous sample). Fixture/datagen encoder."""
     import struct as _struct
 
+    if frames_per_block < 3 or ((frames_per_block - 2) * ch) % 2:
+        raise ValueError("(frames_per_block - 2) * channels must be even")
     x = np.asarray(samples, np.int32).reshape(-1, ch)
     n_frames = x.shape[0]
     pad = (-n_frames) % frames_per_block
@@ -1027,11 +1031,19 @@ def _ms_adpcm_decode(data: bytes, ch: int, block_align: int) -> np.ndarray:
     for t in range(n_codes):
         code = codes[:, t, :].astype(np.int32)
         signed = np.where(code >= 8, code - 16, code)
-        pred = ((s1 * c1 + s2 * c2) >> 8) + signed * delta
+        # spec divides by 256 with C semantics (truncate toward zero),
+        # not an arithmetic shift: floor then undo for inexact negatives
+        acc = s1 * c1 + s2 * c2
+        base = acc >> 8
+        base += ((acc < 0) & ((acc & 0xFF) != 0)).astype(np.int32)
+        pred = base + signed * delta
         pred = np.clip(pred, -32768, 32767)
         s2 = s1
         s1 = pred
-        delta = np.maximum(16, (_MS_ADAPT[code] * delta) >> 8)
+        # upper clamp is an anti-overflow guard for adversarial bytes
+        # (encoder-produced deltas stay ~int16-scale; int32 would wrap
+        # silently at 3x growth per step on random nibbles)
+        delta = np.clip((_MS_ADAPT[code] * delta) >> 8, 16, 1 << 20)
         out[:, t + 2, :] = pred
     return out.reshape(-1)
 

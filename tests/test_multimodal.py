@@ -749,6 +749,107 @@ def test_adpcm_corrupt_blocks_null_out(spark):
     assert got[2]["duration_sec"] == 1.0
 
 
+def test_ms_adpcm_matches_scalar_reference():
+    """The vectorized MS ADPCM decoder must agree sample-for-sample with
+    an independent scalar implementation of the public spec across ALL
+    seven predictor pairs — including the truncate-toward-zero division
+    the spec inherits from C (an arithmetic shift floors instead and
+    drifts on negative predictor sums)."""
+    import struct
+
+    import numpy as np
+
+    from sap_spark.functions.multimodal import (
+        _MS_ADAPT,
+        _MS_COEFFS,
+        _ms_adpcm_decode,
+    )
+
+    rng = np.random.RandomState(11)
+    n_codes = 48
+
+    def scalar_decode(block: bytes, ch: int) -> list:
+        pi = [min(block[c], 6) for c in range(ch)]
+        o = ch
+        delta = [struct.unpack("<h", block[o + 2 * c : o + 2 * c + 2])[0]
+                 for c in range(ch)]
+        o += 2 * ch
+        s1 = [struct.unpack("<h", block[o + 2 * c : o + 2 * c + 2])[0]
+              for c in range(ch)]
+        o += 2 * ch
+        s2 = [struct.unpack("<h", block[o + 2 * c : o + 2 * c + 2])[0]
+              for c in range(ch)]
+        o += 2 * ch
+        nibs = []
+        for b in block[o:]:
+            nibs += [b >> 4, b & 0x0F]
+        out = list(s2) + list(s1)  # interleaved: older frame first
+        for t, code in enumerate(nibs):
+            c = t % ch
+            signed = code - 16 if code >= 8 else code
+            acc = s1[c] * int(_MS_COEFFS[pi[c], 0]) + s2[c] * int(
+                _MS_COEFFS[pi[c], 1])
+            pred = int(acc / 256) + signed * delta[c]  # C trunc division
+            pred = max(-32768, min(32767, pred))
+            s2[c], s1[c] = s1[c], pred
+            # same anti-overflow clamp as the decoder (beyond-spec guard;
+            # unreachable on encoder-produced streams)
+            delta[c] = min(max(16, (int(_MS_ADAPT[code]) * delta[c]) >> 8),
+                           1 << 20)
+            out.append(pred)
+        return out
+
+    for ch in (1, 2):
+        align = 7 * ch + n_codes * ch // 2
+        blocks = []
+        for bi in range(6):
+            hdr = bytes(rng.randint(0, 7, ch).astype(np.uint8))
+            hdr += b"".join(
+                struct.pack("<h", int(v))
+                for v in rng.randint(16, 4000, ch))  # deltas
+            hdr += b"".join(
+                struct.pack("<h", int(v))
+                for v in rng.randint(-32768, 32768, 2 * ch))  # s1, s2
+            body = bytes(rng.randint(0, 256, n_codes * ch // 2).astype(np.uint8))
+            blocks.append(hdr + body)
+        data = b"".join(blocks)
+        got = _ms_adpcm_decode(data, ch, align)
+        want = [v for blk in blocks for v in scalar_decode(blk, ch)]
+        assert np.array_equal(got, np.array(want, np.int16)), ch
+
+
+def test_video_meta_survives_riff_bombs(spark):
+    """Adversarial nesting: thousands of nested LIST chunks must null
+    out (depth-capped ValueError), never escape as RecursionError and
+    kill the task."""
+    import struct
+
+    from sap_spark.functions.multimodal import (
+        _avi_mjpeg_frames,
+        extract_video_meta,
+    )
+
+    inner = b""
+    for _ in range(2000):
+        inner = b"LIST" + struct.pack("<I", 4 + len(inner)) + b"hdrl" + inner
+    bomb = b"RIFF" + struct.pack("<I", 4 + len(inner)) + b"AVI " + inner
+    with pytest.raises(ValueError, match="nesting"):
+        _avi_mjpeg_frames(bomb)
+    df = spark.createDataFrame(
+        [(1, bytearray(bomb))], "asset_id long, payload binary")
+    (row,) = extract_video_meta(df).collect()
+    assert row["container"] is None  # nulled, job alive
+
+
+def test_ms_adpcm_encoder_validates_block_size():
+    import numpy as np
+
+    from sap_spark.functions.multimodal import _ms_adpcm_encode
+
+    with pytest.raises(ValueError, match="must be even"):
+        _ms_adpcm_encode(np.zeros(100, np.int16), 8000, frames_per_block=501)
+
+
 def test_gen_assets_adpcm_tier(spark):
     """gen_assets routes some audio assets through the real ADPCM
     encoders; those assets must decode with real (non-null) features."""
