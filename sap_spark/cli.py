@@ -124,6 +124,7 @@ def run_ingest(args, spark=None) -> dict:
         max_files_per_trigger=args.max_files_per_trigger,
         strategy=args.strategy,
         pipeline_id=args.pipeline_id,
+        dead_letter_dir=args.dead_letter_dir,
     )
     pipe.run_available_now(timeout_sec=args.timeout)
     lineage = pipe.lineage()
@@ -131,6 +132,7 @@ def run_ingest(args, spark=None) -> dict:
     summary = {
         "epochs_applied": len(applied),
         "events": sum(r.get("n_events") or 0 for r in applied),
+        "quarantined": sum(r.get("quarantined") or 0 for r in lineage),
         "table_version": LakeTable(spark, args.table).version,
     }
     if own_session:
@@ -272,6 +274,10 @@ def main(argv: list[str] | None = None) -> None:
                         "table: its stored mode is used")
     i.add_argument("--max-files-per-trigger", type=int, default=None)
     i.add_argument("--pipeline-id", default=None)
+    i.add_argument("--dead-letter-dir", default=None,
+                   help="opt-in quarantine sink for malformed events "
+                        "(null key/seq/token, op outside I/U/D); written "
+                        "per-epoch with dlq_reasons, counted in lineage")
     i.add_argument("--timeout", type=float, default=None)
     i.add_argument("--master", default=None,
                    help="only for local runs; leave unset under spark-submit")

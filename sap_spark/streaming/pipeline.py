@@ -158,6 +158,8 @@ class CdcPipeline:
         transform=None,
         enforce_token_atomicity: bool = True,
         stream_schema=None,
+        dead_letter_dir: str | None = None,
+        dead_letter_rules=None,
     ):
         """``transform``: optional DataFrame → DataFrame decode stage applied
         to each micro-batch before fold/merge — the slot for the SAP-style
@@ -182,7 +184,18 @@ class CdcPipeline:
         log) skip enforcement; a file source on a NON-listable scheme
         (object store) raises rather than silently degrading — set
         enforce_token_atomicity=False only when the source batches whole
-        delta tokens (e.g. one file per token)."""
+        delta tokens (e.g. one file per token).
+
+        ``dead_letter_dir``: opt-in quarantine sink (streaming/quality.py).
+        When set, each epoch splits off events violating the envelope
+        contract (null key/seq/token, op outside I/U/D, plus any
+        ``dead_letter_rules``) BEFORE the fold: the valid side's filter
+        fuses into the epoch's single scan, the invalid side lands under
+        ``<dir>/epoch=<id>`` with machine-readable ``dlq_reasons``
+        (directory overwrite → replayed epochs stay idempotent), and the
+        count is recorded in lineage as ``quarantined``. Without it, a
+        null-keyed event would collapse unrelated rows into one MERGE
+        group — corruption, not an error."""
         cfg.validate()
         self.spark = spark
         self.cfg = cfg
@@ -193,6 +206,8 @@ class CdcPipeline:
         self.strategy = strategy
         self.transform = transform
         self.enforce_token_atomicity = enforce_token_atomicity
+        self.dead_letter_dir = dead_letter_dir
+        self.dead_letter_rules = dead_letter_rules
         # alternative staged layout (e.g. OData delta-response pages);
         # None = the change-event envelope (sources/changelog.py)
         self.stream_schema = stream_schema
@@ -214,6 +229,16 @@ class CdcPipeline:
         os.makedirs(os.path.dirname(self.lineage_path), exist_ok=True)
         with open(self.lineage_path, "a") as f:
             f.write(json.dumps(record) + "\n")
+
+    def dead_letters(self) -> DataFrame:
+        """All quarantined events this pipeline has landed. Raises a
+        clear ValueError if nothing was ever quarantined — check
+        lineage's ``quarantined`` counts first."""
+        from sap_spark.streaming.quality import read_dead_letters
+
+        if self.dead_letter_dir is None:
+            raise ValueError("pipeline has no dead_letter_dir configured")
+        return read_dead_letters(self.spark, self.dead_letter_dir)
 
     def lineage(self, all_pipelines: bool = False) -> list[dict]:
         """This pipeline's lineage records. The table-wide lineage.jsonl
@@ -444,6 +469,19 @@ class CdcPipeline:
             )
         if self.transform is not None:
             batch_df = self.transform(batch_df)
+        n_quarantined = 0
+        if self.dead_letter_dir is not None:
+            from sap_spark.streaming.quality import (
+                split_quarantine,
+                write_dead_letters,
+            )
+
+            batch_df, quarantined = split_quarantine(
+                batch_df, cfg, self.dead_letter_rules
+            )
+            n_quarantined = write_dead_letters(
+                quarantined, self.dead_letter_dir, epoch_id
+            )
         t0 = time.monotonic()
         obs = Observation(f"lineage-{epoch_id}")
         observed = batch_df.observe(
@@ -474,6 +512,7 @@ class CdcPipeline:
                 "max_seq": metrics.get("max_seq"),
                 "elapsed_sec": round(elapsed, 4),
                 "deferred_files": n_deferred,
+                "quarantined": n_quarantined,
                 "fold": fold_metrics or None,
                 "merge_phases": getattr(self.table, "last_merge_metrics", None),
                 "events_per_sec": round(n / elapsed, 1) if elapsed > 0 and n else None,
