@@ -132,7 +132,13 @@ def run_ingest(args, spark=None) -> dict:
     summary = {
         "epochs_applied": len(applied),
         "events": sum(r.get("n_events") or 0 for r in applied),
-        "quarantined": sum(r.get("quarantined") or 0 for r in lineage),
+        # DLQ writes are per-epoch directory overwrites, so a crash-
+        # retried epoch appends a second lineage record for the same
+        # epoch but does NOT add rows to the sink: the truthful total is
+        # the LAST record per epoch, not the sum over all records.
+        "quarantined": sum(
+            {r["epoch_id"]: r.get("quarantined") or 0 for r in lineage}.values()
+        ),
         "table_version": LakeTable(spark, args.table).version,
     }
     if own_session:

@@ -188,12 +188,17 @@ class CdcPipeline:
 
         ``dead_letter_dir``: opt-in quarantine sink (streaming/quality.py).
         When set, each epoch splits off events violating the envelope
-        contract (null key/seq/token, op outside I/U/D, plus any
-        ``dead_letter_rules``) BEFORE the fold: the valid side's filter
-        fuses into the epoch's single scan, the invalid side lands under
-        ``<dir>/epoch=<id>`` with machine-readable ``dlq_reasons``
-        (directory overwrite → replayed epochs stay idempotent), and the
-        count is recorded in lineage as ``quarantined``. Without it, a
+        contract (null key/seq/token/rocancel, op outside I/U/D, cancel
+        events missing their target seq, plus any ``dead_letter_rules``)
+        BEFORE the fold: the valid side's filter fuses into the epoch's
+        single scan, the invalid side lands under
+        ``<dir>/pipeline=<id>/epoch=<id>`` with machine-readable
+        ``dlq_reasons``, and the count is recorded in lineage as
+        ``quarantined``. The pipeline namespace keeps two pipelines
+        sharing a dlq_dir from overwriting each other's epochs, and a
+        fresh checkpoint (epoch 0) clears its own namespace so stale
+        epoch dirs from a wiped prior run can't double-count; directory
+        overwrite keeps replayed epochs idempotent. Without a DLQ, a
         null-keyed event would collapse unrelated rows into one MERGE
         group — corruption, not an error."""
         cfg.validate()
@@ -230,6 +235,15 @@ class CdcPipeline:
         with open(self.lineage_path, "a") as f:
             f.write(json.dumps(record) + "\n")
 
+    @property
+    def _dlq_namespace(self) -> str | None:
+        """This pipeline's slice of the dead-letter sink. Namespacing by
+        pipeline_id mirrors the merge commit markers: concurrent or
+        successor pipelines sharing one dlq_dir never mix epochs."""
+        if self.dead_letter_dir is None:
+            return None
+        return f"{self.dead_letter_dir.rstrip('/')}/pipeline={self.pipeline_id}"
+
     def dead_letters(self) -> DataFrame:
         """All quarantined events this pipeline has landed. Raises a
         clear ValueError if nothing was ever quarantined — check
@@ -238,7 +252,7 @@ class CdcPipeline:
 
         if self.dead_letter_dir is None:
             raise ValueError("pipeline has no dead_letter_dir configured")
-        return read_dead_letters(self.spark, self.dead_letter_dir)
+        return read_dead_letters(self.spark, self._dlq_namespace)
 
     def lineage(self, all_pipelines: bool = False) -> list[dict]:
         """This pipeline's lineage records. The table-wide lineage.jsonl
@@ -412,6 +426,22 @@ class CdcPipeline:
         version-gated and delete-tombstoned, so out-of-order delta units
         still converge to the exact sequential-fold state."""
         cfg = self.cfg
+        if self.dead_letter_dir is not None and epoch_id == 0:
+            # fresh checkpoint ⇒ fresh epoch numbering: clear this
+            # pipeline's DLQ namespace so stale epoch dirs from a prior
+            # wiped run (possibly sliced differently) can't linger and
+            # double-count. Runs before the token-atomicity deferral
+            # return so even a fully-deferred epoch 0 clears it; a
+            # retried epoch 0 just re-clears.
+            from urllib.parse import urlparse
+
+            ns = urlparse(self._dlq_namespace)
+            if ns.scheme in ("", "file"):
+                import shutil
+
+                shutil.rmtree(
+                    ns.path or self._dlq_namespace, ignore_errors=True
+                )
         files = self._batch_files(epoch_id)
         local = (
             [self._local_path(f) for f in files] if files is not None else None
@@ -480,7 +510,7 @@ class CdcPipeline:
                 batch_df, cfg, self.dead_letter_rules
             )
             n_quarantined = write_dead_letters(
-                quarantined, self.dead_letter_dir, epoch_id
+                quarantined, self._dlq_namespace, epoch_id
             )
         t0 = time.monotonic()
         obs = Observation(f"lineage-{epoch_id}")

@@ -14,12 +14,17 @@ readable reasons, and count it in lineage**.
 Scale shape:
 - the VALID-side predicate fuses into the epoch's existing single scan
   (one codegen filter — no extra pass, no cache);
-- the INVALID side is a second filtered scan of the same parquet files;
-  its null-based predicates prune row groups via parquet null-count
-  statistics, so a clean log pays almost nothing beyond footer reads;
-- the dead-letter write is ``epoch=<id>`` directory overwrite — a
-  replayed epoch rewrites the identical rows (idempotent, same
-  exactly-once story as the commit marker).
+- the INVALID side is a second scan of the same parquet files, pruned
+  to the envelope columns only (key/seq/token/op/rocancel — a few
+  bytes/row next to the payload). The null rules prune row groups via
+  parquet null-count statistics, but ``bad_op`` (a NOT-IN) can never be
+  statistically disproven, so a clean epoch still decodes its envelope
+  columns once — that, not "footer reads", is the clean-log cost;
+- a clean epoch pays only a count aggregation (no write job, no
+  directory): the write job runs only when the count is non-zero, as an
+  ``epoch=<id>`` directory overwrite — a replayed epoch rewrites the
+  identical rows (idempotent, same exactly-once story as the commit
+  marker).
 
 All rules are null-safe three-valued-logic-wise: every violation
 predicate evaluates to true/false, never NULL, so ``~violations`` on
@@ -62,6 +67,23 @@ def violation_rules(
         # isNull first so the isin() NULL never reaches the OR as the
         # only branch; NULL | true = true, non-null op decides normally
         rules.append(("bad_op", op.isNull() | ~op.isin(*VALID_OPS)))
+    if cfg.rocancel_column in cols:
+        rc = F.col(cfg.rocancel_column)
+        # a NULL rocancel flag (truncated row) would otherwise be
+        # silently swallowed downstream: drop_cancelled's
+        # ``where(~rocancel)`` evaluates NULL under 3VL and drops the
+        # row with no trace — neither applied nor dead-lettered
+        rules.append(("null_rocancel", rc.isNull()))
+        if cfg.cancel_seq_column in cols:
+            # a cancel event with no target: the cancellation intent
+            # is lost (cancelled_seqs filters isNotNull) — surface it.
+            # coalesce keeps this rule 3VL-false when rocancel is NULL
+            # (the null_rocancel rule owns that row)
+            rules.append((
+                "null_cancel_seq",
+                F.coalesce(rc, F.lit(False))
+                & F.col(cfg.cancel_seq_column).isNull(),
+            ))
     if extra_rules:
         rules.extend(extra_rules)
     return rules
@@ -93,33 +115,26 @@ def write_dead_letters(
     quarantined: DataFrame, dlq_dir: str, epoch_id: int
 ) -> int:
     """Land the quarantined side under ``<dlq_dir>/epoch=<id>`` and
-    return the row count, measured by an Observation inside the write
-    job itself — no second pass. Directory overwrite keeps a replayed
-    epoch idempotent."""
-    from pyspark.sql import Observation
-
-    obs = Observation(f"dlq-{epoch_id}")
-    observed = quarantined.observe(obs, F.count(F.lit(1)).alias("n"))
-    target = f"{dlq_dir}/epoch={epoch_id}"
-    observed.write.mode("overwrite").parquet(target)
-    n = int(obs.get.get("n") or 0)
-    if n == 0:
-        # a clean epoch leaves no empty partition dir behind (an
-        # all-empty epoch=* glob would break schema inference on read)
-        import shutil
-        from urllib.parse import urlparse
-
-        p = urlparse(target)
-        if p.scheme in ("", "file"):
-            shutil.rmtree(p.path or target, ignore_errors=True)
+    return the row count. Count-first: the expected case is a clean
+    epoch, which pays one envelope-pruned count aggregation and nothing
+    else — no write job, no output committer, and no directory on ANY
+    filesystem scheme (an all-empty ``epoch=*`` glob would break schema
+    inference on object stores, where empty dirs can't be cleaned up
+    reliably). A dirty epoch pays a second scan for the write; directory
+    overwrite keeps a replayed epoch idempotent."""
+    n = quarantined.count()
+    if n:
+        quarantined.write.mode("overwrite").parquet(
+            f"{dlq_dir}/epoch={epoch_id}"
+        )
     return n
 
 
 def read_dead_letters(spark, dlq_dir: str) -> DataFrame:
     """All quarantined events across epochs; ``epoch`` recovered from
     the partition directory. Raises ValueError (with a clear message)
-    if no epoch has quarantined anything — check lineage's
-    ``quarantined`` counts first."""
+    on every filesystem scheme if no epoch has quarantined anything —
+    check lineage's ``quarantined`` counts first."""
     import glob
     import os
     from urllib.parse import urlparse
@@ -129,4 +144,13 @@ def read_dead_letters(spark, dlq_dir: str) -> DataFrame:
         os.path.join(p.path or dlq_dir, "epoch=*")
     ):
         raise ValueError(f"no dead letters recorded under {dlq_dir}")
-    return spark.read.option("basePath", dlq_dir).parquet(f"{dlq_dir}/epoch=*")
+    try:
+        return spark.read.option("basePath", dlq_dir).parquet(
+            f"{dlq_dir}/epoch=*"
+        )
+    except Exception as e:  # non-local scheme: no cheap existence probe
+        if "PATH_NOT_FOUND" in str(e) or "unable to infer" in str(e).lower():
+            raise ValueError(
+                f"no dead letters recorded under {dlq_dir}"
+            ) from e
+        raise

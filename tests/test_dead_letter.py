@@ -48,6 +48,11 @@ def _salted_log(spark):
             ("r2", "p2", "c", "py", "x", None, "I", "D0000001", False, None),
             ("r3", "p3", "c", "py", "x", 90_004, "UPSERT", "D0000002", False, None),
             ("r4", "p4", "c", "py", "x", 90_005, None, "D0000002", False, None),
+            # truncated row: rocancel flag itself NULL — would be
+            # silently 3VL-dropped by drop_cancelled without the DLQ
+            ("r5", "p5", "c", "py", "x", 90_006, "I", "D0000000", None, None),
+            # cancel event with no target seq — cancellation intent lost
+            ("r6", "p6", "c", "py", "x", 90_007, "U", "D0000001", True, None),
         ],
         schema=T.StructType(
             [
@@ -82,6 +87,8 @@ def test_split_quarantine_null_safe(spark):
     assert got[90_002] == "null_key:path"
     assert got[90_004] == "bad_op"
     assert got[90_005] == "bad_op"
+    assert got[90_006] == "null_rocancel"
+    assert got[90_007] == "null_cancel_seq"
     # the null-seq row keys on None
     (null_seq_reason,) = [v for k, v in got.items() if k is None]
     assert null_seq_reason == "null_seq"
@@ -117,18 +124,20 @@ def test_pipeline_quarantines_and_applies_valid_side(spark, tmpdir_path):
     got = table.read().orderBy("repo", "path").toPandas().reset_index(drop=True)
     assert got.equals(fold_to_frame(valid.toPandas()))
 
-    # (2) the 5 malformed rows landed with reasons; lineage counted them
+    # (2) the 7 malformed rows landed with reasons; lineage counted them
     dl = pipe.dead_letters()
-    assert dl.count() == 5
+    assert dl.count() == 7
     assert set(dl.select("dlq_reasons").toPandas()["dlq_reasons"]) == {
         "null_key:repo", "null_key:path", "null_seq", "bad_op",
+        "null_rocancel", "null_cancel_seq",
     }
     assert "epoch" in dl.columns
     lineage = pipe.lineage()
-    assert sum(r.get("quarantined") or 0 for r in lineage) == 5
+    assert sum(r.get("quarantined") or 0 for r in lineage) == 7
 
-    # (3) replaying the whole log from a fresh checkpoint is idempotent:
-    # same table state, dead letters overwritten not duplicated
+    # (3) a second pipeline sharing the dlq_dir writes its own
+    # pipeline=<id> namespace — neither run can overwrite or double-
+    # count the other's epochs
     pipe2 = CdcPipeline(
         spark, CFG, table, log_dir,
         checkpoint_dir=f"{tmpdir_path}/ckpt2",
@@ -136,7 +145,8 @@ def test_pipeline_quarantines_and_applies_valid_side(spark, tmpdir_path):
         dead_letter_dir=dlq_dir,
     )
     pipe2.run_available_now(timeout_sec=300)
-    assert pipe2.dead_letters().count() == 5
+    assert pipe2.dead_letters().count() == 7
+    assert pipe.dead_letters().count() == 7  # first namespace untouched
     got2 = (
         LakeTable(spark, table.path).read()
         .orderBy("repo", "path").toPandas().reset_index(drop=True)
@@ -168,6 +178,47 @@ def test_clean_epochs_leave_no_dlq_dirs(spark, tmpdir_path):
     # and the valid side was applied untouched
     table = LakeTable(spark, table.path)
     assert table.read().count() == fold_to_frame(events.toPandas()).shape[0]
+
+
+def test_wiped_checkpoint_clears_stale_epoch_dirs(spark, tmpdir_path):
+    """Re-running after a checkpoint wipe re-slices the log into
+    different epoch ids; epoch 0 of the fresh run clears the pipeline's
+    DLQ namespace so stale epoch dirs can't double-count."""
+    import shutil
+
+    log, _ = _salted_log(spark)
+    log_dir = f"{tmpdir_path}/log"
+    # many files per token → with max_files_per_trigger=1 the first run
+    # spreads its dead letters over several epoch ids
+    write_change_log(log, log_dir, files_per_token=4)
+    table = LakeTable.create(
+        spark, f"{tmpdir_path}/repos", TARGET_SCHEMA,
+        key_columns=["repo", "path"], num_buckets=4,
+    )
+    dlq_dir = f"{tmpdir_path}/dlq"
+    ckpt = f"{tmpdir_path}/ckpt"
+    pipe = CdcPipeline(
+        spark, CFG, table, log_dir, checkpoint_dir=ckpt,
+        pipeline_id="dlq-wipe", dead_letter_dir=dlq_dir,
+        max_files_per_trigger=1,
+    )
+    pipe.run_available_now(timeout_sec=300)
+    first = pipe.dead_letters().count()
+    assert first == 7
+    n_epoch_dirs_first = len(
+        {r["epoch"] for r in pipe.dead_letters().select("epoch").collect()}
+    )
+    assert n_epoch_dirs_first > 1  # precondition: spread across epochs
+
+    # operator wipes the checkpoint, reruns with the default trigger:
+    # the whole log lands in epoch 0
+    shutil.rmtree(ckpt)
+    pipe2 = CdcPipeline(
+        spark, CFG, table, log_dir, checkpoint_dir=ckpt,
+        pipeline_id="dlq-wipe", dead_letter_dir=dlq_dir,
+    )
+    pipe2.run_available_now(timeout_sec=300)
+    assert pipe2.dead_letters().count() == 7  # not first + 7
 
 
 def test_extra_rules_compose(spark):
