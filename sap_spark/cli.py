@@ -125,6 +125,7 @@ def run_ingest(args, spark=None) -> dict:
         strategy=args.strategy,
         pipeline_id=args.pipeline_id,
         dead_letter_dir=args.dead_letter_dir,
+        auto_compact_delta_files=args.auto_compact_deltas,
     )
     pipe.run_available_now(timeout_sec=args.timeout)
     lineage = pipe.lineage()
@@ -284,6 +285,11 @@ def main(argv: list[str] | None = None) -> None:
                    help="opt-in quarantine sink for malformed events "
                         "(null key/seq/token, op outside I/U/D); written "
                         "per-epoch with dlq_reasons, counted in lineage")
+    i.add_argument("--auto-compact-deltas", type=int, default=None,
+                   help="merge-on-read only: fold a bucket's delta files "
+                        "into its base once they reach this count "
+                        "(tombstones retained — safe mid-stream); bounds "
+                        "read amplification on long replays")
     i.add_argument("--timeout", type=float, default=None)
     i.add_argument("--master", default=None,
                    help="only for local runs; leave unset under spark-submit")

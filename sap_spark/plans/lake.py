@@ -631,36 +631,66 @@ class LakeTable:
         )
         return sorted(r["__bucket"] for r in hits)
 
-    def compact(self, only_dirty: bool = True) -> list[int]:
-        """Fold MOR deltas and purge tombstones (checkpoint-barrier op:
-        safe once no out-of-order events older than any tombstone can
-        arrive, i.e. below the low-watermark delta token).
+    def compact(
+        self,
+        only_dirty: bool = True,
+        purge_tombstones: bool = True,
+        buckets: "list[int] | None" = None,
+    ) -> list[int]:
+        """Fold MOR deltas and (by default) purge tombstones.
+
+        Tombstone purge is a checkpoint-barrier op: a tombstone carries
+        the delete's event_seq and version-gates any late out-of-order
+        event below it, so purging is only safe once no event older than
+        any tombstone can still arrive (below the low-watermark delta
+        token) — schedule it from maintenance, not mid-stream.
+
+        ``purge_tombstones=False`` is the mid-stream-safe variant (used
+        by the pipeline's auto-compaction): delta files fold into the
+        base — the read-amplification fix — but deleted keys keep their
+        folded tombstone row (a key + seq + null payload — tiny), so the
+        version gate survives and the rewrite is observably equivalent
+        at ANY epoch boundary. Tombstone-only buckets are then not
+        dirty: nothing to fold.
 
         By default only DIRTY buckets are rewritten — those holding delta
         files or tombstones (tombstones found by a key/flag-pruned scan)
         — and clean buckets carry over by reference, so compaction cost
         is O(dirty data), not O(table). A fully-clean table is a no-op
         (no new version). ``only_dirty=False`` rewrites everything (full
-        file-count reset). Returns the bucket ids rewritten."""
+        file-count reset). ``buckets`` restricts the rewrite to that
+        subset (intersected with the dirty set) — under skew a hot
+        bucket crosses its delta threshold every few epochs, and
+        refolding every delta-bearing bucket each time would rewrite
+        cold base files repeatedly; selective compaction keeps write
+        amplification at one base rewrite per N delta files PER BUCKET.
+        Returns the bucket ids rewritten."""
         if only_dirty:
             delta = sorted(
                 int(b)
                 for b, entries in self.manifest["buckets"].items()
                 if any(e.get("kind") == "delta" for e in entries)
             )
-            clean_candidates = [
-                int(b) for b in self.manifest["buckets"] if int(b) not in delta
-            ]
-            dirty = sorted(set(delta) | set(self._tombstone_buckets(clean_candidates)))
-            if not dirty:
-                return []
+            if purge_tombstones:
+                clean_candidates = [
+                    int(b)
+                    for b in self.manifest["buckets"]
+                    if int(b) not in delta
+                ]
+                dirty = sorted(
+                    set(delta) | set(self._tombstone_buckets(clean_candidates))
+                )
+            else:
+                dirty = delta
         else:
             dirty = sorted(int(b) for b in self.manifest["buckets"])
-            if not dirty:
-                return []
-        live = self.read_internal(buckets=dirty).where(
-            ~F.coalesce(F.col(DELETED_COL), F.lit(False))
-        )
+        if buckets is not None:
+            dirty = sorted(set(dirty) & set(buckets))
+        if not dirty:
+            return []
+        live = self.read_internal(buckets=dirty)
+        if purge_tombstones:
+            live = live.where(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         prepared = live.withColumn(
             "__bucket", bucket_expr(self.key_columns, self.num_buckets)
         )

@@ -160,6 +160,7 @@ class CdcPipeline:
         stream_schema=None,
         dead_letter_dir: str | None = None,
         dead_letter_rules=None,
+        auto_compact_delta_files: int | None = None,
     ):
         """``transform``: optional DataFrame → DataFrame decode stage applied
         to each micro-batch before fold/merge — the slot for the SAP-style
@@ -200,7 +201,24 @@ class CdcPipeline:
         epoch dirs from a wiped prior run can't double-count; directory
         overwrite keeps replayed epochs idempotent. Without a DLQ, a
         null-keyed event would collapse unrelated rows into one MERGE
-        group — corruption, not an error."""
+        group — corruption, not an error.
+
+        ``auto_compact_delta_files``: merge-on-read tables accumulate one
+        delta file set per epoch per touched bucket; without compaction a
+        10^10-event replay's read amplification grows without bound until
+        an operator runs maintenance. When set, any bucket reaching this
+        many delta file entries is folded into its base right after the
+        epoch's merge — tombstones RETAINED (``compact(purge_tombstones=
+        False)``), so the event_seq version gate for late out-of-order
+        events survives and the rewrite is observably equivalent at any
+        epoch boundary (full tombstone purge stays a maintenance-time,
+        low-watermark-barrier op). Only offending buckets are rewritten:
+        under skew the hot bucket folds every N epochs while cold
+        buckets' base files are never touched — write amplification is
+        one base rewrite per N delta files per bucket. Crash-safe: a
+        retried epoch's merge no-ops on its commit marker and the
+        re-probe finds no over-threshold buckets. Compacted bucket ids
+        and wall time ride the epoch's lineage record."""
         cfg.validate()
         self.spark = spark
         self.cfg = cfg
@@ -213,6 +231,9 @@ class CdcPipeline:
         self.enforce_token_atomicity = enforce_token_atomicity
         self.dead_letter_dir = dead_letter_dir
         self.dead_letter_rules = dead_letter_rules
+        if auto_compact_delta_files is not None and auto_compact_delta_files < 1:
+            raise ValueError("auto_compact_delta_files must be >= 1")
+        self.auto_compact_delta_files = auto_compact_delta_files
         # alternative staged layout (e.g. OData delta-response pages);
         # None = the change-event envelope (sources/changelog.py)
         self.stream_schema = stream_schema
@@ -528,6 +549,28 @@ class CdcPipeline:
             metrics_out=fold_metrics,
         )
         elapsed = time.monotonic() - t0
+        compacted: list[int] | None = None
+        compact_sec = None
+        if (
+            applied
+            and self.auto_compact_delta_files
+            and self.table.merge_mode == "mor"
+        ):
+            # driver-side manifest probe, no Spark job: buckets at/over
+            # the delta-file threshold fold now (tombstones retained —
+            # safe mid-stream); the rest wait for their own threshold
+            over = [
+                int(b)
+                for b, entries in self.table.manifest["buckets"].items()
+                if sum(1 for e in entries if e.get("kind") == "delta")
+                >= self.auto_compact_delta_files
+            ]
+            if over:
+                t_c = time.monotonic()
+                compacted = self.table.compact(
+                    purge_tombstones=False, buckets=over
+                )
+                compact_sec = round(time.monotonic() - t_c, 4)
         metrics = obs.get if applied else {}
         n = int(metrics.get("n_events") or 0)
         self._record_lineage(
@@ -545,6 +588,8 @@ class CdcPipeline:
                 "quarantined": n_quarantined,
                 "fold": fold_metrics or None,
                 "merge_phases": getattr(self.table, "last_merge_metrics", None),
+                "compacted_buckets": compacted,
+                "compact_sec": compact_sec,
                 "events_per_sec": round(n / elapsed, 1) if elapsed > 0 and n else None,
                 "table_version": self.table.version,
                 "wall_time": time.time(),
