@@ -114,6 +114,12 @@ def run_ingest(args, spark=None) -> dict:
             f"at {args.table} (stored merge_mode={table.merge_mode}); "
             "recreate the table to change its merge mode"
         )
+    if args.auto_compact_deltas is not None and table.merge_mode != "mor":
+        raise SystemExit(
+            "--auto-compact-deltas only applies to merge-on-read tables; "
+            f"table at {args.table} is merge_mode={table.merge_mode} "
+            "(pass --merge-mode mor at table creation)"
+        )
     cfg = EngineConfig(
         key_columns=tuple(keys),
         num_buckets=table.num_buckets,

@@ -113,11 +113,21 @@ class LakeTable:
         with open(self._manifest_path(version)) as f:
             return json.load(f)
 
-    def _commit(self, manifest: dict) -> None:
-        """Write manifest v(N+1) and atomically flip the pointer."""
+    def _commit(self, manifest: dict, op: "dict | None" = None) -> None:
+        """Write manifest v(N+1) and atomically flip the pointer.
+
+        ``op``: optional self-describing commit annotation (e.g. a
+        compaction's rewritten buckets), surfaced by :meth:`history`.
+        Manifests are built by deep-copying the current one, so an
+        inherited annotation from a prior commit is stripped unless this
+        commit supplies its own."""
         new_version = self.version + 1
         manifest["version"] = new_version
         manifest["parent"] = self.version
+        if op is None:
+            manifest.pop("op", None)
+        else:
+            manifest["op"] = op
         mpath = self._manifest_path(new_version)
         tmp = mpath + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
@@ -609,6 +619,20 @@ class LakeTable:
 
     # -- maintenance ------------------------------------------------------
 
+    def delta_file_counts(self) -> dict[int, int]:
+        """Per-bucket count of unfolded MOR delta file entries (the
+        read-amplification measure compaction bounds); buckets with none
+        are omitted. Driver-side manifest walk, no Spark job. The single
+        source of truth for 'how many deltas does bucket b carry' — used
+        by :meth:`compact`'s dirty detection and the pipeline's
+        auto-compaction probe."""
+        counts: dict[int, int] = {}
+        for b, entries in self.manifest["buckets"].items():
+            n = sum(1 for e in entries if e.get("kind") == "delta")
+            if n:
+                counts[int(b)] = n
+        return counts
+
     def _tombstone_buckets(self, candidates: list[int]) -> list[int]:
         """Buckets among ``candidates`` holding at least one tombstone —
         a column-pruned scan (keys + deleted flag only, the payload never
@@ -665,27 +689,23 @@ class LakeTable:
         cold base files repeatedly; selective compaction keeps write
         amplification at one base rewrite per N delta files PER BUCKET.
         Returns the bucket ids rewritten."""
+        # restrict the candidate universe FIRST so a selective compaction
+        # never pays the tombstone key/flag scan over buckets outside the
+        # requested subset (O(subset), not O(table))
+        universe = {int(b) for b in self.manifest["buckets"]}
+        if buckets is not None:
+            universe &= set(buckets)
         if only_dirty:
-            delta = sorted(
-                int(b)
-                for b, entries in self.manifest["buckets"].items()
-                if any(e.get("kind") == "delta" for e in entries)
-            )
+            delta = sorted(b for b in universe if b in self.delta_file_counts())
             if purge_tombstones:
-                clean_candidates = [
-                    int(b)
-                    for b in self.manifest["buckets"]
-                    if int(b) not in delta
-                ]
+                clean_candidates = sorted(universe - set(delta))
                 dirty = sorted(
                     set(delta) | set(self._tombstone_buckets(clean_candidates))
                 )
             else:
                 dirty = delta
         else:
-            dirty = sorted(int(b) for b in self.manifest["buckets"])
-        if buckets is not None:
-            dirty = sorted(set(dirty) & set(buckets))
+            dirty = sorted(universe)
         if not dirty:
             return []
         live = self.read_internal(buckets=dirty)
@@ -700,7 +720,18 @@ class LakeTable:
             manifest["buckets"].pop(str(b), None)
         for b, entries in new_buckets.items():
             manifest["buckets"][b] = entries
-        self._commit(manifest)
+        # self-describing commit: if the caller crashes between this commit
+        # and its own bookkeeping (e.g. the pipeline's lineage append), the
+        # table history still attributes this version to a compaction
+        # instead of leaving an unexplained bucket rewrite
+        self._commit(
+            manifest,
+            op={
+                "type": "compact",
+                "buckets": dirty,
+                "purge_tombstones": purge_tombstones,
+            },
+        )
         return dirty
 
     def expire_snapshots(self, keep_last: int = 1) -> int:
@@ -766,7 +797,9 @@ class LakeTable:
         return removed
 
     def history(self) -> list[dict]:
-        """Commit history (version, parent, commits count, schema id)."""
+        """Commit history (version, parent, commits count, schema id, and
+        the commit's ``op`` annotation when one was recorded — e.g. a
+        compaction's rewritten buckets)."""
         out = []
         v = self.version
         while v is not None:
@@ -777,6 +810,7 @@ class LakeTable:
                     "parent": m["parent"],
                     "n_commits": len(m["commits"]),
                     "schema_id": m["current_schema_id"],
+                    "op": m.get("op"),
                 }
             )
             v = m["parent"]

@@ -231,8 +231,17 @@ class CdcPipeline:
         self.enforce_token_atomicity = enforce_token_atomicity
         self.dead_letter_dir = dead_letter_dir
         self.dead_letter_rules = dead_letter_rules
-        if auto_compact_delta_files is not None and auto_compact_delta_files < 1:
-            raise ValueError("auto_compact_delta_files must be >= 1")
+        if auto_compact_delta_files is not None:
+            if auto_compact_delta_files < 1:
+                raise ValueError("auto_compact_delta_files must be >= 1")
+            if table.merge_mode != "mor":
+                # a cow table never accumulates delta files, so the option
+                # would be silently inert — surface the config error now
+                raise ValueError(
+                    "auto_compact_delta_files requires a merge-on-read "
+                    f"table (merge_mode='mor'); this table is "
+                    f"merge_mode='{table.merge_mode}'"
+                )
         self.auto_compact_delta_files = auto_compact_delta_files
         # alternative staged layout (e.g. OData delta-response pages);
         # None = the change-event envelope (sources/changelog.py)
@@ -551,19 +560,14 @@ class CdcPipeline:
         elapsed = time.monotonic() - t0
         compacted: list[int] | None = None
         compact_sec = None
-        if (
-            applied
-            and self.auto_compact_delta_files
-            and self.table.merge_mode == "mor"
-        ):
+        if applied and self.auto_compact_delta_files:
             # driver-side manifest probe, no Spark job: buckets at/over
             # the delta-file threshold fold now (tombstones retained —
             # safe mid-stream); the rest wait for their own threshold
             over = [
-                int(b)
-                for b, entries in self.table.manifest["buckets"].items()
-                if sum(1 for e in entries if e.get("kind") == "delta")
-                >= self.auto_compact_delta_files
+                b
+                for b, n in self.table.delta_file_counts().items()
+                if n >= self.auto_compact_delta_files
             ]
             if over:
                 t_c = time.monotonic()

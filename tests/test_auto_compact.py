@@ -42,10 +42,8 @@ def _mk_table(spark, path, mode="mor"):
 
 
 def _delta_counts(table: LakeTable) -> dict[int, int]:
-    return {
-        int(b): sum(1 for e in entries if e.get("kind") == "delta")
-        for b, entries in table.manifest["buckets"].items()
-    }
+    # the shared probe compact()/the pipeline use; omits zero-count buckets
+    return table.delta_file_counts()
 
 
 def test_auto_compact_bounds_delta_files_and_matches_oracle(
@@ -76,7 +74,7 @@ def test_auto_compact_bounds_delta_files_and_matches_oracle(
     # every bucket's delta accumulation is bounded by the threshold
     # (an epoch adds at most one delta set per bucket past a fold)
     counts = _delta_counts(table)
-    assert counts and max(counts.values()) <= 2, counts
+    assert max(counts.values(), default=0) <= 2, counts
     # lineage recorded at least one compaction with its wall time
     compactions = [
         r for r in pipe.lineage() if r.get("compacted_buckets")
@@ -159,9 +157,7 @@ def test_compact_keep_tombstones_is_observably_noop(spark, tmpdir_path):
                 .count()
             )
             assert tomb > 0, "expected retained tombstones"
-            assert _delta_counts(t) == {
-                b: 0 for b in _delta_counts(t)
-            }
+            assert _delta_counts(t) == {}
         frames[name] = (
             t.read_internal().orderBy("repo", "path")
             .toPandas().reset_index(drop=True)
@@ -177,3 +173,85 @@ def test_auto_compact_requires_positive_threshold(spark, tmpdir_path):
             checkpoint_dir=f"{tmpdir_path}/ckpt",
             auto_compact_delta_files=0,
         )
+
+
+def test_auto_compact_rejects_cow_table(spark, tmpdir_path):
+    """A copy-on-write table never accumulates delta files, so
+    auto-compaction would be silently inert — the constructor surfaces
+    the config mismatch instead."""
+    table = _mk_table(spark, f"{tmpdir_path}/t_cow", mode="cow")
+    with pytest.raises(ValueError, match="merge-on-read"):
+        CdcPipeline(
+            spark, CFG, table, f"{tmpdir_path}/log",
+            checkpoint_dir=f"{tmpdir_path}/ckpt",
+            auto_compact_delta_files=4,
+        )
+
+
+def test_compact_commit_self_describes_in_history(spark, tmpdir_path):
+    """A compaction's manifest carries an op annotation, so a compaction
+    whose caller crashed before its own bookkeeping (e.g. the pipeline's
+    lineage append) is still attributable from table history; ordinary
+    merge commits carry none (the annotation must not leak forward
+    through manifest copies)."""
+    table = _mk_table(spark, f"{tmpdir_path}/t_hist")
+    batch = spark.createDataFrame(
+        [("r", "p", "c1", "py", "v1", 1, "I")],
+        "repo string, path string, commit string, lang string, "
+        "content string, event_seq long, op string",
+    )
+    table.merge_cdc(batch, "b1", op_column="op", seq_column="event_seq")
+    compacted = table.compact(purge_tombstones=False)
+    assert compacted
+    table.merge_cdc(
+        batch.withColumn("event_seq", F.lit(2)), "b2",
+        op_column="op", seq_column="event_seq",
+    )
+    ops = {h["version"]: h["op"] for h in table.history()}
+    compact_ops = [o for o in ops.values() if o]
+    assert compact_ops == [
+        {
+            "type": "compact",
+            "buckets": compacted,
+            "purge_tombstones": False,
+        }
+    ]
+    # the merge AFTER the compaction inherited no stale annotation
+    assert ops[table.version] is None
+
+
+def test_selective_compact_scans_only_requested_buckets(spark, tmpdir_path):
+    """compact(buckets=[b]) with purge_tombstones=True must not run its
+    tombstone key/flag probe over clean buckets outside the subset —
+    selective maintenance on a wide table stays O(subset)."""
+    table = _mk_table(spark, f"{tmpdir_path}/t_sel")
+    rows = [
+        (f"r{i}", "p", "c", "py", f"v{i}", 1, "I") for i in range(40)
+    ]
+    batch = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, "
+        "content string, event_seq long, op string",
+    )
+    table.merge_cdc(batch, "b1", op_column="op", seq_column="event_seq")
+    table.compact()  # fold everything: all buckets clean
+    dirty_bucket = next(iter(table.delta_file_counts()), None)
+    assert dirty_bucket is None
+    # delete one key -> its bucket gains a delta (tombstone)
+    delete = spark.createDataFrame(
+        [("r0", "p", None, None, None, 5, "D")], batch.schema
+    )
+    table.merge_cdc(delete, "b2", op_column="op", seq_column="event_seq")
+    target = next(iter(table.delta_file_counts()))
+    probed: list[list[int]] = []
+    orig = table._tombstone_buckets
+
+    def spy(candidates):
+        probed.append(sorted(candidates))
+        return orig(candidates)
+
+    table._tombstone_buckets = spy
+    rewritten = table.compact(buckets=[target])
+    assert rewritten == [target]
+    # the probe saw at most the requested subset, never the whole table
+    assert all(set(c) <= {target} for c in probed), probed
