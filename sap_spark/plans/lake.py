@@ -400,6 +400,36 @@ class LakeTable:
             for r in events.select(b.alias("__bucket")).distinct().collect()
         )
 
+    def affected_bucket_offsets(
+        self, events: DataFrame, seq_column: "str | None" = None
+    ) -> "dict[int, dict]":
+        """Bucket ids touched by a batch, each with its high-water offset:
+        ``{bucket: {"max_seq": <max seq_column>, "n_rows": <count>}}``.
+
+        Same job shape and cost as :meth:`affected_buckets` — a
+        column-pruned scan with a bucket-keyed partial agg producing
+        ≤ num_buckets rows — but the groupBy carries ``max(seq)`` and a
+        row count in the same HashAggregate buffer, so one pass yields
+        BOTH the exact merge-pruning set and the per-partition lineage
+        offsets the pipeline records per epoch (north_rule). When
+        ``seq_column`` is absent from the batch, ``max_seq`` is None."""
+        b = bucket_expr(self.key_columns, self.num_buckets)
+        aggs = [F.count(F.lit(1)).alias("__n_rows")]
+        with_seq = seq_column is not None and seq_column in events.columns
+        if with_seq:
+            aggs.append(F.max(F.col(seq_column)).alias("__max_seq"))
+        cols = [b.alias("__bucket")]
+        if with_seq:
+            cols.append(F.col(seq_column))
+        rows = events.select(*cols).groupBy("__bucket").agg(*aggs).collect()
+        return {
+            r["__bucket"]: {
+                "max_seq": r["__max_seq"] if with_seq else None,
+                "n_rows": r["__n_rows"],
+            }
+            for r in rows
+        }
+
     def merge_cdc(
         self,
         changes: DataFrame,

@@ -22,9 +22,12 @@ no resume at all).
 
 Lineage + metrics (north_rule "per-partition lineage offsets and
 throughput metrics"): each epoch appends a JSON line to
-``<table>/_meta/lineage.jsonl`` with the token range, event/key counts and
-timing, computed via ``DataFrame.observe`` during the merge job itself (no
-second pass over the batch).
+``<table>/_meta/lineage.jsonl`` with the token range, event/key counts,
+timing (via ``DataFrame.observe`` during the merge job itself — no second
+pass over the batch), and ``bucket_offsets`` — the per-partition high-water
+offsets {bucket: {max_seq, n_rows}}, computed inside the same bucket-keyed
+agg that discovers the merge's affected buckets. ``bucket_high_water()``
+folds them across epochs for per-partition resume verification.
 """
 
 from __future__ import annotations
@@ -41,6 +44,22 @@ from sap_spark.config import EngineConfig
 from sap_spark.operators.dedup import fold_changes
 from sap_spark.plans.lake import LakeTable
 from sap_spark.sources.changelog import read_changelog_stream
+
+
+def _discover_buckets(table, keyed: DataFrame, cfg: EngineConfig):
+    """Exact affected-bucket set for a batch, plus — when the backend can
+    compute them in the same bucket-keyed agg (LakeTable's
+    ``affected_bucket_offsets``) — per-bucket high-water offsets
+    ``{bucket: {max_seq, n_rows}}`` for the epoch's lineage record (the
+    north rule's per-partition lineage offsets). Backends exposing only
+    the ``affected_buckets`` protocol method still work; offsets are then
+    None. Either way it is ONE tiny job over the already key-pruned
+    input."""
+    get_offsets = getattr(table, "affected_bucket_offsets", None)
+    if get_offsets is not None:
+        offsets = get_offsets(keyed, seq_column=cfg.order_column)
+        return sorted(offsets), offsets
+    return table.affected_buckets(keyed.select(*cfg.key_columns)), None
 
 
 def ingest_batch(
@@ -106,7 +125,9 @@ def ingest_batch(
             chosen = (
                 "window_salted" if hot >= cfg.hot_key_threshold else "fetch"
             )
-        affected = table.affected_buckets(winners.select(*cfg.key_columns))
+        affected, bucket_offsets = _discover_buckets(
+            table, winners.select(*cfg.key_columns, cfg.order_column), cfg
+        )
         if chosen == "fetch":
             folded = fetch_winner_payloads(
                 events, winners, cfg, cancelled=cancelled
@@ -122,11 +143,20 @@ def ingest_batch(
         if strategy == "auto":
             chosen = "fetch"  # no delivery id → lww_fetch's exact agg path
         folded = fold_changes(events, cfg, strategy=chosen)
-        affected = table.affected_buckets(events.select(*cfg.key_columns))
+        affected, bucket_offsets = _discover_buckets(
+            table,
+            events.select(
+                *cfg.key_columns,
+                *([cfg.order_column] if cfg.order_column in events.columns else []),
+            ),
+            cfg,
+        )
     if metrics_out is not None:
         metrics_out["strategy"] = chosen
         if hot is not None:
             metrics_out["hot_key_count"] = int(hot)
+        if bucket_offsets is not None:
+            metrics_out["bucket_offsets"] = bucket_offsets
     try:
         return table.merge_cdc(
             folded,
@@ -296,6 +326,26 @@ class CdcPipeline:
         if all_pipelines:
             return records
         return [r for r in records if r.get("pipeline_id") == self.pipeline_id]
+
+    def bucket_high_water(self) -> dict[int, int]:
+        """Per-bucket high-water mark: the max applied event_seq each
+        bucket has reached across this pipeline's applied epochs, from
+        the per-partition lineage offsets. Lets an operator verify resume
+        correctness per partition (a restarted run must only ever raise
+        these) and spot skew (one bucket's n_rows dwarfing the rest).
+        JSON object keys are strings on disk; returned as ints."""
+        high: dict[int, int] = {}
+        for r in self.lineage():
+            if not r.get("applied"):
+                continue
+            for b, off in (r.get("bucket_offsets") or {}).items():
+                seq = (off or {}).get("max_seq")
+                if seq is None:
+                    continue
+                b = int(b)
+                if b not in high or seq > high[b]:
+                    high[b] = seq
+        return high
 
     # -- the per-epoch apply ----------------------------------------------
 
@@ -577,6 +627,11 @@ class CdcPipeline:
                 compact_sec = round(time.monotonic() - t_c, 4)
         metrics = obs.get if applied else {}
         n = int(metrics.get("n_events") or 0)
+        # per-partition (bucket) high-water offsets, computed inside the
+        # epoch's bucket-discovery agg — promoted to a top-level lineage
+        # field: {bucket: {max_seq, n_rows}} for every bucket this epoch
+        # touched (north_rule "per-partition lineage offsets")
+        bucket_offsets = fold_metrics.pop("bucket_offsets", None)
         self._record_lineage(
             {
                 "pipeline_id": self.pipeline_id,
@@ -591,6 +646,7 @@ class CdcPipeline:
                 "deferred_files": n_deferred,
                 "quarantined": n_quarantined,
                 "fold": fold_metrics or None,
+                "bucket_offsets": bucket_offsets,
                 "merge_phases": getattr(self.table, "last_merge_metrics", None),
                 "compacted_buckets": compacted,
                 "compact_sec": compact_sec,

@@ -418,3 +418,53 @@ def test_auto_strategy_flips_on_zipf_hot_key(spark, tmpdir_path):
     table2 = LakeTable(spark, table2.path)
     got2 = table2.read().orderBy("repo", "path").toPandas().reset_index(drop=True)
     assert got2.equals(fold_to_frame(events.toPandas()))
+
+
+def test_per_bucket_lineage_offsets(spark, tmpdir_path):
+    """Each applied epoch's lineage carries per-partition (bucket)
+    high-water offsets {bucket: {max_seq, n_rows}} (north_rule
+    "per-partition lineage offsets"), and bucket_high_water() — the max
+    applied seq per bucket across epochs — matches the table's actual
+    per-bucket max _event_seq, tombstones included."""
+    from sap_spark.plans.lake import SEQ_COL, bucket_expr
+
+    events = gen_change_events(
+        spark, n_events=4000, n_keys=400, events_per_token=800
+    ).cache()
+    log_dir = f"{tmpdir_path}/log"
+    write_change_log(events, log_dir)
+    table = LakeTable.create(
+        spark, f"{tmpdir_path}/repos", TARGET_SCHEMA,
+        key_columns=["repo", "path"], num_buckets=8,
+    )
+    pipe = CdcPipeline(
+        spark, CFG, table, log_dir,
+        checkpoint_dir=f"{tmpdir_path}/ckpt",
+        max_files_per_trigger=2, pipeline_id="offsets",
+    )
+    pipe.run_available_now(timeout_sec=300)
+
+    applied = [r for r in pipe.lineage() if r["applied"]]
+    assert len(applied) >= 2
+    for r in applied:
+        offs = r["bucket_offsets"]
+        assert offs, r
+        for off in offs.values():
+            assert off["max_seq"] is not None and off["n_rows"] >= 1
+    # offsets are monotone per bucket across epochs (tokens arrive in order)
+    seen: dict = {}
+    for r in applied:
+        for b, off in r["bucket_offsets"].items():
+            assert off["max_seq"] > seen.get(b, -1), (b, off)
+            seen[b] = off["max_seq"]
+
+    # high-water == the table's real per-bucket max applied seq
+    table = LakeTable(spark, table.path)
+    actual = {
+        row["b"]: row["m"]
+        for row in table.read_internal()
+        .groupBy(bucket_expr(["repo", "path"], 8).alias("b"))
+        .agg(F.max(SEQ_COL).alias("m"))
+        .collect()
+    }
+    assert pipe.bucket_high_water() == actual
