@@ -11,9 +11,9 @@ Codecs, honestly tiered:
 
 - **Real codecs, no external libs**: PPM/PGM (``P6``/``P5``) images via
   a numpy parser; **PNG via a stdlib-zlib decoder** (all five scanline
-  filters, gray/RGB/palette/alpha color types, 8- and 16-bit, CRC
-  checked, decompression-bomb capped — and a filter-0 encoder for the
-  resize output); **baseline JPEG via a from-the-spec numpy codec**
+  filters, gray/RGB/palette/alpha color types, 8- and 16-bit,
+  non-interlaced AND Adam7-interlaced, CRC checked, decompression-bomb
+  capped — and a filter-0 encoder for the resize output); **baseline JPEG via a from-the-spec numpy codec**
   (functions/jpeg.py: SOF0/SOF1, 4:4:4/4:2:2/4:2:0 chroma, restart
   markers, progressive SOF2 with successive approximation, plus an
   Annex-K-table encoder for resize output and synthetic fixtures —
@@ -155,6 +155,13 @@ _NULL_IMAGE = {
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type → samples/px
+# Adam7 interlace pass geometry (spec §8.2): (x0, y0, dx, dy) per pass.
+# The IDAT stream is 7 independently-filtered reduced images in this
+# order; pass k holds the pixels at (y0+i*dy, x0+j*dx).
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 # Decompression-bomb guard: refuse images whose raw scanline buffer would
 # exceed this (a few-KB IDAT can inflate without bound otherwise).
 _PNG_MAX_RAW = 1 << 28  # 256 MiB
@@ -215,10 +222,11 @@ def _parse_png(blob: bytes) -> "np.ndarray | None":
     """Real PNG decode → uint8 array (H, W, C). None when the blob is not
     PNG by signature (caller falls through to the stub tier); ValueError
     for PNG-by-signature blobs that are corrupt or out of scope (caller
-    nulls the row). Scope: non-interlaced, bit depth 8 (all color types,
-    palette via PLTE) and 16 (truncated to the high byte); Adam7
-    interlace and sub-byte palette depths raise. tRNS is ignored
-    (palette alpha reads opaque)."""
+    nulls the row). Scope: bit depth 8 (all color types, palette via
+    PLTE) and 16 (truncated to the high byte), both non-interlaced and
+    Adam7-interlaced (each reduced image unfiltered independently, then
+    scattered to its pass grid); sub-byte palette depths raise. tRNS is
+    ignored (palette alpha reads opaque)."""
     import struct
     import zlib
 
@@ -255,8 +263,8 @@ def _parse_png(blob: bytes) -> "np.ndarray | None":
     )
     if comp != 0 or filt != 0:
         raise ValueError("unknown PNG compression/filter method")
-    if interlace != 0:
-        raise ValueError("Adam7 interlace not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     if color not in _PNG_CHANNELS:
         raise ValueError(f"bad PNG color type {color}")
     if depth not in (8, 16) or (color == 3 and depth != 8):
@@ -265,8 +273,19 @@ def _parse_png(blob: bytes) -> "np.ndarray | None":
         raise ValueError("bad PNG dimensions")
     channels = _PNG_CHANNELS[color]
     bps = depth // 8
-    stride = width * channels * bps
-    expected = height * (stride + 1)
+    bpp = channels * bps
+    # one geometry entry per (sub)image: non-interlaced is the single
+    # full-size pass of a degenerate 1x1 grid, Adam7 is seven reduced
+    # images each filtered independently
+    passes = ((0, 0, 1, 1),) if interlace == 0 else _ADAM7
+    geom = []
+    expected = 0
+    for x0, y0, dx, dy in passes:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        geom.append((x0, y0, dx, dy, pw, ph))
+        if pw > 0 and ph > 0:
+            expected += ph * (1 + pw * bpp)
     if expected > _PNG_MAX_RAW:
         raise ValueError("PNG exceeds decode size cap")
     # Bounded inflate: cap what zlib may ALLOCATE, not just what the
@@ -276,11 +295,20 @@ def _parse_png(blob: bytes) -> "np.ndarray | None":
     raw = zlib.decompressobj().decompress(b"".join(idat), expected + 1)
     if len(raw) != expected:
         raise ValueError("PNG scanline buffer size mismatch")
-    img = _unfilter_scanlines(raw, height, stride, channels * bps)
-    if depth == 16:
-        img = img.reshape(height, width, channels, 2)[..., 0]
-    else:
-        img = img.reshape(height, width, channels)
+    img = np.zeros((height, width, channels), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy, pw, ph in geom:
+        if pw <= 0 or ph <= 0:
+            continue  # empty pass: no scanlines, not even filter bytes
+        stride = pw * bpp
+        nbytes = ph * (1 + stride)
+        sub = _unfilter_scanlines(raw[pos : pos + nbytes], ph, stride, bpp)
+        pos += nbytes
+        if depth == 16:
+            sub = sub.reshape(ph, pw, channels, 2)[..., 0]
+        else:
+            sub = sub.reshape(ph, pw, channels)
+        img[y0::dy, x0::dx] = sub
     if color == 3:
         if plte is None or len(plte) % 3:
             raise ValueError("palette PNG without valid PLTE")
