@@ -295,20 +295,25 @@ def _parse_png(blob: bytes) -> "np.ndarray | None":
     raw = zlib.decompressobj().decompress(b"".join(idat), expected + 1)
     if len(raw) != expected:
         raise ValueError("PNG scanline buffer size mismatch")
-    img = np.zeros((height, width, channels), dtype=np.uint8)
-    pos = 0
-    for x0, y0, dx, dy, pw, ph in geom:
-        if pw <= 0 or ph <= 0:
-            continue  # empty pass: no scanlines, not even filter bytes
-        stride = pw * bpp
-        nbytes = ph * (1 + stride)
-        sub = _unfilter_scanlines(raw[pos : pos + nbytes], ph, stride, bpp)
-        pos += nbytes
+    def decode_sub(buf: bytes, ph: int, pw: int) -> "np.ndarray":
+        sub = _unfilter_scanlines(buf, ph, pw * bpp, bpp)
         if depth == 16:
-            sub = sub.reshape(ph, pw, channels, 2)[..., 0]
-        else:
-            sub = sub.reshape(ph, pw, channels)
-        img[y0::dy, x0::dx] = sub
+            return sub.reshape(ph, pw, channels, 2)[..., 0]
+        return sub.reshape(ph, pw, channels)
+
+    if interlace == 0:
+        # single pass: the unfiltered buffer IS the image — no scatter copy
+        img = decode_sub(raw, height, width)
+    else:
+        # every pixel belongs to exactly one pass, so empty is fine
+        img = np.empty((height, width, channels), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy, pw, ph in geom:
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass: no scanlines, not even filter bytes
+            nbytes = ph * (1 + pw * bpp)
+            img[y0::dy, x0::dx] = decode_sub(raw[pos : pos + nbytes], ph, pw)
+            pos += nbytes
     if color == 3:
         if plte is None or len(plte) % 3:
             raise ValueError("palette PNG without valid PLTE")

@@ -46,20 +46,27 @@ from sap_spark.plans.lake import LakeTable
 from sap_spark.sources.changelog import read_changelog_stream
 
 
-def _discover_buckets(table, keyed: DataFrame, cfg: EngineConfig):
-    """Exact affected-bucket set for a batch, plus — when the backend can
-    compute them in the same bucket-keyed agg (LakeTable's
-    ``affected_bucket_offsets``) — per-bucket high-water offsets
-    ``{bucket: {max_seq, n_rows}}`` for the epoch's lineage record (the
-    north rule's per-partition lineage offsets). Backends exposing only
-    the ``affected_buckets`` protocol method still work; offsets are then
-    None. Either way it is ONE tiny job over the already key-pruned
-    input."""
+def _discover_buckets(
+    table, frame: DataFrame, cfg: EngineConfig, exact: bool
+):
+    """Affected-bucket set for a batch, plus — when ``frame`` is the
+    post-cancellation winner set (``exact=True``, the fetch/auto path)
+    and the backend can compute them in the same bucket-keyed agg
+    (LakeTable's ``affected_bucket_offsets``) — per-bucket high-water
+    offsets ``{bucket: {"max_seq": max applied seq, "n_rows": applied
+    keys}}`` for the epoch's lineage record (the north rule's
+    per-partition lineage offsets). With ``exact=False`` the frame is
+    the RAW event batch: its max seq may belong to a cancelled event the
+    fold drops, so recording it would overstate the table's true
+    high-water — offsets are then None and only the (superset-safe)
+    bucket set is returned. Either way it is ONE tiny job over a
+    key/seq-pruned projection."""
     get_offsets = getattr(table, "affected_bucket_offsets", None)
-    if get_offsets is not None:
+    if exact and get_offsets is not None:
+        keyed = frame.select(*cfg.key_columns, cfg.order_column)
         offsets = get_offsets(keyed, seq_column=cfg.order_column)
         return sorted(offsets), offsets
-    return table.affected_buckets(keyed.select(*cfg.key_columns)), None
+    return table.affected_buckets(frame.select(*cfg.key_columns)), None
 
 
 def ingest_batch(
@@ -126,7 +133,7 @@ def ingest_batch(
                 "window_salted" if hot >= cfg.hot_key_threshold else "fetch"
             )
         affected, bucket_offsets = _discover_buckets(
-            table, winners.select(*cfg.key_columns, cfg.order_column), cfg
+            table, winners, cfg, exact=True
         )
         if chosen == "fetch":
             folded = fetch_winner_payloads(
@@ -144,12 +151,7 @@ def ingest_batch(
             chosen = "fetch"  # no delivery id → lww_fetch's exact agg path
         folded = fold_changes(events, cfg, strategy=chosen)
         affected, bucket_offsets = _discover_buckets(
-            table,
-            events.select(
-                *cfg.key_columns,
-                *([cfg.order_column] if cfg.order_column in events.columns else []),
-            ),
-            cfg,
+            table, events, cfg, exact=False
         )
     if metrics_out is not None:
         metrics_out["strategy"] = chosen
@@ -332,8 +334,12 @@ class CdcPipeline:
         bucket has reached across this pipeline's applied epochs, from
         the per-partition lineage offsets. Lets an operator verify resume
         correctness per partition (a restarted run must only ever raise
-        these) and spot skew (one bucket's n_rows dwarfing the rest).
-        JSON object keys are strings on disk; returned as ints."""
+        these) and spot key-skew (one bucket's n_rows — applied keys per
+        epoch — dwarfing the rest). Offsets are recorded by the fetch and
+        auto strategies (the production defaults), whose winner set makes
+        them exact post-cancellation; epochs run under the window/agg
+        strategies carry ``bucket_offsets: None`` and contribute nothing
+        here. JSON object keys are strings on disk; returned as ints."""
         high: dict[int, int] = {}
         for r in self.lineage():
             if not r.get("applied"):

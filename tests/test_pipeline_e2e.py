@@ -468,3 +468,32 @@ def test_per_bucket_lineage_offsets(spark, tmpdir_path):
         .collect()
     }
     assert pipe.bucket_high_water() == actual
+
+
+def test_window_strategy_records_no_bucket_offsets(spark, tmpdir_path):
+    """The window/agg strategies fold via full-frame plans whose raw max
+    seq may belong to a cancelled event, so recording offsets from the
+    raw batch would overstate the true high-water — those epochs carry
+    bucket_offsets=None (and bucket_high_water() stays empty) rather
+    than a wrong number. Final state is unaffected."""
+    events = gen_change_events(
+        spark, n_events=2000, n_keys=200, events_per_token=1000
+    ).cache()
+    log_dir = f"{tmpdir_path}/log"
+    write_change_log(events, log_dir)
+    table = LakeTable.create(
+        spark, f"{tmpdir_path}/repos", TARGET_SCHEMA,
+        key_columns=["repo", "path"], num_buckets=8,
+    )
+    pipe = CdcPipeline(
+        spark, CFG, table, log_dir,
+        checkpoint_dir=f"{tmpdir_path}/ckpt",
+        strategy="window", pipeline_id="win-offsets",
+    )
+    pipe.run_available_now(timeout_sec=300)
+    applied = [r for r in pipe.lineage() if r["applied"]]
+    assert applied and all(r["bucket_offsets"] is None for r in applied)
+    assert pipe.bucket_high_water() == {}
+    table = LakeTable(spark, table.path)
+    got = table.read().orderBy("repo", "path").toPandas().reset_index(drop=True)
+    assert got.equals(fold_to_frame(events.toPandas()))
