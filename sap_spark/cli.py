@@ -239,6 +239,98 @@ def run_bootstrap(args, spark=None) -> dict:
     return {"token": args.token, "events": n, "by_op": by_op}
 
 
+def run_status(args, spark=None) -> dict:
+    """Operator console: table + lineage state from driver-side metadata
+    alone — manifest history (with compaction op annotations), MOR
+    delta-file pressure, and per-pipeline lineage rollups including the
+    per-partition bucket high-water marks. No Spark session is started
+    unless ``--count`` asks for a live row count, so it is safe to run
+    against a table a pipeline is actively writing."""
+    import json
+
+    from sap_spark.plans.lake import LakeTable
+
+    # metadata-only access: LakeTable touches its SparkSession solely on
+    # read/merge paths, none of which status uses (unless --count)
+    table = LakeTable(spark, args.table)
+    hist = table.history()
+    deltas = table.delta_file_counts()
+    out: dict = {
+        "table_version": table.version,
+        "merge_mode": table.merge_mode,
+        "num_buckets": table.num_buckets,
+        "key_columns": table.key_columns,
+        "schema_id": table.manifest["current_schema_id"],
+        "n_versions": len(hist),
+        "n_compaction_commits": sum(
+            1 for h in hist if (h.get("op") or {}).get("type") == "compact"
+        ),
+        "delta_files": {
+            "buckets": len(deltas),
+            "max_per_bucket": max(deltas.values(), default=0),
+            "total": sum(deltas.values()),
+        },
+    }
+    lineage_path = os.path.join(args.table, "_meta", "lineage.jsonl")
+    pipelines: dict = {}
+    if os.path.exists(lineage_path):
+        with open(lineage_path) as f:
+            records = [json.loads(ln) for ln in f if ln.strip()]
+        if args.pipeline_id:
+            records = [
+                r for r in records if r.get("pipeline_id") == args.pipeline_id
+            ]
+        quarantined: dict = {}
+        for r in records:
+            pid = r.get("pipeline_id")
+            p = pipelines.setdefault(
+                pid,
+                {
+                    "epochs_applied": 0,
+                    "events": 0,
+                    "quarantined": 0,
+                    "max_token": None,
+                    "bucket_high_water": {},
+                },
+            )
+            # DLQ epochs overwrite on retry: the truthful quarantine total
+            # is the LAST record per epoch (matches run_ingest's summary)
+            quarantined[(pid, r.get("epoch_id"))] = r.get("quarantined") or 0
+            if not r.get("applied"):
+                continue
+            p["epochs_applied"] += 1
+            p["events"] += r.get("n_events") or 0
+            mt = r.get("max_token")
+            if mt is not None and (p["max_token"] is None or mt > p["max_token"]):
+                p["max_token"] = mt
+            for b, off in (r.get("bucket_offsets") or {}).items():
+                seq = (off or {}).get("max_seq")
+                hw = p["bucket_high_water"]
+                if seq is not None and seq > hw.get(b, -1):
+                    hw[b] = seq
+        for (pid, _), q in quarantined.items():
+            if pid in pipelines:
+                pipelines[pid]["quarantined"] += q
+    out["pipelines"] = pipelines
+    if args.count:
+        from sap_spark.config import tuned_builder
+
+        own_session = False
+        if spark is None:
+            from pyspark.sql import SparkSession
+
+            own_session = SparkSession.getActiveSession() is None
+            spark = tuned_builder(
+                app_name="sap_spark-status", master=args.master,
+                shuffle_partitions=args.shuffle_partitions,
+            ).getOrCreate()
+            spark.sparkContext.setLogLevel("WARN")
+        out["rows"] = LakeTable(spark, args.table).read().count()
+        if own_session:
+            spark.stop()
+    return out
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="sap_spark.cli")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -264,6 +356,19 @@ def main(argv: list[str] | None = None) -> None:
                    "(use a higher base per successive token)")
     b.add_argument("--master", default=None)
     b.add_argument("--shuffle-partitions", type=int, default=None)
+
+    st = sub.add_parser(
+        "status",
+        help="table + lineage state (driver-side metadata only; add "
+             "--count for a live row count)",
+    )
+    st.add_argument("--table", required=True)
+    st.add_argument("--pipeline-id", default=None,
+                    help="restrict the lineage rollup to one pipeline")
+    st.add_argument("--count", action="store_true",
+                    help="also count live rows (starts a Spark session)")
+    st.add_argument("--master", default=None)
+    st.add_argument("--shuffle-partitions", type=int, default=None)
 
     i = sub.add_parser("ingest", help="replay a change log into a LakeTable")
     i.add_argument("--log", required=True, help="change-log directory (parquet, delta_token-partitioned)")
@@ -313,6 +418,10 @@ def main(argv: list[str] | None = None) -> None:
         import json
 
         print(json.dumps(run_bootstrap(args)))
+    elif args.cmd == "status":
+        import json
+
+        print(json.dumps(run_status(args)))
     else:
         summary = run_ingest(args)
         import json

@@ -165,3 +165,48 @@ def test_cli_maintain_mor_table(spark, tmp_path, capsys):
     assert kinds == {"base"}
     state_after = t.read().orderBy("repo", "path").toPandas()
     assert state_after.equals(state_before)
+
+
+def test_cli_status_reports_lineage_and_high_water(spark, tmp_path, capsys):
+    """`status` summarizes a table and its pipelines from driver-side
+    metadata alone: version/mode/buckets, MOR delta pressure, and the
+    per-partition bucket high-water marks folded from lineage."""
+    log_dir = str(tmp_path / "log")
+    events = gen_change_events(
+        spark, n_events=2000, n_keys=200, events_per_token=500
+    )
+    write_change_log(events, log_dir)
+    main([
+        "ingest",
+        "--log", log_dir,
+        "--table", str(tmp_path / "repos"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--pipeline-id", "status-e2e",
+        "--max-files-per-trigger", "2",
+    ])
+    capsys.readouterr()
+
+    main(["status", "--table", str(tmp_path / "repos")])
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["table_version"] >= 1
+    assert st["merge_mode"] == "cow"
+    assert st["n_compaction_commits"] == 0
+    assert st["delta_files"]["total"] == 0
+    p = st["pipelines"]["status-e2e"]
+    assert p["epochs_applied"] >= 2
+    assert p["events"] >= 2000  # gen injects duplicate deliveries
+    assert p["quarantined"] == 0
+    assert p["max_token"] is not None
+    hw = p["bucket_high_water"]
+    assert hw and max(hw.values()) == 1999
+
+    # --pipeline-id filters; an unknown id yields no pipelines
+    main(["status", "--table", str(tmp_path / "repos"),
+          "--pipeline-id", "nope"])
+    st2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st2["pipelines"] == {}
+
+    # --count spins a session and reports live rows
+    main(["status", "--table", str(tmp_path / "repos"), "--count"])
+    st3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st3["rows"] > 0
