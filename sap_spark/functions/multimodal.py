@@ -1385,6 +1385,126 @@ def extract_audio_features(
     return pruned.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
 
 
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("container", T.StringType(), True),
+        T.StructField("duration_sec", T.DoubleType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("bitrate_kbps", T.IntegerType(), True),
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("vbr", T.BooleanType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+    ]
+)
+
+_NULL_AUDIO_META = {
+    "container": None, "duration_sec": None, "sample_rate": None,
+    "n_channels": None, "bitrate_kbps": None, "codec": None, "vbr": None,
+    "n_frames": None,
+}
+
+_WAV_CODEC_NAMES = {
+    1: "pcm", 3: "ieee-float", 6: "g711-alaw", 7: "g711-ulaw",
+    0x11: "ima-adpcm", 0x02: "ms-adpcm", 0x55: "mp3-in-wav",
+}
+
+
+def _wav_meta(blob: bytes) -> dict:
+    """WAV metadata from the fmt/data/fact chunks alone — no sample
+    decode, so it types even formats whose samples we cannot expand
+    (e.g. MP3-in-WAV)."""
+    import struct as _struct
+
+    found: dict = {}
+
+    def on_chunk(fourcc: bytes, start: int, end: int, lists: tuple) -> None:
+        if fourcc == b"fmt " and end - start >= 16:
+            found["fmt"] = blob[start:end]
+        elif fourcc == b"data":
+            found["data_len"] = end - start
+        elif fourcc == b"fact" and end - start >= 4:
+            (found["fact"],) = _struct.unpack("<I", blob[start : start + 4])
+
+    _riff_walk(blob, on_chunk)
+    fmt = found.get("fmt")
+    if fmt is None or "data_len" not in found:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, ch, rate, byte_rate, _align, bits = _struct.unpack("<HHIIHH", fmt[:16])
+    if tag == 0xFFFE and len(fmt) >= 26:
+        (tag,) = _struct.unpack("<H", fmt[24:26])
+    if ch == 0 or rate == 0:
+        raise ValueError("bad WAV fmt fields")
+    if found.get("fact") is not None:
+        frames = found["fact"]
+    elif tag in (1, 3, 6, 7) and bits >= 8:
+        frames = found["data_len"] // (ch * (bits // 8))
+    else:
+        frames = None  # block-coded with no fact chunk: unknowable cheaply
+    duration = frames / rate if frames is not None else None
+    return {
+        "container": "wav",
+        "duration_sec": round(duration, 6) if duration is not None else None,
+        "sample_rate": rate,
+        "n_channels": ch,
+        "bitrate_kbps": round(byte_rate * 8 / 1000) if byte_rate else None,
+        "codec": _WAV_CODEC_NAMES.get(tag, f"wave-0x{tag:02x}"),
+        "vbr": False,
+        "n_frames": frames,
+    }
+
+
+def _audio_meta_one(blob: "bytes | None") -> dict:
+    """Typed audio metadata for one blob. MP3 is a REAL frame-header
+    walk and FLAC a REAL STREAMINFO parse (functions/mp3.py) even
+    though their coded samples stay undecodable here; WAV reads
+    fmt/data/fact. Unknown containers and corrupt media yield the
+    all-null row — never an exception."""
+    from sap_spark.functions import mp3 as _mp3
+
+    if blob is None:
+        return dict(_NULL_AUDIO_META)
+    try:
+        meta = _mp3.parse_mp3_meta(bytes(blob))
+        if meta is not None:
+            return {"container": "mp3", **meta}
+        meta = _mp3.parse_flac_streaminfo(bytes(blob))
+        if meta is not None:
+            return {"container": "flac", **meta}
+        if len(blob) >= 12 and blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+            return _wav_meta(bytes(blob))
+    except Exception:  # noqa: BLE001 — corrupt media nulls out
+        pass
+    return dict(_NULL_AUDIO_META)
+
+
+def extract_audio_meta(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    blob_col: str = "payload",
+) -> DataFrame:
+    """Per-clip audio container metadata via mapInPandas (1 row in → 1
+    row out, Arrow-batched). Unlike sample decode, this tier is fully
+    real for MP3/FLAC/WAV — the audio twin of extract_video_meta."""
+    pruned = df.select(
+        F.col(id_col).alias("asset_id"), F.col(blob_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                {"asset_id": aid, **_audio_meta_one(blob)}
+                for aid, blob in zip(pdf["asset_id"], pdf["payload"])
+            ]
+            out = pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_META_SCHEMA.fields])
+            for c in ("sample_rate", "n_channels", "bitrate_kbps", "n_frames"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return pruned.mapInPandas(run, AUDIO_META_SCHEMA)
+
+
 def resize_images(
     df: DataFrame,
     target_px: int = 256,
