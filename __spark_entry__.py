@@ -913,6 +913,7 @@ def _assets_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_multimodal.py and tests/test_mp4_meta.py."""
     from sap_spark.functions.multimodal import (
         extract_audio_features,
+        extract_audio_meta,
         extract_image_features,
         extract_video_meta,
         gen_assets,
@@ -943,7 +944,21 @@ def _assets_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "features_json"
         ),
     )
-    return img_feats.unionByName(aud_feats).unionByName(vid_feats)
+    # container-level audio typing (MP3 frame walk / FLAC STREAMINFO /
+    # WAV fmt+fact) — real metadata even where sample decode is gated
+    am = extract_audio_meta(assets)
+    am_feats = am.select(
+        F.lit("audio_meta").alias("modality"),
+        "asset_id",
+        F.to_json(F.struct(*[c for c in am.columns if c != "asset_id"])).alias(
+            "features_json"
+        ),
+    )
+    return (
+        img_feats.unionByName(aud_feats)
+        .unionByName(vid_feats)
+        .unionByName(am_feats)
+    )
 
 
 def _cdc_token_progress(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -231,3 +231,70 @@ def parse_flac_streaminfo(blob: bytes) -> "dict | None":
         "vbr": True,  # FLAC frames are inherently variable-size
         "n_frames": None,
     }
+
+
+def encode_mp3(
+    n_frames: int,
+    bitrate_kbps: int = 128,
+    sample_rate: int = 44100,
+    channels: int = 2,
+    xing: bool = False,
+) -> bytes:
+    """Structurally valid MPEG1 layer-III stream with ZERO-filled
+    granules — a metadata-real synthetic encoder (the audio analog of
+    :func:`sap_spark.functions.mp4.encode_mp4`'s opaque coded samples):
+    every frame header is genuine and :func:`parse_mp3_meta` walks it
+    exactly, but the payload is not decodable audio. ``xing`` prepends
+    a Xing metadata frame declaring ``n_frames`` data frames."""
+    table = _BITRATES[(1, 3)]
+    if bitrate_kbps not in table:
+        raise ValueError(f"bitrate {bitrate_kbps} not in the MPEG1-L3 table")
+    if sample_rate not in _RATES[1]:
+        raise ValueError(f"sample rate {sample_rate} is not an MPEG1 rate")
+    if channels not in (1, 2) or n_frames < 1:
+        raise ValueError("channels must be 1/2 and n_frames >= 1")
+    br_idx = table.index(bitrate_kbps) + 1
+    sr_idx = _RATES[1].index(sample_rate)
+    mode = 0b11 if channels == 1 else 0b00
+    size = 144 * bitrate_kbps * 1000 // sample_rate
+    header = bytes(
+        [0xFF, 0b11111011, (br_idx << 4) | (sr_idx << 2), mode << 6]
+    )
+    frame = header + b"\x00" * (size - 4)
+    out = bytearray()
+    if xing:
+        tag = bytearray(frame)
+        off = 4 + (17 if channels == 1 else 32)  # MPEG1 side info, no CRC
+        tag[off : off + 12] = b"Xing" + struct.pack(">II", 1, n_frames)
+        out += tag
+    out += frame * n_frames
+    return bytes(out)
+
+
+def encode_flac(
+    sample_rate: int = 44100,
+    channels: int = 2,
+    bits: int = 16,
+    total_samples: int = 0,
+    coded_bytes: int = 64,
+) -> bytes:
+    """FLAC signature + a genuine STREAMINFO block + ``coded_bytes`` of
+    opaque (non-decodable) frame bytes. Real metadata, gated samples —
+    see :func:`encode_mp3`."""
+    if not (1 <= channels <= 8 and 4 <= bits <= 32 and sample_rate > 0):
+        raise ValueError("bad FLAC stream parameters")
+    if total_samples >= 1 << 36 or sample_rate >= 1 << 20:
+        raise ValueError("FLAC field overflow")
+    packed = (
+        (sample_rate << 44)
+        | ((channels - 1) << 41)
+        | ((bits - 1) << 36)
+        | total_samples
+    )
+    info = b"\x00" * 10 + packed.to_bytes(8, "big") + b"\x00" * 16
+    return (
+        b"fLaC"
+        + b"\x80\x00\x00\x22"
+        + info
+        + bytes((i * 73 + 29) % 251 for i in range(coded_bytes))
+    )

@@ -55,6 +55,7 @@ from pyspark.sql import types as T
 
 from sap_spark.functions import gif as _gif
 from sap_spark.functions import jpeg as _jpeg
+from sap_spark.functions import mp3 as _mp3
 from sap_spark.functions import mp4 as _mp4
 
 ASSET_META_SCHEMA = T.StructType(
@@ -1592,7 +1593,9 @@ def _gen_asset_payload(i: int) -> tuple[bytes, str]:
     (4:4:4 / 4:2:0 / grayscale rotating), REAL MJPEG AVI video, REAL
     animated GIF, and REAL MP4 containers carrying opaque coded samples
     (container metadata real, frame decode gated) — so every real
-    codec tier decodes wherever this table flows."""
+    codec tier decodes wherever this table flows. The audio third also
+    rotates metadata-real MPEG1-L3 and FLAC streams (genuine headers,
+    gated samples) so extract_audio_meta types every container."""
     if i % 6 == 5 and (i // 6) % 8 == 3:
         w, h = 14 + (i % 4) * 6, 10 + (i % 3) * 4
         rng = np.arange(h * w, dtype=np.uint64)
@@ -1668,6 +1671,28 @@ def _gen_asset_payload(i: int) -> tuple[bytes, str]:
             return _ima_wav_encode(samples, rate), "audio/wav"
         if (i // 3) % 4 == 3:  # real MS ADPCM tier
             return _ms_adpcm_encode(samples, rate), "audio/wav"
+        if (i // 3) % 8 == 2:  # metadata-real MPEG1-L3 tier (zero granules)
+            return (
+                _mp3.encode_mp3(
+                    n_frames=4 + i % 6,
+                    bitrate_kbps=(96, 128, 160)[i % 3],
+                    sample_rate=44100,
+                    channels=1 + (i // 6) % 2,
+                    xing=(i // 24) % 2 == 0,
+                ),
+                "audio/mpeg",
+            )
+        if (i // 3) % 8 == 6:  # metadata-real FLAC STREAMINFO tier
+            frate = (22050, 44100, 48000)[i % 3]
+            return (
+                _mp3.encode_flac(
+                    sample_rate=frate,
+                    channels=1 + i % 2,
+                    bits=(16, 24)[(i // 3) % 2],
+                    total_samples=frate * (1 + i % 4) // 10,
+                ),
+                "audio/flac",
+            )
         buf = io.BytesIO()
         with wave.open(buf, "wb") as wf:
             wf.setnchannels(1)

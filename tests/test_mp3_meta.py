@@ -251,3 +251,38 @@ def test_wav_meta_fact_chunk_and_block_coded(spark):
     assert got[2]["codec"] == "mp3-in-wav"
     assert got[2]["duration_sec"] is None and got[2]["n_frames"] is None
     assert got[2]["sample_rate"] == 44100
+
+
+def test_encode_mp3_round_trip_and_validation():
+    from sap_spark.functions.mp3 import encode_flac, encode_mp3
+
+    m = parse_mp3_meta(encode_mp3(8, bitrate_kbps=96, sample_rate=48000,
+                                  channels=1))
+    assert (m["n_frames"], m["sample_rate"], m["n_channels"], m["vbr"]) == (
+        8, 48000, 1, False)
+    assert m["duration_sec"] == round(8 * 1152 / 48000, 6)
+    # Xing variant: declared count wins, stream reads as VBR
+    x = parse_mp3_meta(encode_mp3(8, xing=True))
+    assert x["n_frames"] == 8 and x["vbr"] is True
+    f = parse_flac_streaminfo(encode_flac(44100, 1, 24, 44100))
+    assert (f["duration_sec"], f["codec"]) == (1.0, "flac-24bit")
+    with pytest.raises(ValueError):
+        encode_mp3(4, bitrate_kbps=123)  # not an MPEG1-L3 table rate
+    with pytest.raises(ValueError):
+        encode_flac(sample_rate=0)
+
+
+def test_gen_assets_mp3_flac_tier(spark):
+    """gen_assets routes some audio slots through the metadata-real
+    MP3/FLAC encoders; extract_audio_meta must type them and the real
+    WAV/ADPCM slots side by side."""
+    from sap_spark.functions.multimodal import extract_audio_meta, gen_assets
+
+    # audio slots are i%3==1; (i//3)%8==2 -> MP3 (i=7), ==6 -> FLAC (i=19)
+    assets = gen_assets(spark, 24).filter("asset_id in (7, 19, 4)")
+    got = {r["asset_id"]: r.asDict() for r in extract_audio_meta(assets).collect()}
+    assert got[7]["container"] == "mp3"
+    assert got[7]["codec"] == "mpeg1-layer3" and got[7]["n_frames"] == 4 + 7 % 6
+    assert got[19]["container"] == "flac"
+    assert got[19]["sample_rate"] == (22050, 44100, 48000)[19 % 3]
+    assert got[4]["container"] == "wav"  # IMA ADPCM slot still types as WAV
