@@ -68,7 +68,7 @@ def run_ingest(args, spark=None) -> dict:
     return the lineage summary."""
     from sap_spark.config import EngineConfig, tuned_builder
     from sap_spark.plans.lake import LakeTable
-    from sap_spark.streaming.pipeline import CdcPipeline
+    from sap_spark.streaming.pipeline import CdcPipeline, fold_lineage
 
     own_session = False
     if spark is None:
@@ -134,18 +134,11 @@ def run_ingest(args, spark=None) -> dict:
         auto_compact_delta_files=args.auto_compact_deltas,
     )
     pipe.run_available_now(timeout_sec=args.timeout)
-    lineage = pipe.lineage()
-    applied = [r for r in lineage if r.get("applied")]
+    fold = fold_lineage(pipe.lineage())
     summary = {
-        "epochs_applied": len(applied),
-        "events": sum(r.get("n_events") or 0 for r in applied),
-        # DLQ writes are per-epoch directory overwrites, so a crash-
-        # retried epoch appends a second lineage record for the same
-        # epoch but does NOT add rows to the sink: the truthful total is
-        # the LAST record per epoch, not the sum over all records.
-        "quarantined": sum(
-            {r["epoch_id"]: r.get("quarantined") or 0 for r in lineage}.values()
-        ),
+        "epochs_applied": fold["epochs_applied"],
+        "events": fold["events"],
+        "quarantined": fold["quarantined"],
         "table_version": LakeTable(spark, args.table).version,
     }
     if own_session:
@@ -246,8 +239,6 @@ def run_status(args, spark=None) -> dict:
     per-partition bucket high-water marks. No Spark session is started
     unless ``--count`` asks for a live row count, so it is safe to run
     against a table a pipeline is actively writing."""
-    import json
-
     from sap_spark.plans.lake import LakeTable
 
     # metadata-only access: LakeTable touches its SparkSession solely on
@@ -271,47 +262,20 @@ def run_status(args, spark=None) -> dict:
             "total": sum(deltas.values()),
         },
     }
+    from sap_spark.streaming.pipeline import fold_lineage, read_lineage_file
+
     lineage_path = os.path.join(args.table, "_meta", "lineage.jsonl")
-    pipelines: dict = {}
-    if os.path.exists(lineage_path):
-        with open(lineage_path) as f:
-            records = [json.loads(ln) for ln in f if ln.strip()]
-        if args.pipeline_id:
-            records = [
-                r for r in records if r.get("pipeline_id") == args.pipeline_id
-            ]
-        quarantined: dict = {}
-        for r in records:
-            pid = r.get("pipeline_id")
-            p = pipelines.setdefault(
-                pid,
-                {
-                    "epochs_applied": 0,
-                    "events": 0,
-                    "quarantined": 0,
-                    "max_token": None,
-                    "bucket_high_water": {},
-                },
-            )
-            # DLQ epochs overwrite on retry: the truthful quarantine total
-            # is the LAST record per epoch (matches run_ingest's summary)
-            quarantined[(pid, r.get("epoch_id"))] = r.get("quarantined") or 0
-            if not r.get("applied"):
-                continue
-            p["epochs_applied"] += 1
-            p["events"] += r.get("n_events") or 0
-            mt = r.get("max_token")
-            if mt is not None and (p["max_token"] is None or mt > p["max_token"]):
-                p["max_token"] = mt
-            for b, off in (r.get("bucket_offsets") or {}).items():
-                seq = (off or {}).get("max_seq")
-                hw = p["bucket_high_water"]
-                if seq is not None and seq > hw.get(b, -1):
-                    hw[b] = seq
-        for (pid, _), q in quarantined.items():
-            if pid in pipelines:
-                pipelines[pid]["quarantined"] += q
-    out["pipelines"] = pipelines
+    # tolerant reader + the same fold the pipeline itself uses — status
+    # must agree with `cli ingest` summaries and bucket_high_water()
+    # (int bucket keys included), and must survive a torn in-flight
+    # append from a live writer
+    by_pid: dict = {}
+    for r in read_lineage_file(lineage_path):
+        pid = r.get("pipeline_id")
+        if args.pipeline_id and pid != args.pipeline_id:
+            continue
+        by_pid.setdefault(pid, []).append(r)
+    out["pipelines"] = {pid: fold_lineage(rs) for pid, rs in by_pid.items()}
     if args.count:
         from sap_spark.config import tuned_builder
 

@@ -177,8 +177,13 @@ def parse_mp3_meta(blob: bytes) -> "dict | None":
         cur += hdr["size"]
     if n_frames == 0:
         raise ValueError("no complete MPEG audio frame")
-    # a Xing/Info frame is a metadata placeholder, not audio
-    data_frames = max(n_frames - (1 if xing_n is not None or vbr_tag else 0), 1)
+    # a Xing/Info frame is a metadata placeholder, not audio: drop it
+    # from both the frame count AND the byte total, or mean bitrate
+    # overstates by (n+1)/n on every tagged stream
+    tagged_stream = xing_n is not None or vbr_tag
+    data_frames = max(n_frames - (1 if tagged_stream else 0), 1)
+    if tagged_stream and n_frames > 1:
+        audio_bytes -= first["size"]
     total = xing_n if xing_n else data_frames
     duration = total * first["spf"] / first["rate"]
     mean_kbps = (

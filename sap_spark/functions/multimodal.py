@@ -1462,22 +1462,31 @@ def _audio_meta_one(blob: "bytes | None") -> dict:
     though their coded samples stay undecodable here; WAV reads
     fmt/data/fact. Unknown containers and corrupt media yield the
     all-null row — never an exception."""
-    from sap_spark.functions import mp3 as _mp3
-
     if blob is None:
         return dict(_NULL_AUDIO_META)
+    data = bytes(blob)
     try:
-        meta = _mp3.parse_mp3_meta(bytes(blob))
+        meta = _mp3.parse_mp3_meta(data)
         if meta is not None:
-            return {"container": "mp3", **meta}
-        meta = _mp3.parse_flac_streaminfo(bytes(blob))
-        if meta is not None:
-            return {"container": "flac", **meta}
-        if len(blob) >= 12 and blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
-            return _wav_meta(bytes(blob))
+            out = {"container": "mp3", **meta}
+        else:
+            meta = _mp3.parse_flac_streaminfo(data)
+            if meta is not None:
+                out = {"container": "flac", **meta}
+            elif len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+                out = _wav_meta(data)
+            else:
+                return dict(_NULL_AUDIO_META)
     except Exception:  # noqa: BLE001 — corrupt media nulls out
-        pass
-    return dict(_NULL_AUDIO_META)
+        return dict(_NULL_AUDIO_META)
+    # these columns are Int32 in AUDIO_META_SCHEMA but come from
+    # uint32 wire fields (Xing counts, fmt rates): an adversarial value
+    # above 2^31-1 must null out here, not crash the batch astype
+    for k in ("sample_rate", "n_channels", "bitrate_kbps", "n_frames"):
+        v = out.get(k)
+        if v is not None and not 0 <= v <= 0x7FFFFFFF:
+            out[k] = None
+    return out
 
 
 def extract_audio_meta(
@@ -1671,25 +1680,29 @@ def _gen_asset_payload(i: int) -> tuple[bytes, str]:
             return _ima_wav_encode(samples, rate), "audio/wav"
         if (i // 3) % 4 == 3:  # real MS ADPCM tier
             return _ms_adpcm_encode(samples, rate), "audio/wav"
+        # the tier slots repeat every 24 ids, so i's low residues are
+        # constant within a tier — vary parameters by the PER-TIER
+        # index j = i // 24 instead
+        j = i // 24
         if (i // 3) % 8 == 2:  # metadata-real MPEG1-L3 tier (zero granules)
             return (
                 _mp3.encode_mp3(
-                    n_frames=4 + i % 6,
-                    bitrate_kbps=(96, 128, 160)[i % 3],
+                    n_frames=4 + j % 6,
+                    bitrate_kbps=(96, 128, 160)[j % 3],
                     sample_rate=44100,
-                    channels=1 + (i // 6) % 2,
-                    xing=(i // 24) % 2 == 0,
+                    channels=1 + j % 2,
+                    xing=j % 2 == 0,
                 ),
                 "audio/mpeg",
             )
         if (i // 3) % 8 == 6:  # metadata-real FLAC STREAMINFO tier
-            frate = (22050, 44100, 48000)[i % 3]
+            frate = (22050, 44100, 48000)[j % 3]
             return (
                 _mp3.encode_flac(
                     sample_rate=frate,
-                    channels=1 + i % 2,
-                    bits=(16, 24)[(i // 3) % 2],
-                    total_samples=frate * (1 + i % 4) // 10,
+                    channels=1 + j % 2,
+                    bits=(16, 24)[(j // 2) % 2],
+                    total_samples=frate * (1 + j % 4) // 10,
                 ),
                 "audio/flac",
             )

@@ -174,6 +174,67 @@ def ingest_batch(
             cancelled.unpersist()
 
 
+def read_lineage_file(path: str) -> list[dict]:
+    """Parse a ``lineage.jsonl``, tolerating a torn TRAILING line: a
+    reader racing the writer's append (``cli status`` against a live
+    pipeline) sees at most one partial record, which is skipped. A
+    malformed line anywhere else is real corruption and still raises."""
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        lines = [ln for ln in f if ln.strip()]
+    records: list[dict] = []
+    for idx, ln in enumerate(lines):
+        try:
+            records.append(json.loads(ln))
+        except json.JSONDecodeError:
+            if idx == len(lines) - 1:
+                continue  # in-flight append, not yet durable
+            raise
+    return records
+
+
+def fold_lineage(records: list[dict]) -> dict:
+    """Single-pipeline lineage rollup shared by every consumer
+    (``CdcPipeline.bucket_high_water``, ``cli ingest`` summaries,
+    ``cli status``) so the semantics cannot drift:
+
+    - ``quarantined`` sums the LAST record per epoch — DLQ directories
+      are overwritten on retry, so summing every record double-counts
+      crash-retried epochs;
+    - ``bucket_high_water`` keys are ints (JSON object keys arrive as
+      strings) and only applied epochs with recorded offsets contribute;
+    - ``events``/``epochs_applied``/``max_token`` cover applied epochs.
+    """
+    out: dict = {
+        "epochs_applied": 0,
+        "events": 0,
+        "quarantined": 0,
+        "max_token": None,
+        "bucket_high_water": {},
+    }
+    last_quarantined: dict = {}
+    for r in records:
+        last_quarantined[r.get("epoch_id")] = r.get("quarantined") or 0
+        if not r.get("applied"):
+            continue
+        out["epochs_applied"] += 1
+        out["events"] += r.get("n_events") or 0
+        mt = r.get("max_token")
+        if mt is not None and (out["max_token"] is None or mt > out["max_token"]):
+            out["max_token"] = mt
+        hw = out["bucket_high_water"]
+        for b, off in (r.get("bucket_offsets") or {}).items():
+            seq = (off or {}).get("max_seq")
+            if seq is None:
+                continue
+            b = int(b)
+            if b not in hw or seq > hw[b]:
+                hw[b] = seq
+    out["quarantined"] = sum(last_quarantined.values())
+    return out
+
+
 class CdcPipeline:
     """Streaming CDC ingest of a change-log directory into a LakeTable."""
 
@@ -321,10 +382,7 @@ class CdcPipeline:
         accumulates rows from prior runs and other pipelines; by default
         only this pipeline's records are returned so summaries (epochs
         applied, event counts) are per-run truthful."""
-        if not os.path.exists(self.lineage_path):
-            return []
-        with open(self.lineage_path) as f:
-            records = [json.loads(line) for line in f if line.strip()]
+        records = read_lineage_file(self.lineage_path)
         if all_pipelines:
             return records
         return [r for r in records if r.get("pipeline_id") == self.pipeline_id]
@@ -340,18 +398,7 @@ class CdcPipeline:
         them exact post-cancellation; epochs run under the window/agg
         strategies carry ``bucket_offsets: None`` and contribute nothing
         here. JSON object keys are strings on disk; returned as ints."""
-        high: dict[int, int] = {}
-        for r in self.lineage():
-            if not r.get("applied"):
-                continue
-            for b, off in (r.get("bucket_offsets") or {}).items():
-                seq = (off or {}).get("max_seq")
-                if seq is None:
-                    continue
-                b = int(b)
-                if b not in high or seq > high[b]:
-                    high[b] = seq
-        return high
+        return fold_lineage(self.lineage())["bucket_high_water"]
 
     # -- the per-epoch apply ----------------------------------------------
 

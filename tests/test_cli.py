@@ -210,3 +210,44 @@ def test_cli_status_reports_lineage_and_high_water(spark, tmp_path, capsys):
     main(["status", "--table", str(tmp_path / "repos"), "--count"])
     st3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert st3["rows"] > 0
+
+
+def test_fold_lineage_shared_semantics():
+    """One fold serves bucket_high_water(), `cli ingest` summaries and
+    `cli status`: last-record-per-epoch quarantine, int bucket keys,
+    applied-only event/offset accounting."""
+    from sap_spark.streaming.pipeline import fold_lineage
+
+    records = [
+        {"pipeline_id": "p", "epoch_id": 0, "applied": True, "n_events": 10,
+         "max_token": 3, "quarantined": 2,
+         "bucket_offsets": {"0": {"max_seq": 5}, "3": {"max_seq": 9}}},
+        # crash-retried epoch 0: DLQ dir was overwritten, LAST record wins
+        {"pipeline_id": "p", "epoch_id": 0, "applied": False, "quarantined": 1},
+        {"pipeline_id": "p", "epoch_id": 1, "applied": True, "n_events": 4,
+         "max_token": 7, "quarantined": 0,
+         "bucket_offsets": {"3": {"max_seq": 11}, "5": {"max_seq": None}}},
+    ]
+    f = fold_lineage(records)
+    assert f["epochs_applied"] == 2 and f["events"] == 14
+    assert f["max_token"] == 7
+    assert f["quarantined"] == 1  # 1 (epoch 0 retry) + 0 (epoch 1)
+    assert f["bucket_high_water"] == {0: 5, 3: 11}  # ints; None skipped
+
+
+def test_read_lineage_tolerates_torn_trailing_line_only(tmp_path):
+    """`cli status` may race a live writer's append: a partial TRAILING
+    line is skipped, but mid-file corruption still raises."""
+    import pytest
+
+    from sap_spark.streaming.pipeline import read_lineage_file
+
+    path = tmp_path / "lineage.jsonl"
+    good = '{"pipeline_id": "p", "epoch_id": 0, "applied": true}\n'
+    path.write_text(good + '{"pipeline_id": "p", "epo')
+    recs = read_lineage_file(str(path))
+    assert len(recs) == 1 and recs[0]["applied"] is True
+    path.write_text('{"bad\n' + good)
+    with pytest.raises(json.JSONDecodeError):
+        read_lineage_file(str(path))
+    assert read_lineage_file(str(tmp_path / "absent.jsonl")) == []

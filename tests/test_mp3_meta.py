@@ -261,9 +261,11 @@ def test_encode_mp3_round_trip_and_validation():
     assert (m["n_frames"], m["sample_rate"], m["n_channels"], m["vbr"]) == (
         8, 48000, 1, False)
     assert m["duration_sec"] == round(8 * 1152 / 48000, 6)
-    # Xing variant: declared count wins, stream reads as VBR
+    # Xing variant: declared count wins, stream reads as VBR, and the
+    # tag frame's bytes don't inflate the mean bitrate
     x = parse_mp3_meta(encode_mp3(8, xing=True))
     assert x["n_frames"] == 8 and x["vbr"] is True
+    assert x["bitrate_kbps"] == 128
     f = parse_flac_streaminfo(encode_flac(44100, 1, 24, 44100))
     assert (f["duration_sec"], f["codec"]) == (1.0, "flac-24bit")
     with pytest.raises(ValueError):
@@ -278,11 +280,35 @@ def test_gen_assets_mp3_flac_tier(spark):
     WAV/ADPCM slots side by side."""
     from sap_spark.functions.multimodal import extract_audio_meta, gen_assets
 
-    # audio slots are i%3==1; (i//3)%8==2 -> MP3 (i=7), ==6 -> FLAC (i=19)
-    assets = gen_assets(spark, 24).filter("asset_id in (7, 19, 4)")
+    # audio slots are i%3==1; (i//3)%8==2 -> MP3 (i=7+24k), ==6 -> FLAC
+    # (i=19+24k); parameters rotate on the per-tier index j=i//24
+    assets = gen_assets(spark, 48).filter("asset_id in (7, 31, 19, 43, 4)")
     got = {r["asset_id"]: r.asDict() for r in extract_audio_meta(assets).collect()}
-    assert got[7]["container"] == "mp3"
-    assert got[7]["codec"] == "mpeg1-layer3" and got[7]["n_frames"] == 4 + 7 % 6
-    assert got[19]["container"] == "flac"
-    assert got[19]["sample_rate"] == (22050, 44100, 48000)[19 % 3]
+    assert got[7]["container"] == "mp3" and got[7]["codec"] == "mpeg1-layer3"
+    assert (got[7]["n_frames"], got[7]["n_channels"]) == (4, 1)  # j=0, Xing
+    assert got[7]["vbr"] is True  # Xing-tagged
+    assert (got[31]["n_frames"], got[31]["n_channels"]) == (5, 2)  # j=1, CBR
+    assert got[31]["vbr"] is False
+    # Xing frame excluded from the mean: reads the table rate exactly
+    assert got[7]["bitrate_kbps"] == 96 and got[31]["bitrate_kbps"] == 128
+    assert got[19]["container"] == "flac" and got[19]["sample_rate"] == 22050
+    assert got[43]["sample_rate"] == 44100  # variety across FLAC slots
     assert got[4]["container"] == "wav"  # IMA ADPCM slot still types as WAV
+
+
+def test_audio_meta_int32_overflow_nulls_out(spark):
+    """A Xing header declaring 2^31+5 frames is wire-legal uint32 but
+    exceeds the Int32 schema column: the field nulls out and the task
+    survives (the batch-level astype must never see the overflow)."""
+    from sap_spark.functions.mp3 import encode_mp3
+    from sap_spark.functions.multimodal import extract_audio_meta
+
+    blob = bytearray(encode_mp3(3, xing=True))
+    off = 4 + 32 + 8  # MPEG1 stereo side info + Xing magic + flags
+    blob[off : off + 4] = struct.pack(">I", (1 << 31) + 5)
+    df = spark.createDataFrame(
+        [(1, bytes(blob))], "asset_id long, payload binary"
+    )
+    (r,) = extract_audio_meta(df).collect()
+    assert r["container"] == "mp3" and r["sample_rate"] == 44100
+    assert r["n_frames"] is None  # overflowed field nulled, row kept
