@@ -116,6 +116,11 @@ def tuned_builder(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # INT96 (the legacy default) carries NO parquet min/max
+        # statistics, which blinds both row-group pushdown and the
+        # manifest file-skipping bounds (plans/stats.py); micros is the
+        # modern interoperable encoding
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )

@@ -52,6 +52,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from sap_spark.config import EngineConfig
+from sap_spark.plans.stats import (
+    collect_parquet_stats,
+    file_may_match,
+    key_equality_literals,
+    parse_conjuncts,
+    split_conjuncts_by_keys,
+)
 from sap_spark.schema.compat import apply_cast_plan, plan_evolution
 
 # Internal columns (never exposed by read()).
@@ -153,6 +160,8 @@ class LakeTable:
         if_not_exists: bool = False,
         expected_payload_bytes: int | None = None,
         merge_mode: str = "cow",
+        stats_columns: "list[str] | None" = None,
+        sort_columns: "list[str] | None" = None,
     ) -> "LakeTable":
         """Create an empty table (schema = user columns, no internal cols).
 
@@ -168,9 +177,36 @@ class LakeTable:
         cost O(batch), reads fold latest-row-per-key across base+deltas
         until :meth:`compact` folds them back. At CDC scale (table ≫
         batch) COW's per-epoch rewrite is the write-amplification wall;
-        MOR makes epoch cost independent of table size."""
+        MOR makes epoch cost independent of table size.
+
+        ``stats_columns``: columns whose per-file [min, max] bounds are
+        recorded in the manifest at every commit and used by
+        ``read(where=...)`` to skip files (plans/stats.py). Default:
+        key columns + the internal ``_event_seq``. Pass ``[]`` to
+        disable collection; extra user columns (an event-time column is
+        the 100 TB win) opt in here — bounds cost manifest bytes per
+        file per column, so the default stays lean.
+
+        ``sort_columns``: cluster rows by these columns WITHIN each
+        bucket at every write (``sortWithinPartitions`` after the
+        bucket repartition — a per-task sort, no extra shuffle). Bounds
+        only skip files when values are clustered; sorting by the
+        query-time column (event time, typically) makes the files a
+        bucket write spills (several per bucket at 100 TB file-size
+        targets) carry DISJOINT ranges, so time-window predicates skip
+        all but the overlapping ones. The Iceberg write-order analog."""
         if merge_mode not in ("cow", "mor"):
             raise ValueError(f"merge_mode must be 'cow' or 'mor', got {merge_mode!r}")
+        known = {f.name for f in schema.fields} | set(INTERNAL_COLS)
+        if stats_columns is None:
+            stats_columns = [*key_columns, SEQ_COL]
+        else:
+            unknown = [c for c in stats_columns if c not in known]
+            if unknown:
+                raise ValueError(f"stats_columns not in schema: {unknown}")
+        unknown = [c for c in (sort_columns or []) if c not in known]
+        if unknown:
+            raise ValueError(f"sort_columns not in schema: {unknown}")
         if num_buckets is None:
             num_buckets = derive_num_buckets(expected_payload_bytes or 0)
         meta_dir = os.path.join(path, "_meta")
@@ -191,7 +227,11 @@ class LakeTable:
             # kind: "base" (absent = base) | "delta" (MOR append)
             "buckets": {},
             "commits": [],
-            "properties": {"merge_mode": merge_mode},
+            "properties": {
+                "merge_mode": merge_mode,
+                "stats_columns": list(stats_columns),
+                "sort_columns": list(sort_columns or []),
+            },
         }
         mpath = os.path.join(meta_dir, "v00000000.json")
         with open(mpath, "w") as f:
@@ -222,6 +262,23 @@ class LakeTable:
     @property
     def merge_mode(self) -> str:
         return self.manifest.get("properties", {}).get("merge_mode", "cow")
+
+    @property
+    def stats_columns(self) -> list[str]:
+        """Columns whose per-file bounds are recorded at commit time.
+        Tables created before the property existed default to the same
+        keys+seq set — their OLD file entries simply carry no stats and
+        are never pruned."""
+        props = self.manifest.get("properties", {})
+        cols = props.get("stats_columns")
+        if cols is None:
+            cols = [*self.key_columns, SEQ_COL]
+        return cols
+
+    @property
+    def sort_columns(self) -> list[str]:
+        """Write-order clustering columns (see :meth:`create`)."""
+        return self.manifest.get("properties", {}).get("sort_columns") or []
 
     def _schema_with_internal(self, schema_id: int | None = None) -> T.StructType:
         sid = self.manifest["current_schema_id"] if schema_id is None else schema_id
@@ -286,26 +343,57 @@ class LakeTable:
             .select(*keys, *[F.col(f"__w.{c}").alias(c) for c in rest])
         )
 
-    def read_internal(self, buckets: list[int] | None = None) -> DataFrame:
+    def read_internal(
+        self,
+        buckets: list[int] | None = None,
+        conjuncts: "list[tuple[str, str, object]] | None" = None,
+    ) -> DataFrame:
         """Read rows incl. internal cols, optionally pruned to buckets.
         On a table with delta files (merge-on-read), the result is folded
         to the latest row per key — **per bucket**: a key lives in exactly
         one hash bucket, so only delta-bearing buckets need the
         payload-carrying fold shuffle; base-only buckets union in
         verbatim. On a 100 TB table with one hot bucket's delta, a full
-        read pays the fold over that bucket alone, not O(table)."""
+        read pays the fold over that bucket alone, not O(table).
+
+        ``conjuncts`` (from :func:`plans.stats.parse_conjuncts`) skips
+        files by their manifest min/max bounds. Soundness split: key-
+        column conjuncts prune every file (the fold groups by key, so a
+        non-matching key's rows never decide a matching key's winner);
+        non-key conjuncts prune only fold-free base-only buckets —
+        dropping the file that holds a key's LATEST version because the
+        predicate rejects it would resurrect an older version from a
+        kept file. Callers must still apply the full predicate to the
+        result; pruning is one-sided."""
         wanted = (
             self.manifest["buckets"].items()
             if buckets is None
             else [(str(b), self.manifest["buckets"].get(str(b), [])) for b in buckets]
+        )
+        key_cj, other_cj = split_conjuncts_by_keys(
+            conjuncts or [], self.key_columns
         )
         sid = self.manifest["current_schema_id"]
         base_files: list[dict] = []
         delta_bucket_files: list[dict] = []
         for _, entries in wanted:
             if any(e.get("kind") == "delta" for e in entries):
+                if key_cj:
+                    entries = [
+                        e
+                        for e in entries
+                        if file_may_match(e.get("stats") or {}, key_cj)
+                    ]
                 delta_bucket_files.extend(entries)
             else:
+                if key_cj or other_cj:
+                    entries = [
+                        e
+                        for e in entries
+                        if file_may_match(
+                            e.get("stats") or {}, key_cj + other_cj
+                        )
+                    ]
                 base_files.extend(entries)
         parts: list[DataFrame] = []
         base_df = self._read_files(base_files, sid)
@@ -322,12 +410,51 @@ class LakeTable:
         # stable column order regardless of which part led the union
         return out.select(*[f.name for f in self._schema_with_internal(sid).fields])
 
-    def read(self) -> DataFrame:
-        """The user-facing table: live rows, user columns only."""
-        df = self.read_internal()
+    def read(self, where: "str | None" = None) -> DataFrame:
+        """The user-facing table: live rows, user columns only.
+
+        ``where``: optional SQL predicate. Semantically identical to
+        ``read().where(where)`` — the full predicate is always applied —
+        but its plain ``col <op> literal`` conjuncts additionally skip
+        whole files via the manifest bounds (plans/stats.py), and a
+        point lookup (every key column pinned by equality) prunes to
+        the single hash bucket that can hold the key. At 100 TB that is
+        the difference between a metadata walk + one file and a full
+        scan."""
+        if where is None:
+            df = self.read_internal()
+        else:
+            conjuncts = parse_conjuncts(where)
+            buckets = None
+            pinned = key_equality_literals(conjuncts, self.key_columns)
+            if pinned is not None:
+                b = self._bucket_for_key_literals(pinned)
+                if b is not None:
+                    buckets = [b]
+            df = self.read_internal(buckets=buckets, conjuncts=conjuncts).where(
+                F.expr(where)
+            )
         return df.where(~F.coalesce(F.col(DELETED_COL), F.lit(False))).select(
             *[f.name for f in self.schema.fields]
         )
+
+    def _bucket_for_key_literals(self, pinned: "dict[str, object]") -> "int | None":
+        """The one bucket a fully-pinned key can live in, or None when
+        the literals don't coerce to the key schema (the post-filter
+        then yields the honest result over all buckets). Evaluated with
+        the SAME Spark expression the write path uses (one local
+        single-row job at planning time) — a reimplementation of
+        xxhash64 here would be a silent-wrong-bucket bug factory."""
+        key_fields = [f for f in self.schema.fields if f.name in self.key_columns]
+        try:
+            row = tuple(pinned[f.name] for f in key_fields)
+            df = self.spark.createDataFrame([row], T.StructType(key_fields))
+            got = df.select(
+                bucket_expr(self.key_columns, self.num_buckets).alias("b")
+            ).collect()
+            return int(got[0]["b"]) if got else None
+        except Exception:  # noqa: BLE001 — mis-typed literal: no pruning
+            return None
 
     # -- write paths ----------------------------------------------------------
 
@@ -355,15 +482,33 @@ class LakeTable:
             ),
         )
         ordered = ordered.repartition(n_partitions or self.num_buckets, "__bucket")
+        sort_cols = [
+            c for c in self.sort_columns if c in ordered.columns
+        ]
+        if sort_cols:
+            # write-order clustering: per-task sort (no shuffle) so the
+            # files a bucket spills carry disjoint ranges the manifest
+            # bounds can actually skip on
+            ordered = ordered.sortWithinPartitions("__bucket", *sort_cols)
         ordered.write.partitionBy("__bucket").mode("overwrite").parquet(commit_dir)
         sid = self.manifest["current_schema_id"]
+        stats_cols = self.stats_columns
         out: dict[str, list[dict]] = {}
         for bdir in glob.glob(os.path.join(commit_dir, "__bucket=*")):
             b = bdir.rsplit("=", 1)[1]
-            entries = [
-                {"path": p, "schema_id": sid}
-                for p in glob.glob(os.path.join(bdir, "*.parquet"))
-            ]
+            entries = []
+            for p in glob.glob(os.path.join(bdir, "*.parquet")):
+                entry: dict = {"path": p, "schema_id": sid}
+                if stats_cols:
+                    # footer-only read, bounded by files-per-commit; a
+                    # stats failure must never fail the commit
+                    try:
+                        st = collect_parquet_stats(p, stats_cols)
+                    except Exception:  # noqa: BLE001
+                        st = {}
+                    if st:
+                        entry["stats"] = st
+                entries.append(entry)
             if entries:
                 out[b] = entries
         return out
