@@ -424,7 +424,17 @@ class LakeTable:
         if where is None:
             df = self.read_internal()
         else:
-            conjuncts = parse_conjuncts(where)
+            conjuncts = parse_conjuncts(self.spark, where)
+            # Spark resolves identifiers case-insensitively; fold each
+            # conjunct's column onto the schema's canonical spelling so
+            # `WHERE K = 7` still classifies as a key and finds bounds
+            canon = {
+                f.name.lower(): f.name
+                for f in self._schema_with_internal().fields
+            }
+            conjuncts = [
+                (canon.get(c.lower(), c), op, v) for c, op, v in conjuncts
+            ]
             buckets = None
             pinned = key_equality_literals(conjuncts, self.key_columns)
             if pinned is not None:

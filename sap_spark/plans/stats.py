@@ -22,10 +22,11 @@ tests/test_stats_pruning.py):
 - Pruning is BEST-EFFORT and one-sided: a kept file may still contain
   no matching rows (the full predicate is re-applied post-scan); a
   dropped file must provably contain none.
-- Only plain conjunctions of ``column <op> literal`` prune. Any
-  top-level ``OR``/``NOT``/parentheses disables pruning entirely —
-  under ``a AND b OR c`` no single conjunct is required, so using one
-  would drop files that satisfy ``c``.
+- Only conjuncts on the top-level ``And`` spine of SPARK'S OWN parse
+  tree prune, and only those shaped ``column <op> literal``. Anything
+  else on the spine (``OR``/``NOT`` subtrees, ``CASE WHEN``, ``IN``,
+  function calls) is skipped individually — under ``a AND (b OR c)``
+  only ``a`` is required, and the parse tree says exactly that.
 - Under merge-on-read, non-key conjuncts must NOT prune files in
   delta-bearing buckets: the read-time fold picks the latest version
   per key, and dropping the file holding the LATEST version (which
@@ -43,7 +44,6 @@ the seam either collector feeds.
 
 from __future__ import annotations
 
-import re
 from datetime import date, datetime
 
 # bounds longer than this are not stored: a PREFIX of a string max is a
@@ -144,79 +144,94 @@ def _lt(a, b) -> bool:
 # predicate → prunable conjuncts
 # ---------------------------------------------------------------------------
 
-_LIT_TOKEN = re.compile(r"'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"")
-_CONJUNCT = re.compile(
-    r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(==|=|<=|>=|<>|!=|<|>)\s*(\S(?:.*\S)?)\s*$"
-)
+_CMP_NODES = {
+    "EqualTo": "=",
+    "LessThan": "<",
+    "LessThanOrEqual": "<=",
+    "GreaterThan": ">",
+    "GreaterThanOrEqual": ">=",
+}
+_FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "="}
+# literal dataType().simpleString() prefixes we know how to carry; a
+# DATE/TIMESTAMP/BINARY/interval literal is skipped (its conjunct then
+# prunes nothing — sound, just conservative)
+_INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
 
 
-def parse_conjuncts(where: str) -> "list[tuple[str, str, object]]":
+def parse_conjuncts(spark, where: str) -> "list[tuple[str, str, object]]":
     """Extract the prunable ``(column, op, literal)`` conjuncts of a SQL
-    boolean expression.
+    boolean expression by walking the ``And``-spine of SPARK'S OWN
+    parse tree (``sessionState().sqlParser().parseExpression``).
 
     Soundness model: a conjunct may prune only if every matching row
-    MUST satisfy it. With string literals masked, a depth-0 ``OR``
-    makes no conjunct required (``a AND b OR c`` groups as
-    ``(a AND b) OR c``) → return ``[]`` and let the post-filter do all
-    the work. Otherwise split ONLY at depth-0 ``AND``s — an ``AND``
-    inside parentheses (function args like ``if(a AND b, …)``) never
-    splits, so a fragment of a nested expression can never masquerade
-    as a required conjunct; a paren group, ``NOT …``, ``IS NULL``,
-    ``IN (…)``, a ``BETWEEN`` fragment or any other shape simply fails
-    the conjunct grammar and is skipped individually while its
-    siblings still prune.
-    ``!=``/``<>`` parse but never prune (a range bound proves nothing
-    about inequality). Literals: numbers and single/double-quoted
-    strings (doubled-quote escaping)."""
-    lits: list[str] = []
+    MUST satisfy it — exactly the children of the top-level ``And``
+    chain in the tree Spark itself will evaluate. Any child that is
+    not a plain ``column <op> literal`` comparison (``OR``/``NOT``
+    trees, ``CASE WHEN``, ``IN``, ``BETWEEN``, function calls,
+    ``IS NULL``, column-to-column) is skipped individually while its
+    siblings still prune. Using the real parser — not a regex
+    approximation — means quoting rules, escape sequences, ``CASE
+    WHEN``'s paren-free ``AND`` nesting and every future grammar
+    corner are handled by construction. An unparseable ``where``
+    returns ``[]`` (the caller's post-filter will surface the real
+    error). Literal types carried: ints, floats/decimals, strings;
+    a reversed comparison (``7 < k``) flips to ``(k, '>', 7)``."""
+    if spark is None:
+        return []
+    try:
+        root = (
+            spark._jsparkSession.sessionState().sqlParser().parseExpression(where)
+        )
+    except Exception:  # noqa: BLE001 — invalid SQL: post-filter reports it
+        return []
 
-    def _mask(m: re.Match) -> str:
-        lits.append(m.group(0))
-        return f"\x00{len(lits) - 1}\x00"
+    conjuncts: list = []
 
-    masked = _LIT_TOKEN.sub(_mask, where)
-    depth = 0
-    split_at: list[tuple[int, int]] = []
-    for m in re.finditer(r"[()]|\b(?:and|or)\b", masked, re.I):
-        tok = m.group(0)
-        if tok == "(":
-            depth += 1
-        elif tok == ")":
-            depth -= 1
-            if depth < 0:
-                return []  # unbalanced: refuse to reason about it
-        elif depth == 0:
-            if tok.lower() == "or":
-                return []
-            split_at.append(m.span())
-    parts: list[str] = []
-    prev = 0
-    for s, e in split_at:
-        parts.append(masked[prev:s])
-        prev = e
-    parts.append(masked[prev:])
-    out: list[tuple[str, str, object]] = []
-    for part in parts:
-        m = _CONJUNCT.match(part)
-        if not m:
-            continue
-        col, op, rhs = m.group(1), m.group(2), m.group(3)
-        lit_m = re.fullmatch(r"\x00(\d+)\x00", rhs)
-        if lit_m:
-            raw = lits[int(lit_m.group(1))]
-            q = raw[0]
-            val: object = raw[1:-1].replace(q * 2, q)
+    def _split_and(node) -> None:
+        if node.getClass().getSimpleName() == "And":
+            _split_and(node.left())
+            _split_and(node.right())
         else:
-            try:
-                val = int(rhs)
-            except ValueError:
-                try:
-                    val = float(rhs)
-                except ValueError:
-                    continue  # not a literal we understand
-        if op in ("!=", "<>"):
-            continue  # a range bound proves nothing about inequality
-        out.append((col, "=" if op == "==" else op, val))
+            conjuncts.append(node)
+
+    _split_and(root)
+    out: list[tuple[str, str, object]] = []
+    for node in conjuncts:
+        try:
+            op = _CMP_NODES.get(node.getClass().getSimpleName())
+            if op is None:
+                continue
+            left, right = node.left(), node.right()
+            lname = left.getClass().getSimpleName()
+            rname = right.getClass().getSimpleName()
+            if lname == "UnresolvedAttribute" and rname == "Literal":
+                attr, lit = left, right
+            elif lname == "Literal" and rname == "UnresolvedAttribute":
+                attr, lit = right, left
+                op = _FLIP[op]
+            else:
+                continue
+            if attr.nameParts().size() != 1:
+                continue  # struct paths carry no manifest bounds
+            col = attr.nameParts().apply(0)
+            dt = lit.dataType().simpleString()
+            raw = lit.value()
+            if raw is None:
+                continue  # `col = NULL` matches nothing; let Spark say so
+            val: object
+            if dt in _INT_TYPES:
+                val = int(raw)
+            elif dt in ("double", "float"):
+                val = float(raw)
+            elif dt.startswith("decimal"):
+                val = float(str(raw))
+            elif dt == "string":
+                val = str(raw)
+            else:
+                continue
+            out.append((col, op, val))
+        except Exception:  # noqa: BLE001 — unexpected node surface: skip
+            continue
     return out
 
 
@@ -229,6 +244,11 @@ def _coerce(bound, lit):
     """Best-effort comparable (bound, literal) pair; None = incomparable
     (keep the file)."""
     if isinstance(bound, (int, float)) and isinstance(lit, (int, float)):
+        if isinstance(bound, float) or isinstance(lit, float):
+            # Spark compares int-vs-double by casting BOTH to double
+            # (lossy above 2^53); Python's exact mixed compare would
+            # diverge from the post-filter and prune a matching file
+            return float(bound), float(lit)
         return bound, lit
     if isinstance(bound, str) and isinstance(lit, str):
         return bound, lit

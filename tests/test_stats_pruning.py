@@ -53,42 +53,77 @@ def _rows(spark, n, v_of, ts_base="2026-01-01T00:00:00"):
 # ---------------------------------------------------------------------------
 
 
-def test_parse_conjuncts_shapes():
-    assert parse_conjuncts("v >= 90.0 AND k = 3 AND name = 'x''y'") == [
+def test_parse_conjuncts_shapes(spark):
+    assert parse_conjuncts(spark, "v >= 90.0 AND k = 3 AND name = 'x''y'") == [
         ("v", ">=", 90.0),
         ("k", "=", 3),
         ("name", "=", "x'y"),
     ]
     # == normalizes; != / <> parse away (ranges prove nothing)
-    assert parse_conjuncts("k == 5 AND v != 2") == [("k", "=", 5)]
+    assert parse_conjuncts(spark, "k == 5 AND v != 2") == [("k", "=", 5)]
     # unparseable conjuncts drop INDIVIDUALLY (the rest still prune)
-    assert parse_conjuncts("lower(name) = 'a' AND k > 7") == [("k", ">", 7)]
-    assert parse_conjuncts("ts >= '2026-01-01' AND name IS NULL") == [
+    assert parse_conjuncts(spark, "lower(name) = 'a' AND k > 7") == [
+        ("k", ">", 7)
+    ]
+    assert parse_conjuncts(spark, "ts >= '2026-01-01' AND name IS NULL") == [
         ("ts", ">=", "2026-01-01")
     ]
     # 'AND' inside a quoted literal must not split
-    assert parse_conjuncts("name = 'a AND b'") == [("name", "=", "a AND b")]
+    assert parse_conjuncts(spark, "name = 'a AND b'") == [
+        ("name", "=", "a AND b")
+    ]
+    # reversed comparison flips
+    assert parse_conjuncts(spark, "7 < k") == [("k", ">", 7)]
+    # NULL literal / column-to-column / struct path: skipped
+    assert parse_conjuncts(spark, "k = NULL AND v > 1") == [("v", ">", 1)]
+    assert parse_conjuncts(spark, "k = v AND v > 1") == [("v", ">", 1)]
+    assert parse_conjuncts(spark, "s.a = 1 AND v > 1") == [("v", ">", 1)]
 
 
-def test_parse_conjuncts_bails_on_disjunction_shapes():
-    # under a depth-0 OR no conjunct is required — everything bails
-    assert parse_conjuncts("v >= 90 OR k = 1") == []
-    assert parse_conjuncts("k = 1 AND v > 2 OR name = 'x'") == []
-    assert parse_conjuncts("k = 1 AND (v > 2 OR name = 'x')") == [("k", "=", 1)]
+def test_parse_conjuncts_bails_on_disjunction_shapes(spark):
+    # nothing on the And-spine is a plain comparison -> nothing prunes
+    assert parse_conjuncts(spark, "v >= 90 OR k = 1") == []
+    # AND binds tighter than OR: the whole thing is one Or node
+    assert parse_conjuncts(spark, "k = 1 AND v > 2 OR name = 'x'") == []
+    assert parse_conjuncts(spark, "k = 1 AND (v > 2 OR name = 'x')") == [
+        ("k", "=", 1)
+    ]
     # shapes outside the grammar drop individually, siblings survive
-    assert parse_conjuncts("NOT (k = 1)") == []
-    assert parse_conjuncts("(k = 1) AND v > 2") == [("v", ">", 2)]
-    assert parse_conjuncts("k IN (1, 2)") == []
-    assert parse_conjuncts("v BETWEEN 1 AND 2") == []
-    assert parse_conjuncts("k = 3 AND v BETWEEN 1 AND 2") == [("k", "=", 3)]
+    assert parse_conjuncts(spark, "NOT (k = 1)") == []
+    assert parse_conjuncts(spark, "(k = 1) AND v > 2") == [
+        ("k", "=", 1),
+        ("v", ">", 2),
+    ]
+    assert parse_conjuncts(spark, "k IN (1, 2)") == []
+    assert parse_conjuncts(spark, "v BETWEEN 1 AND 2") == []
+    assert parse_conjuncts(spark, "k = 3 AND v BETWEEN 1 AND 2") == [
+        ("k", "=", 3)
+    ]
     # an AND nested in function args must never split a fake conjunct out
-    assert parse_conjuncts("if(x AND y = 1 AND k = 2, 1, 0) = 0") == []
-    assert parse_conjuncts("k = 1 AND") == [("k", "=", 1)]  # trailing junk
-    assert parse_conjuncts("k = 1)") == []  # unbalanced: refuse
-    # ...but those words inside string literals are fine
-    assert parse_conjuncts("name = 'or not (between)' AND k = 1") == [
+    assert parse_conjuncts(spark, "if(x AND y = 1 AND k = 2, 1, 0) = 0") == []
+    assert parse_conjuncts(spark, "k = 1 AND") == []  # invalid SQL: refuse
+    assert parse_conjuncts(spark, "k = 1)") == []
+    assert parse_conjuncts(spark, "name = 'or not (between)' AND k = 1") == [
         ("name", "=", "or not (between)"),
         ("k", "=", 1),
+    ]
+
+
+def test_parse_conjuncts_spark_grammar_corners(spark):
+    """The misparse class the regex approach couldn't survive: CASE
+    WHEN nests ANDs with no parens; backslash escapes extend a string
+    literal across a naive quote scan. Spark's parser decides both."""
+    # the k = 2 here is NOT required (it's inside the CASE) — a regex
+    # AND-splitter extracted it and silently dropped k!=2 rows
+    assert (
+        parse_conjuncts(
+            spark, "case when v = 1 and k = 2 and v = 3 then 0 else 1 end = 1"
+        )
+        == []
+    )
+    # one literal containing \' AND — no conjunct, no split
+    assert parse_conjuncts(spark, "name = 'a\\' AND v > 100'") == [
+        ("name", "=", "a' AND v > 100")
     ]
 
 
@@ -113,6 +148,10 @@ def test_file_may_match_bounds():
     assert file_may_match(ts_stats, [("ts", ">=", "2026-01-01T12:00:00")])
     assert not file_may_match(ts_stats, [("ts", ">", "2026-01-02T00:00:00")])
     assert file_may_match(ts_stats, [("ts", ">=", "not-a-date")])
+    # int literal vs double bounds compares like Spark (cast to double,
+    # lossy above 2^53) — exact int math would wrongly prune this file
+    big = float(1 << 53)
+    assert file_may_match({"v": [big, big]}, [("v", "=", (1 << 53) + 1)])
 
 
 def test_key_equality_literals():
@@ -150,6 +189,10 @@ def test_point_lookup_prunes_to_one_bucket(spark, tmp_path):
     got = t.read(where="k = 7")
     assert len(got.inputFiles()) < len(all_files)
     assert [r["k"] for r in got.collect()] == [7]
+    # Spark resolves identifiers case-insensitively; pruning must too
+    up = t.read(where="K = 7")
+    assert len(up.inputFiles()) < len(all_files)
+    assert [r["k"] for r in up.collect()] == [7]
     # conflicting equality: no files pruned wrongly, honest empty result
     assert t.read(where="k = 7 AND k = 8").count() == 0
 
