@@ -37,6 +37,10 @@ Contract laws (each has a test of the same name in the contract suite):
 7.  **change-feed fidelity** — ``changes_between(v1, v2)`` returns the
     net I/U/D feed whose application to the v1 image reproduces the v2
     image exactly (Iceberg changelog-read analog).
+8.  **predicate-read identity** — ``read(where=p)`` returns exactly
+    ``read().where(p)`` for every SQL predicate ``p``; any file/bucket
+    skipping a backend performs from its statistics (LakeTable manifest
+    bounds, Iceberg manifest min/max) is invisible in the result set.
 """
 
 from __future__ import annotations
@@ -70,7 +74,7 @@ class TableBackend(Protocol):
     def committed_batches(self) -> set[str]: ...
 
     # reads ---------------------------------------------------------------
-    def read(self) -> DataFrame: ...
+    def read(self, where: "str | None" = None) -> DataFrame: ...
 
     def read_internal(self, buckets: list[int] | None = None) -> DataFrame: ...
 

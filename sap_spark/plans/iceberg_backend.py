@@ -396,7 +396,7 @@ class IcebergTable:
             df = df.where(F.col(BUCKET_COL).isin([int(b) for b in buckets]))
         return df
 
-    def read(self) -> DataFrame:
+    def read(self, where: "str | None" = None) -> DataFrame:
         df = self.read_internal()
         # user columns from the SNAPSHOT's own schema, not the current
         # table's: a time-traveled handle predating an ADD COLUMNS
@@ -405,7 +405,13 @@ class IcebergTable:
         user_cols = [
             f.name for f in df.schema.fields if f.name not in INTERNAL_COLS
         ]
-        return df.where(~F.col(DELETED_COL)).select(*user_cols)
+        out = df.where(~F.col(DELETED_COL)).select(*user_cols)
+        if where is not None:
+            # Iceberg does its own manifest min/max file skipping from
+            # the pushed filter — the catalog-side twin of LakeTable's
+            # plans/stats.py bounds
+            out = out.where(F.expr(where))
+        return out
 
     # -- writes ------------------------------------------------------------
 

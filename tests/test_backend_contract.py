@@ -254,3 +254,36 @@ def test_history_chain(spark, make_table):
     )
     assert h[0]["version"] == table.version
     assert h[-1]["parent"] is None
+
+
+def test_predicate_read_identity(spark, make_table):
+    """Law 8: read(where=p) == read().where(p) for every predicate —
+    whatever file/bucket skipping the backend's statistics drive must
+    be invisible in the result set."""
+    table = make_table()
+    table.merge_cdc(
+        _changes(
+            spark,
+            [(f"r{i % 5}", f"p{i}", f"v{i}", "I", i) for i in range(40)],
+        ),
+        "b1",
+    )
+    table.merge_cdc(
+        _changes(
+            spark,
+            [("r0", "p0", "v0-new", "U", 100), ("r1", "p6", None, "D", 101)],
+        ),
+        "b2",
+    )
+    table = type(table)(spark, table.path)
+    for where in (
+        "repo = 'r0'",                      # key equality (bucket prune)
+        "repo = 'r0' AND path = 'p0'",      # full point lookup
+        "content = 'v0-new'",               # non-key (MOR fold safety)
+        "content >= 'v3' AND repo = 'r2'",
+        "repo = 'r1' OR content = 'v7'",    # no pruning possible
+        "length(content) > 2",              # not a prunable shape
+    ):
+        got = sorted(map(tuple, table.read(where=where).collect()))
+        expect = sorted(map(tuple, table.read().where(where).collect()))
+        assert got == expect, where

@@ -300,3 +300,36 @@ def test_lww_window_salted_prunes_payload_below_sorts(spark, tmpdir_path):
     assert any("content" not in rs and "commit" not in rs for rs in read_schemas), (
         "window winner branch reads payload columns:\n" + "\n".join(read_schemas)
     )
+
+
+def test_stats_pruned_read_still_pushes_filters_to_scan(spark, tmpdir_path):
+    """read(where=) must stack BOTH skipping layers: manifest bounds
+    drop whole files before planning, and the residual post-filter
+    reaches the parquet scan as PushedFilters so row groups inside the
+    kept files still prune."""
+    from pyspark.sql import types as T
+    from sap_spark.plans.lake import LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("v", T.DoubleType(), True),
+        ]
+    )
+    table = LakeTable.create(
+        spark, f"{tmpdir_path}/t", schema, ["k"], num_buckets=4,
+        stats_columns=["k", "v"],
+    )
+    table.overwrite(
+        spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        ),
+        batch_id="b0",
+    )
+    table = LakeTable(spark, table.path)
+    df = table.read(where="k = 7")
+    assert len(df.inputFiles()) < len(table.read().inputFiles())
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1][:200]
+    assert "k" in pushed and "7" in pushed
