@@ -262,6 +262,15 @@ def run_status(args, spark=None) -> dict:
             "total": sum(deltas.values()),
         },
     }
+    # data-skipping coverage: how much of the table the manifest bounds
+    # can prune over (files from before the stats feature carry none)
+    all_entries = [e for es in table.manifest["buckets"].values() for e in es]
+    out["file_stats"] = {
+        "files": len(all_entries),
+        "with_bounds": sum(1 for e in all_entries if e.get("stats")),
+        "columns": table.stats_columns,
+        "sort_columns": table.sort_columns,
+    }
     from sap_spark.streaming.pipeline import fold_lineage, read_lineage_file
 
     lineage_path = os.path.join(args.table, "_meta", "lineage.jsonl")

@@ -192,6 +192,9 @@ def test_cli_status_reports_lineage_and_high_water(spark, tmp_path, capsys):
     assert st["merge_mode"] == "cow"
     assert st["n_compaction_commits"] == 0
     assert st["delta_files"]["total"] == 0
+    fs = st["file_stats"]
+    assert fs["files"] >= 1 and fs["with_bounds"] == fs["files"]
+    assert "_event_seq" in fs["columns"]
     p = st["pipelines"]["status-e2e"]
     assert p["epochs_applied"] >= 2
     assert p["events"] >= 2000  # gen injects duplicate deliveries
