@@ -759,7 +759,10 @@ class LakeTable:
         return True
 
     def changes_between(
-        self, from_version: int, to_version: int | None = None
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        incremental: "bool | None" = None,
     ) -> DataFrame:
         """Row-level change feed between two snapshots (Iceberg
         changelog-read analog): the I/U/D events that transform the
@@ -770,7 +773,19 @@ class LakeTable:
         touched one bucket yields a diff that scans one bucket twice,
         not the table. The diff itself is operators/snapshot.snapshot_diff
         (one full-outer join on the key, null-safe change detection).
-        """
+
+        ``incremental`` (default auto): when every commit in the range
+        only APPENDED merge-on-read delta files (the steady-state MOR
+        ingest shape — no COW rewrite, no compaction), the feed is
+        computed from the added files alone: only keys present in them
+        can have changed, so the new side reads O(range's changes)
+        bytes and the old image is row-pruned to those candidate keys
+        with a semi join before any payload crosses a shuffle. On a
+        10^10-row table where an epoch touches a few keys per bucket,
+        that is the difference between scanning two bucket images and
+        scanning the epoch. Results are identical to the snapshot diff
+        (property-tested); ``incremental=False`` forces the snapshot
+        path, ``True`` raises if the range is not pure-append."""
         from sap_spark.operators.snapshot import snapshot_diff
 
         to_version = self.version if to_version is None else to_version
@@ -783,24 +798,79 @@ class LakeTable:
             if old_t.manifest["buckets"].get(b) != new_t.manifest["buckets"].get(b)
         )
 
-        def live_user_rows(t: "LakeTable") -> DataFrame:
-            df = t.read_internal(buckets=changed).where(
-                ~F.coalesce(F.col(DELETED_COL), F.lit(False))
-            )
+        def conform_live(df: DataFrame) -> DataFrame:
+            df = df.where(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
             # conform to the NEW schema (evolution adds nullable columns)
-            target = [f for f in new_t.schema.fields]
             return df.select(
                 *[
                     F.col(f.name)
                     if f.name in df.columns
                     else F.lit(None).cast(f.dataType).alias(f.name)
-                    for f in target
+                    for f in new_t.schema.fields
                 ]
             )
 
+        added = self._pure_delta_appends(old_t, new_t, changed)
+        if incremental is True and added is None:
+            raise ValueError(
+                f"versions {from_version}..{to_version} are not pure delta "
+                "appends (a COW rewrite or compaction is in the range); "
+                "use incremental=None/False"
+            )
+        if added is not None and incremental is not False:
+            sid = new_t.manifest["current_schema_id"]
+            adf = new_t._read_files(added, sid)
+            # old image of the changed buckets, row-pruned to the keys
+            # the range actually touched BEFORE payloads move (AQE
+            # broadcasts the key side when small)
+            keys = self.key_columns
+            old_img = old_t.read_internal(buckets=changed).join(
+                adf.select(*keys), on=keys, how="left_semi"
+            )
+            # lift the old image to the NEW internal schema (an
+            # evolution in the range adds nullable columns the old
+            # files lack) so the fold sees both sides column-complete
+            target = new_t._schema_with_internal(sid)
+            old_up = old_img.select(
+                *[
+                    F.col(f.name)
+                    if f.name in old_img.columns
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in target.fields
+                ]
+            )
+            # v2 image for those keys: the same per-key version-gated
+            # fold a full read performs, over old row ∪ added rows
+            new_img = new_t._fold_latest(old_up.unionByName(adf))
+            return snapshot_diff(
+                conform_live(old_up), conform_live(new_img), keys
+            )
+
         return snapshot_diff(
-            live_user_rows(old_t), live_user_rows(new_t), self.key_columns
+            conform_live(old_t.read_internal(buckets=changed)),
+            conform_live(new_t.read_internal(buckets=changed)),
+            self.key_columns,
         )
+
+    @staticmethod
+    def _pure_delta_appends(
+        old_t: "LakeTable", new_t: "LakeTable", changed: list[int]
+    ) -> "list[dict] | None":
+        """The file entries appended between two manifests, or None when
+        any changed bucket was REWRITTEN (COW merge, compaction,
+        overwrite) rather than purely extended with delta files — the
+        shapes where added-files-only change tracking would be wrong."""
+        added: list[dict] = []
+        for b in changed:
+            o = old_t.manifest["buckets"].get(str(b), [])
+            n = new_t.manifest["buckets"].get(str(b), [])
+            if n[: len(o)] != o:
+                return None  # rewrite: old entries vanished/reordered
+            tail = n[len(o) :]
+            if any(e.get("kind") != "delta" for e in tail):
+                return None
+            added.extend(tail)
+        return added if added else None
 
     # -- maintenance ------------------------------------------------------
 
