@@ -95,7 +95,10 @@ class TableBackend(Protocol):
     def evolve_schema(self, incoming: T.StructType) -> bool: ...
 
     def changes_between(
-        self, from_version: int, to_version: int | None = None
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        incremental: "bool | None" = None,
     ) -> DataFrame: ...
 
     # maintenance ---------------------------------------------------------

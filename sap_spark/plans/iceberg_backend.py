@@ -537,12 +537,16 @@ class IcebergTable:
     # -- change feed -------------------------------------------------------
 
     def changes_between(
-        self, from_version: int, to_version: int | None = None
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        incremental: "bool | None" = None,
     ) -> DataFrame:
         """Net I/U/D feed via the engine's snapshot-diff operator over two
-        time-travel images (law 7). ``CALL system.create_changelog_view``
-        is the incremental alternative when the span is small relative to
-        the table."""
+        time-travel images (law 7). ``incremental`` is accepted for
+        protocol parity and ignored: Iceberg's own
+        ``CALL system.create_changelog_view`` is the native incremental
+        path when the span is small relative to the table."""
         from sap_spark.operators.snapshot import snapshot_diff
 
         before = type(self)(self.spark, self.path, version=from_version)

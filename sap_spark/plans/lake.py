@@ -373,6 +373,12 @@ class LakeTable:
         key_cj, other_cj = split_conjuncts_by_keys(
             conjuncts or [], self.key_columns
         )
+        # the naive-timestamp-literal pruning shortcut is only sound
+        # under a UTC session zone (the engine default — see
+        # plans/stats._coerce); any other zone keeps timestamp files
+        ts_utc = self.spark is not None and self.spark.conf.get(
+            "spark.sql.session.timeZone", ""
+        ) in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00")
         sid = self.manifest["current_schema_id"]
         base_files: list[dict] = []
         delta_bucket_files: list[dict] = []
@@ -382,7 +388,7 @@ class LakeTable:
                     entries = [
                         e
                         for e in entries
-                        if file_may_match(e.get("stats") or {}, key_cj)
+                        if file_may_match(e.get("stats") or {}, key_cj, ts_utc)
                     ]
                 delta_bucket_files.extend(entries)
             else:
@@ -391,7 +397,7 @@ class LakeTable:
                         e
                         for e in entries
                         if file_may_match(
-                            e.get("stats") or {}, key_cj + other_cj
+                            e.get("stats") or {}, key_cj + other_cj, ts_utc
                         )
                     ]
                 base_files.extend(entries)
@@ -428,10 +434,7 @@ class LakeTable:
             # Spark resolves identifiers case-insensitively; fold each
             # conjunct's column onto the schema's canonical spelling so
             # `WHERE K = 7` still classifies as a key and finds bounds
-            canon = {
-                f.name.lower(): f.name
-                for f in self._schema_with_internal().fields
-            }
+            canon = {f.name.lower(): f.name for f in self.schema.fields}
             conjuncts = [
                 (canon.get(c.lower(), c), op, v) for c, op, v in conjuncts
             ]
@@ -441,12 +444,16 @@ class LakeTable:
                 b = self._bucket_for_key_literals(pinned)
                 if b is not None:
                     buckets = [b]
-            df = self.read_internal(buckets=buckets, conjuncts=conjuncts).where(
-                F.expr(where)
-            )
-        return df.where(~F.coalesce(F.col(DELETED_COL), F.lit(False))).select(
+            df = self.read_internal(buckets=buckets, conjuncts=conjuncts)
+        out = df.where(~F.coalesce(F.col(DELETED_COL), F.lit(False))).select(
             *[f.name for f in self.schema.fields]
         )
+        if where is not None:
+            # applied AFTER the user-column select so a predicate naming
+            # an internal column fails exactly like read().where(p) does
+            # (law 8 identity — also how the Iceberg binding behaves)
+            out = out.where(F.expr(where))
+        return out
 
     def _bucket_for_key_literals(self, pinned: "dict[str, object]") -> "int | None":
         """The one bucket a fully-pinned key can live in, or None when
@@ -798,17 +805,22 @@ class LakeTable:
             if old_t.manifest["buckets"].get(b) != new_t.manifest["buckets"].get(b)
         )
 
-        def conform_live(df: DataFrame) -> DataFrame:
-            df = df.where(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
-            # conform to the NEW schema (evolution adds nullable columns)
+        def null_pad(df: DataFrame, fields) -> DataFrame:
+            """Conform to a field list, padding absent columns with
+            typed nulls (a range-spanning evolution only ADDS nullable
+            columns, gated by schema/compat.py)."""
             return df.select(
                 *[
                     F.col(f.name)
                     if f.name in df.columns
                     else F.lit(None).cast(f.dataType).alias(f.name)
-                    for f in new_t.schema.fields
+                    for f in fields
                 ]
             )
+
+        def conform_live(df: DataFrame) -> DataFrame:
+            df = df.where(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+            return null_pad(df, new_t.schema.fields)
 
         added = self._pure_delta_appends(old_t, new_t, changed)
         if incremental is True and added is None:
@@ -817,7 +829,7 @@ class LakeTable:
                 "appends (a COW rewrite or compaction is in the range); "
                 "use incremental=None/False"
             )
-        if added is not None and incremental is not False:
+        if added and incremental is not False:
             sid = new_t.manifest["current_schema_id"]
             adf = new_t._read_files(added, sid)
             # old image of the changed buckets, row-pruned to the keys
@@ -830,15 +842,7 @@ class LakeTable:
             # lift the old image to the NEW internal schema (an
             # evolution in the range adds nullable columns the old
             # files lack) so the fold sees both sides column-complete
-            target = new_t._schema_with_internal(sid)
-            old_up = old_img.select(
-                *[
-                    F.col(f.name)
-                    if f.name in old_img.columns
-                    else F.lit(None).cast(f.dataType).alias(f.name)
-                    for f in target.fields
-                ]
-            )
+            old_up = null_pad(old_img, new_t._schema_with_internal(sid).fields)
             # v2 image for those keys: the same per-key version-gated
             # fold a full read performs, over old row ∪ added rows
             new_img = new_t._fold_latest(old_up.unionByName(adf))
@@ -859,7 +863,9 @@ class LakeTable:
         """The file entries appended between two manifests, or None when
         any changed bucket was REWRITTEN (COW merge, compaction,
         overwrite) rather than purely extended with delta files — the
-        shapes where added-files-only change tracking would be wrong."""
+        shapes where added-files-only change tracking would be wrong.
+        An idle range (no file changes at all, e.g. schema-only commits)
+        returns ``[]`` — trivially pure-append, empty feed."""
         added: list[dict] = []
         for b in changed:
             o = old_t.manifest["buckets"].get(str(b), [])
@@ -870,7 +876,7 @@ class LakeTable:
             if any(e.get("kind") != "delta" for e in tail):
                 return None
             added.extend(tail)
-        return added if added else None
+        return added
 
     # -- maintenance ------------------------------------------------------
 

@@ -45,6 +45,7 @@ the seam either collector feeds.
 from __future__ import annotations
 
 from datetime import date, datetime
+from decimal import Decimal
 
 # bounds longer than this are not stored: a PREFIX of a string max is a
 # smaller string, i.e. an INVALID upper bound, so oversized bounds are
@@ -224,7 +225,9 @@ def parse_conjuncts(spark, where: str) -> "list[tuple[str, str, object]]":
             elif dt in ("double", "float"):
                 val = float(raw)
             elif dt.startswith("decimal"):
-                val = float(str(raw))
+                # exact — Spark compares integral-vs-decimal AS decimal,
+                # so a float() here would mis-prune above 2^53
+                val = Decimal(str(raw))
             elif dt == "string":
                 val = str(raw)
             else:
@@ -240,9 +243,19 @@ def parse_conjuncts(spark, where: str) -> "list[tuple[str, str, object]]":
 # ---------------------------------------------------------------------------
 
 
-def _coerce(bound, lit):
-    """Best-effort comparable (bound, literal) pair; None = incomparable
-    (keep the file)."""
+def _coerce(bound, lit, ts_utc_session: bool = True):
+    """Comparable (bound, literal) pair mirroring SPARK'S comparison
+    semantics for that type pairing; None = incomparable (keep the
+    file)."""
+    if isinstance(lit, Decimal):
+        if isinstance(bound, float):
+            # double column vs decimal literal: Spark casts BOTH to
+            # double; Python's exact Decimal-vs-float compare would
+            # diverge (0.1d != Decimal('0.1') exactly)
+            return bound, float(lit)
+        if isinstance(bound, int) and not isinstance(bound, bool):
+            return Decimal(bound), lit  # integral vs decimal: exact
+        return None
     if isinstance(bound, (int, float)) and isinstance(lit, (int, float)):
         if isinstance(bound, float) or isinstance(lit, float):
             # Spark compares int-vs-double by casting BOTH to double
@@ -258,9 +271,12 @@ def _coerce(bound, lit):
         except ValueError:
             return None
         # TIMESTAMP (UTC-adjusted) bounds come back tz-aware while SQL
-        # literals are naive; the engine pins the session TZ to UTC
-        # (sap_spark.config.get_spark), so a naive literal IS UTC
+        # literals are naive and interpreted in the SESSION zone — the
+        # attach-UTC shortcut is only sound when the session zone IS
+        # UTC (the engine default); any other zone keeps the file
         if bound.tzinfo is not None and parsed.tzinfo is None:
+            if not ts_utc_session:
+                return None
             parsed = parsed.replace(tzinfo=bound.tzinfo)
         elif bound.tzinfo is None and parsed.tzinfo is not None:
             return None  # ambiguous the other way: keep the file
@@ -273,10 +289,16 @@ def _coerce(bound, lit):
     return None
 
 
-def file_may_match(stats: dict, conjuncts: "list[tuple[str, str, object]]") -> bool:
+def file_may_match(
+    stats: dict,
+    conjuncts: "list[tuple[str, str, object]]",
+    ts_utc_session: bool = True,
+) -> bool:
     """Could a file with these ``{col: [min, max]}`` bounds contain a row
     satisfying every conjunct? Missing/incomparable stats keep the file
-    (pruning must never be the component that loses a row)."""
+    (pruning must never be the component that loses a row).
+    ``ts_utc_session=False`` disables naive-literal-vs-aware-timestamp
+    pruning (the literal's meaning then depends on the session zone)."""
     for col, op, lit in conjuncts:
         if op not in _PRUNABLE_OPS:
             continue
@@ -284,8 +306,8 @@ def file_may_match(stats: dict, conjuncts: "list[tuple[str, str, object]]") -> b
         if not bounds:
             continue
         lo, hi = decode_bound(bounds[0]), decode_bound(bounds[1])
-        pair_lo = _coerce(lo, lit)
-        pair_hi = _coerce(hi, lit)
+        pair_lo = _coerce(lo, lit, ts_utc_session)
+        pair_hi = _coerce(hi, lit, ts_utc_session)
         if pair_lo is None or pair_hi is None:
             continue
         lo, llit = pair_lo

@@ -248,3 +248,15 @@ def test_incremental_reads_added_files_plus_old_buckets_only(spark, tmpdir_path)
     # the added files' keys before any payload moves
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan
+
+
+def test_incremental_true_on_idle_range_returns_empty(spark, tmpdir_path):
+    """An idle or schema-only range is trivially pure-append: pinned
+    incremental=True must yield the empty feed, not a rewrite error."""
+    table = LakeTable.create(
+        spark, f"{tmpdir_path}/idle", SCHEMA, ["repo", "path"], 8,
+        merge_mode="mor",
+    )
+    _seed(spark, table, n=4)
+    v = table.version
+    assert table.changes_between(v, v, incremental=True).count() == 0

@@ -343,3 +343,53 @@ def test_delta_entries_carry_seq_bounds(spark, tmp_path):
     for e in deltas:
         lo, hi = e["stats"]["_event_seq"]
         assert 100 <= lo <= hi <= 107
+
+
+def test_decimal_literal_exact_vs_int_bounds():
+    """Spark compares integral-vs-decimal AS decimal (exact); float()ing
+    the literal would mis-prune above 2^53."""
+    from decimal import Decimal
+
+    big = (1 << 53) + 1
+    stats = {"k": [big, big]}
+    # k > 9007199254740992.5 is TRUE for k = 2^53+1 under decimal math
+    assert file_may_match(stats, [("k", ">", Decimal("9007199254740992.5"))])
+    # ...and a double column still uses double semantics
+    assert file_may_match({"v": [0.1, 0.1]}, [("v", "=", Decimal("0.1"))])
+
+
+def test_timestamp_pruning_disabled_off_utc():
+    """A naive literal's meaning depends on the session zone; with a
+    non-UTC session the aware-bound shortcut must keep the file."""
+    ts_stats = {
+        "ts": [
+            {"$ts": "2026-01-01T00:00:00+00:00"},
+            {"$ts": "2026-01-01T05:00:00+00:00"},
+        ]
+    }
+    cj = [("ts", ">=", "2026-01-15 09:00:00")]
+    assert not file_may_match(ts_stats, cj, ts_utc_session=True)
+    assert file_may_match(ts_stats, cj, ts_utc_session=False)
+
+
+def test_internal_column_predicate_parity(spark, tmp_path):
+    """Law 8 exactly: a predicate naming an internal column must behave
+    identically through read(where=) and read().where(). (Spark's
+    missing-column resolution makes both SUCCEED, resolving the
+    internal column against the pre-select plan — the point is they
+    agree, which requires read(where=) to filter at the same altitude
+    as the user's own .where, i.e. after the user-column select.)"""
+    t = _mk(spark, str(tmp_path / "t"))
+    t.overwrite(_rows(spark, 10, lambda c: c * 1.0), batch_id="b0")
+    t = LakeTable(spark, t.path)
+    for pred in ("_event_seq > 0", "_deleted = false"):
+        got = sorted(map(tuple, t.read(where=pred).collect()))
+        expect = sorted(map(tuple, t.read().where(pred).collect()))
+        assert got == expect, pred
+    # nonexistent column raises identically on both paths
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        t.read().where("no_such_col > 0").collect()
+    with pytest.raises(AnalysisException):
+        t.read(where="no_such_col > 0").collect()
