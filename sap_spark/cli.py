@@ -304,6 +304,47 @@ def run_status(args, spark=None) -> dict:
     return out
 
 
+def run_changes(args, spark=None) -> dict:
+    """Change-feed read-out: the net I/U/D rows between two table
+    versions (LakeTable.changes_between), counted and optionally
+    written as parquet. Steady-state merge-on-read ranges take the
+    incremental added-files path automatically; ``--incremental`` pins
+    it (failing loudly if a rewrite/compaction is in the range),
+    ``--snapshot`` forces the full snapshot diff."""
+    from sap_spark.config import tuned_builder
+    from sap_spark.plans.lake import LakeTable
+
+    own_session = False
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        own_session = SparkSession.getActiveSession() is None
+        spark = tuned_builder(
+            app_name="sap_spark-changes", master=args.master,
+            shuffle_partitions=args.shuffle_partitions,
+        ).getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+    table = LakeTable(spark, args.table)
+    incremental = True if args.incremental else (False if args.snapshot else None)
+    to_version = args.to_version if args.to_version is not None else table.version
+    feed = table.changes_between(
+        args.from_version, to_version, incremental=incremental
+    )
+    summary = {
+        "from_version": args.from_version,
+        "to_version": to_version,
+        "path": args.out,
+    }
+    if args.out:
+        feed.write.mode("overwrite").parquet(args.out)
+        summary["rows"] = spark.read.parquet(args.out).count()
+    else:
+        summary["rows"] = feed.count()
+    if own_session:
+        spark.stop()
+    return summary
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="sap_spark.cli")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -342,6 +383,26 @@ def main(argv: list[str] | None = None) -> None:
                     help="also count live rows (starts a Spark session)")
     st.add_argument("--master", default=None)
     st.add_argument("--shuffle-partitions", type=int, default=None)
+
+    ch = sub.add_parser(
+        "changes",
+        help="net I/U/D feed between two table versions "
+             "(incremental on pure MOR-append ranges)",
+    )
+    ch.add_argument("--table", required=True)
+    ch.add_argument("--from-version", type=int, required=True)
+    ch.add_argument("--to-version", type=int, default=None,
+                    help="default: current version")
+    ch.add_argument("--out", default=None,
+                    help="parquet dir for the feed (default: count only)")
+    mode = ch.add_mutually_exclusive_group()
+    mode.add_argument("--incremental", action="store_true",
+                      help="require the added-delta-files fast path; "
+                           "fails if the range saw a rewrite/compaction")
+    mode.add_argument("--snapshot", action="store_true",
+                      help="force the full snapshot diff")
+    ch.add_argument("--master", default=None)
+    ch.add_argument("--shuffle-partitions", type=int, default=None)
 
     i = sub.add_parser("ingest", help="replay a change log into a LakeTable")
     i.add_argument("--log", required=True, help="change-log directory (parquet, delta_token-partitioned)")
@@ -395,6 +456,10 @@ def main(argv: list[str] | None = None) -> None:
         import json
 
         print(json.dumps(run_status(args)))
+    elif args.cmd == "changes":
+        import json
+
+        print(json.dumps(run_changes(args)))
     else:
         summary = run_ingest(args)
         import json
