@@ -167,11 +167,20 @@ def run_maintain(args, spark=None) -> dict:
 
     table = LakeTable(spark, args.table)
     summary: dict = {"table_version_before": table.version}
+    rebucket_to = getattr(args, "rebucket", None)
+    if rebucket_to is not None:
+        # before compact: the reshard already folds every delta, so a
+        # requested compaction afterwards is a clean-table no-op
+        table.rebucket(int(rebucket_to))
+        summary["rebucketed_to"] = int(rebucket_to)
     if args.compact:
         table.compact()
         summary["compacted"] = True
     if args.expire_keep is not None:
-        summary["files_removed"] = table.expire_snapshots(keep_last=args.expire_keep)
+        summary["files_removed"] = table.expire_snapshots(
+            keep_last=args.expire_keep,
+            grace_seconds=float(getattr(args, "expire_grace", 0.0) or 0.0),
+        )
     summary["table_version"] = table.version
     summary["rows"] = LakeTable(spark, args.table).read().count()
     if own_session:
@@ -357,6 +366,16 @@ def main(argv: list[str] | None = None) -> None:
     m.add_argument("--compact", action="store_true")
     m.add_argument("--expire-keep", type=int, default=None,
                    help="keep only the newest N snapshots, delete orphaned files")
+    m.add_argument("--expire-grace", type=float, default=0.0,
+                   help="spare unreferenced files younger than this many "
+                        "seconds (an in-flight writer's spill looks like an "
+                        "orphan until its manifest commits; set well above "
+                        "the longest write when a pipeline is live)")
+    m.add_argument("--rebucket", type=int, default=None,
+                   help="reshard the table to this hash-bucket count (one "
+                        "atomic full rewrite; folds MOR deltas, keeps "
+                        "tombstones — safe at any epoch boundary, but "
+                        "single-writer: stop or pause ingest first)")
     m.add_argument("--master", default=None)
     m.add_argument("--shuffle-partitions", type=int, default=None)
 

@@ -41,6 +41,12 @@ Contract laws (each has a test of the same name in the contract suite):
     ``read().where(p)`` for every SQL predicate ``p``; any file/bucket
     skipping a backend performs from its statistics (LakeTable manifest
     bounds, Iceberg manifest min/max) is invisible in the result set.
+9.  **rebucket layout evolution** — ``rebucket(M)`` changes only the
+    layout: the read image, exactly-once memory, and version gate are
+    untouched, and every subsequent write / point read /
+    ``affected_buckets`` routes by the new count (Iceberg
+    ``REPLACE PARTITION FIELD`` analog; the bucket count a table was
+    created with must not be forever).
 """
 
 from __future__ import annotations
@@ -103,6 +109,8 @@ class TableBackend(Protocol):
 
     # maintenance ---------------------------------------------------------
     def compact(self) -> None: ...
+
+    def rebucket(self, new_num_buckets: int) -> None: ...
 
     def expire_snapshots(self, keep_last: int = 1) -> int: ...
 

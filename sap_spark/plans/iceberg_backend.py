@@ -222,6 +222,20 @@ def _sql_expire_snapshots(catalog: str, db_table: str, keep_last: int) -> str:
     )
 
 
+def _sql_rebucket(table: str, key_columns: list[str], new_num_buckets: int) -> str:
+    """Reroute every row's identity ``_bucket`` under the new count.
+    Because the table is ``PARTITIONED BY (_bucket)`` (identity), the
+    UPDATE moves rows across partitions in one Iceberg transaction —
+    the engine-side analog of ``REPLACE PARTITION FIELD`` with a
+    rewrite. The hash expression is character-identical to
+    lake.bucket_expr so both backends route a key the same way."""
+    keys = ", ".join(_q(k) for k in key_columns)
+    return (
+        f"UPDATE {_qname(table)} SET {_q(BUCKET_COL)} = "
+        f"CAST(pmod(xxhash64({keys}), {int(new_num_buckets)}) AS INT)"
+    )
+
+
 def _sql_set_property(table: str, key: str, value: str) -> str:
     return (
         f"ALTER TABLE {_qname(table)} SET TBLPROPERTIES "
@@ -576,9 +590,39 @@ class IcebergTable:
         self._ancestry = self._load_ancestry()
         self.version = len(self._ancestry)
 
-    def expire_snapshots(self, keep_last: int = 1) -> int:
+    def rebucket(self, new_num_buckets: int) -> None:
+        """Layout evolution (law 9): one transactional UPDATE reroutes
+        every row's ``_bucket`` under the new count, then the
+        num-buckets property flips so ``affected_buckets`` and merge
+        partition-pruning speak the new numbering. Readers of earlier
+        snapshots are untouched (Iceberg snapshot isolation); a stale
+        handle refreshes on reload exactly like after a compaction."""
+        if not isinstance(new_num_buckets, int) or new_num_buckets < 1:
+            raise ValueError(
+                f"new_num_buckets must be a positive int, got {new_num_buckets!r}"
+            )
+        if new_num_buckets == self.num_buckets:
+            raise ValueError(
+                f"table already has {self.num_buckets} buckets — rebucket "
+                "is a full rewrite, a same-count call is almost certainly a bug"
+            )
+        self.spark.sql(
+            _sql_rebucket(self.path, self.key_columns, new_num_buckets)
+        )
+        self.spark.sql(
+            _sql_set_property(self.path, PROP_BUCKETS, str(new_num_buckets))
+        )
+        self._props = self._load_props()
+        self._ancestry = self._load_ancestry()
+        self.version = len(self._ancestry)
+
+    def expire_snapshots(self, keep_last: int = 1, grace_seconds: float = 0.0) -> int:
         """Expire old snapshots, first mirroring their batch ids into the
-        expired-batches property so law 2 survives (module doc §6)."""
+        expired-batches property so law 2 survives (module doc §6).
+        ``grace_seconds`` is accepted for protocol parity; Iceberg's
+        own expire_snapshots never deletes files newer than the
+        retained snapshots, so the in-flight-writer hazard LakeTable's
+        grace window guards against does not exist here."""
         batches = self.committed_batches()
         self.spark.sql(
             _sql_set_property(

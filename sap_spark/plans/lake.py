@@ -995,12 +995,75 @@ class LakeTable:
         )
         return dirty
 
-    def expire_snapshots(self, keep_last: int = 1) -> int:
+    def rebucket(self, new_num_buckets: int) -> None:
+        """Change the hash-bucket count — the partition-spec-evolution
+        analog (Iceberg ``REPLACE PARTITION FIELD bucket(N, k) WITH
+        bucket(M, k)``). The count is sized for day-one data
+        (:func:`derive_num_buckets`); a table that grows to the
+        10^10-row regime needs more buckets or merges cap at N tasks
+        and per-bucket files blow past the scan-friendly range, while
+        a table that shrank after a purge wants fewer.
+
+        Resharding inherently rewrites every byte once — same cost
+        class as a full compaction — so what matters at scale is the
+        commit discipline, not avoiding the rewrite: this is ONE
+        atomic commit (readers on the old version keep a consistent
+        snapshot; time travel to it still works until
+        :meth:`expire_snapshots`), MOR deltas fold into the new base,
+        and tombstones are carried — never purged — so the event_seq
+        version gate survives and the op is safe at any epoch
+        boundary, exactly like the pipeline's auto-compaction.
+        Single-writer op: run it from maintenance, not concurrently
+        with another writer. Per-partition lineage offsets recorded
+        before the reshard refer to the OLD numbering; the commit's
+        ``op`` annotation (surfaced by :meth:`history`) marks the
+        boundary.
+
+        Cluster note: choosing ``new = k * old`` keeps the shuffle
+        local — ``pmod(h, k*N) % N == pmod(h, N)``, so every row of
+        old bucket b scatters into only the k buckets
+        ``{b, b+N, ..., b+(k-1)N}`` instead of all-to-all."""
+        if not isinstance(new_num_buckets, int) or new_num_buckets < 1:
+            raise ValueError(
+                f"new_num_buckets must be a positive int, got {new_num_buckets!r}"
+            )
+        old = self.num_buckets
+        if new_num_buckets == old:
+            raise ValueError(
+                f"table already has {old} buckets — rebucket is a full "
+                "rewrite, a same-count call is almost certainly a bug"
+            )
+        live = self.read_internal()  # MOR-folded, tombstones + seq kept
+        prepared = live.withColumn(
+            "__bucket", bucket_expr(self.key_columns, new_num_buckets)
+        )
+        manifest = json.loads(json.dumps(self.manifest))
+        manifest["num_buckets"] = new_num_buckets
+        # _write_buckets derives nothing from num_buckets except the
+        # default partition count, which we pass explicitly — the new
+        # layout is written before the count flips in the manifest
+        manifest["buckets"] = self._write_buckets(
+            prepared, n_partitions=new_num_buckets
+        )
+        self._commit(
+            manifest,
+            op={"type": "rebucket", "from": old, "to": new_num_buckets},
+        )
+
+    def expire_snapshots(self, keep_last: int = 1, grace_seconds: float = 0.0) -> int:
         """Delete manifests older than the newest `keep_last` and any data
         files no longer referenced by a retained manifest (Iceberg
         `expireSnapshots` analog). Returns the number of data files
         removed. Time travel to expired versions stops working; the current
-        snapshot is never touched."""
+        snapshot is never touched.
+
+        ``grace_seconds``: spare unreferenced files younger than this.
+        An in-flight writer spills its commit dir BEFORE flipping the
+        manifest pointer, so for that window its files are
+        indistinguishable from orphans; a maintenance job running next
+        to a live pipeline must pass a grace comfortably above the
+        longest write (orphans from dead writers age into the next
+        expiry). The default 0 is for exclusive maintenance windows."""
         keep_versions: list[int] = []
         v: int | None = self.version
         while v is not None and len(keep_versions) < keep_last:
@@ -1037,8 +1100,15 @@ class LakeTable:
                 f"files absent from the data scan (first: {sorted(missing)[0]})"
             )
         removed = 0
+        now = time.time()
         for key, f in scanned.items():
             if key not in referenced:
+                if grace_seconds > 0:
+                    try:
+                        if now - os.path.getmtime(f) < grace_seconds:
+                            continue  # possibly an in-flight write
+                    except OSError:
+                        continue  # vanished mid-scan: someone else's problem
                 os.remove(f)
                 removed += 1
         # drop expired manifests (keep the retained chain intact)

@@ -287,3 +287,41 @@ def test_predicate_read_identity(spark, make_table):
         got = sorted(map(tuple, table.read(where=where).collect()))
         expect = sorted(map(tuple, table.read().where(where).collect()))
         assert got == expect, where
+
+
+def test_rebucket_layout_evolution(spark, make_table):
+    """Law 9: rebucket(M) — the partition-spec-evolution analog — is a
+    pure LAYOUT change: the read image is untouched, exactly-once and
+    the version gate survive, and every later write/point-read routes
+    by the new count. The count a table is created with is sized for
+    day-one data; at 10^10 rows it must be changeable without a
+    migration."""
+    table = make_table()
+    table.merge_cdc(
+        _changes(
+            spark, [(f"r{i % 5}", f"p{i}", f"v{i}", "I", i + 1) for i in range(30)]
+        ),
+        "b1",
+    )
+    table.merge_cdc(
+        _changes(spark, [("r0", "p0", None, "D", 100), ("r1", "p1", "new", "U", 101)]),
+        "b2",
+    )
+    before = _state(table)
+
+    table.rebucket(19)  # deliberately not a multiple of the old count
+
+    assert table.num_buckets == 19
+    assert _state(table) == before
+    # exactly-once memory survives the reshard
+    assert table.merge_cdc(_changes(spark, [("x", "y", "z", "I", 1)]), "b2") is False
+    # the version gate survives: a stale event below the tombstone's seq
+    table.merge_cdc(_changes(spark, [("r0", "p0", "stale", "I", 50)]), "b3")
+    assert ("r0", "p0") not in _state(table)
+    # new writes route by the new count and point reads find them
+    table.merge_cdc(_changes(spark, [("r9", "p9", "fresh", "I", 200)]), "b4")
+    got = table.read(where="repo = 'r9' AND path = 'p9'").collect()
+    assert [(r["repo"], r["path"], r["content"]) for r in got] == [("r9", "p9", "fresh")]
+    # affected_buckets speaks the new numbering
+    bs = table.affected_buckets(_changes(spark, [("r9", "p9", "x", "U", 1)]))
+    assert bs and all(0 <= b < 19 for b in bs)

@@ -19,6 +19,7 @@ from sap_spark.plans.iceberg_backend import (
     _sql_expire_snapshots,
     _sql_merge,
     _sql_publish,
+    _sql_rebucket,
     _sql_rewrite_data_files,
     _sql_set_property,
     evolution_ddl,
@@ -107,6 +108,17 @@ def test_wap_publish_and_maintenance_calls():
         _sql_rewrite_data_files("ice", "cdc.repos")
     )
     assert "retain_last => 3" in _sql_expire_snapshots("ice", "cdc.repos", 3)
+
+
+def test_rebucket_sql_matches_engine_hash():
+    """Law 9's statement: the UPDATE must route with the character-
+    identical expression lake.bucket_expr compiles to, or the two
+    backends would disagree about where a key lives after a reshard."""
+    sql = _sql_rebucket(TABLE, KEYS, 19)
+    assert sql == (
+        "UPDATE `ice`.`cdc`.`repos` SET `_bucket` = "
+        "CAST(pmod(xxhash64(`repo`, `path`), 19) AS INT)"
+    )
 
 
 def test_set_property_escapes_quotes():
