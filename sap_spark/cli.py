@@ -174,8 +174,14 @@ def run_maintain(args, spark=None) -> dict:
         table.rebucket(int(rebucket_to))
         summary["rebucketed_to"] = int(rebucket_to)
     if args.compact:
-        table.compact()
+        zorder = getattr(args, "zorder", None)
+        zcols = [c.strip() for c in zorder.split(",") if c.strip()] if zorder else None
+        # a clustering rewrite must cover the whole table, not just the
+        # dirty buckets, or the cold buckets stay linear
+        table.compact(only_dirty=not zcols, zorder=zcols)
         summary["compacted"] = True
+        if zcols:
+            summary["zorder"] = zcols
     if args.expire_keep is not None:
         summary["files_removed"] = table.expire_snapshots(
             keep_last=args.expire_keep,
@@ -371,6 +377,12 @@ def main(argv: list[str] | None = None) -> None:
                         "seconds (an in-flight writer's spill looks like an "
                         "orphan until its manifest commits; set well above "
                         "the longest write when a pipeline is live)")
+    m.add_argument("--zorder", default=None,
+                   help="with --compact: full-table rewrite clustered by "
+                        "the interleaved quantile ranks of these "
+                        "comma-separated columns (OPTIMIZE ZORDER BY "
+                        "analog) — makes the manifest bounds skip files "
+                        "on any of them; add them to stats_columns")
     m.add_argument("--rebucket", type=int, default=None,
                    help="reshard the table to this hash-bucket count (one "
                         "atomic full rewrite; folds MOR deltas, keeps "

@@ -162,6 +162,7 @@ class LakeTable:
         merge_mode: str = "cow",
         stats_columns: "list[str] | None" = None,
         sort_columns: "list[str] | None" = None,
+        max_records_per_file: "int | None" = None,
     ) -> "LakeTable":
         """Create an empty table (schema = user columns, no internal cols).
 
@@ -194,7 +195,17 @@ class LakeTable:
         query-time column (event time, typically) makes the files a
         bucket write spills (several per bucket at 100 TB file-size
         targets) carry DISJOINT ranges, so time-window predicates skip
-        all but the overlapping ones. The Iceberg write-order analog."""
+        all but the overlapping ones. The Iceberg write-order analog.
+        For multi-column skipping, ``compact(zorder=[...])`` rewrites
+        the long-lived base files in z-order instead.
+
+        ``max_records_per_file``: bound every written file (Spark's
+        ``maxRecordsPerFile``). One file per bucket per commit is wrong
+        at scale — a 100 TB table with 4096 buckets would write 25 GB
+        files; bounding splits each bucket's output into several
+        scan-friendly files, which is also what gives the per-file
+        bounds (``stats_columns`` + ``sort_columns``/zorder) something
+        to skip."""
         if merge_mode not in ("cow", "mor"):
             raise ValueError(f"merge_mode must be 'cow' or 'mor', got {merge_mode!r}")
         known = {f.name for f in schema.fields} | set(INTERNAL_COLS)
@@ -207,6 +218,10 @@ class LakeTable:
         unknown = [c for c in (sort_columns or []) if c not in known]
         if unknown:
             raise ValueError(f"sort_columns not in schema: {unknown}")
+        if max_records_per_file is not None and max_records_per_file < 1:
+            raise ValueError(
+                f"max_records_per_file must be positive, got {max_records_per_file}"
+            )
         if num_buckets is None:
             num_buckets = derive_num_buckets(expected_payload_bytes or 0)
         meta_dir = os.path.join(path, "_meta")
@@ -231,6 +246,7 @@ class LakeTable:
                 "merge_mode": merge_mode,
                 "stats_columns": list(stats_columns),
                 "sort_columns": list(sort_columns or []),
+                "max_records_per_file": max_records_per_file,
             },
         }
         mpath = os.path.join(meta_dir, "v00000000.json")
@@ -279,6 +295,11 @@ class LakeTable:
     def sort_columns(self) -> list[str]:
         """Write-order clustering columns (see :meth:`create`)."""
         return self.manifest.get("properties", {}).get("sort_columns") or []
+
+    @property
+    def max_records_per_file(self) -> "int | None":
+        """Per-file row bound applied to every write (see :meth:`create`)."""
+        return self.manifest.get("properties", {}).get("max_records_per_file")
 
     def _schema_with_internal(self, schema_id: int | None = None) -> T.StructType:
         sid = self.manifest["current_schema_id"] if schema_id is None else schema_id
@@ -476,7 +497,10 @@ class LakeTable:
     # -- write paths ----------------------------------------------------------
 
     def _write_buckets(
-        self, df: DataFrame, n_partitions: int | None = None
+        self,
+        df: DataFrame,
+        n_partitions: int | None = None,
+        zorder: "list[str] | None" = None,
     ) -> dict[str, list[dict]]:
         """Write rows (must carry __bucket) as new immutable files; returns
         bucket -> file entries under the current schema id.
@@ -498,16 +522,33 @@ class LakeTable:
                 list(target.fields) + [T.StructField("__bucket", T.IntegerType(), True)]
             ),
         )
+        if zorder:
+            # multi-dimensional clustering for a maintenance rewrite:
+            # the quantile-learning pass runs over the pre-shuffle plan
+            # (scan only); the z-value itself is a narrow projection
+            # that rides the bucket repartition
+            from sap_spark.plans.clustering import with_zorder
+
+            ordered = with_zorder(ordered, zorder)
         ordered = ordered.repartition(n_partitions or self.num_buckets, "__bucket")
-        sort_cols = [
-            c for c in self.sort_columns if c in ordered.columns
-        ]
-        if sort_cols:
-            # write-order clustering: per-task sort (no shuffle) so the
-            # files a bucket spills carry disjoint ranges the manifest
-            # bounds can actually skip on
-            ordered = ordered.sortWithinPartitions("__bucket", *sort_cols)
-        ordered.write.partitionBy("__bucket").mode("overwrite").parquet(commit_dir)
+        if zorder:
+            ordered = ordered.sortWithinPartitions("__bucket", "__zval").drop(
+                "__zval"
+            )
+        else:
+            sort_cols = [c for c in self.sort_columns if c in ordered.columns]
+            if sort_cols:
+                # write-order clustering: per-task sort (no shuffle) so
+                # the files a bucket spills carry disjoint ranges the
+                # manifest bounds can actually skip on
+                ordered = ordered.sortWithinPartitions("__bucket", *sort_cols)
+        writer = ordered.write
+        if self.max_records_per_file:
+            # several scan-friendly files per bucket instead of one
+            # monolith; with clustering their ranges are disjoint, so
+            # the per-file bounds become the skipping unit
+            writer = writer.option("maxRecordsPerFile", int(self.max_records_per_file))
+        writer.partitionBy("__bucket").mode("overwrite").parquet(commit_dir)
         sid = self.manifest["current_schema_id"]
         stats_cols = self.stats_columns
         out: dict[str, list[dict]] = {}
@@ -921,6 +962,7 @@ class LakeTable:
         only_dirty: bool = True,
         purge_tombstones: bool = True,
         buckets: "list[int] | None" = None,
+        zorder: "list[str] | None" = None,
     ) -> list[int]:
         """Fold MOR deltas and (by default) purge tombstones.
 
@@ -949,10 +991,26 @@ class LakeTable:
         refolding every delta-bearing bucket each time would rewrite
         cold base files repeatedly; selective compaction keeps write
         amplification at one base rewrite per N delta files PER BUCKET.
-        Returns the bucket ids rewritten."""
+        Returns the bucket ids rewritten.
+
+        ``zorder``: cluster the rewritten files by the interleaved
+        quantile ranks of these columns (plans/clustering.py — the
+        Delta ``OPTIMIZE ZORDER BY`` analog) instead of the table's
+        linear ``sort_columns``. Pair with ``stats_columns`` covering
+        the same columns and ``max_records_per_file`` so each bucket
+        spills several files with disjoint multi-dimensional ranges —
+        that is what lets ``read(where=...)`` skip on ANY of the
+        clustered columns, not just the first sort key. Usually run
+        with ``only_dirty=False``: clustering only the dirty buckets
+        leaves the rest linear."""
         # restrict the candidate universe FIRST so a selective compaction
         # never pays the tombstone key/flag scan over buckets outside the
         # requested subset (O(subset), not O(table))
+        if zorder:
+            known = {f.name for f in self.schema.fields} | set(INTERNAL_COLS)
+            unknown = [c for c in zorder if c not in known]
+            if unknown:
+                raise ValueError(f"zorder columns not in schema: {unknown}")
         universe = {int(b) for b in self.manifest["buckets"]}
         if buckets is not None:
             universe &= set(buckets)
@@ -975,7 +1033,9 @@ class LakeTable:
         prepared = live.withColumn(
             "__bucket", bucket_expr(self.key_columns, self.num_buckets)
         )
-        new_buckets = self._write_buckets(prepared, n_partitions=len(dirty))
+        new_buckets = self._write_buckets(
+            prepared, n_partitions=len(dirty), zorder=zorder
+        )
         manifest = json.loads(json.dumps(self.manifest))
         for b in dirty:
             manifest["buckets"].pop(str(b), None)
@@ -985,14 +1045,14 @@ class LakeTable:
         # and its own bookkeeping (e.g. the pipeline's lineage append), the
         # table history still attributes this version to a compaction
         # instead of leaving an unexplained bucket rewrite
-        self._commit(
-            manifest,
-            op={
-                "type": "compact",
-                "buckets": dirty,
-                "purge_tombstones": purge_tombstones,
-            },
-        )
+        op = {
+            "type": "compact",
+            "buckets": dirty,
+            "purge_tombstones": purge_tombstones,
+        }
+        if zorder:
+            op["zorder"] = list(zorder)
+        self._commit(manifest, op=op)
         return dirty
 
     def rebucket(self, new_num_buckets: int) -> None:

@@ -1,0 +1,164 @@
+"""Z-order clustering (plans/clustering.py) + bounded file sizes.
+
+The headline test is the skipping one: a file layout linearly sorted by
+``x`` can never skip on a ``y`` predicate (every file spans all of
+``y``), while the z-ordered rewrite of the SAME rows bounds both
+columns per file, so the manifest min/max machinery that already
+exists starts pruning on either dimension. That is the whole point of
+``compact(zorder=[...])`` at 100 TB: the long-lived base files become
+skippable for the 2-3 columns analysts actually filter on.
+"""
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sap_spark.plans.clustering import with_zorder
+from sap_spark.plans.lake import LakeTable
+from sap_spark.plans.stats import file_may_match
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType(), False),
+        T.StructField("x", T.LongType(), True),
+        T.StructField("y", T.LongType(), True),
+    ]
+)
+
+
+def _grid_df(spark, side=64):
+    # x and y are independent: a linear sort on one says nothing about
+    # the other — the adversarial shape for 1-D clustering
+    return spark.range(side * side).select(
+        F.col("id").alias("k"),
+        (F.col("id") % side).alias("x"),
+        (F.col("id") / side).cast("long").alias("y"),
+    )
+
+
+def _survivors(table, conjuncts):
+    entries = [e for es in table.manifest["buckets"].values() for e in es]
+    kept = sum(
+        1 for e in entries if file_may_match(e.get("stats") or {}, conjuncts, True)
+    )
+    return kept, len(entries)
+
+
+def test_zorder_rank_monotone_per_dimension(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    rows = with_zorder(df, ["v"], bits=4).orderBy("v").collect()
+    zvals = [r["__zval"] for r in rows]
+    assert zvals == sorted(zvals), "1-D z-value must preserve the dimension order"
+    assert len(set(zvals)) > 8, "quantile ranks must actually spread"
+
+
+def test_zorder_string_prefix_preserves_lexicographic_order(spark):
+    words = ["", "a", "aa", "ab", "b", "ba", "z", "zz", "middle", "mzzzzzzzzz"]
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    rows = with_zorder(df, ["s"], bits=4).orderBy("s").collect()
+    zvals = [r["__zval"] for r in rows]
+    assert zvals == sorted(zvals)
+
+
+def test_zorder_nulls_cluster_at_the_low_end(spark):
+    df = spark.createDataFrame(
+        [(None,), (5.0,), (1.0,), (None,), (9.0,)], "v double"
+    )
+    rows = with_zorder(df, ["v"], bits=4).collect()
+    null_z = {r["__zval"] for r in rows if r["v"] is None}
+    value_z = {r["__zval"] for r in rows if r["v"] is not None}
+    assert max(null_z) <= min(value_z)
+
+
+def test_zorder_validation(spark):
+    df = spark.createDataFrame([(1.0, "s")], "v double, s string")
+    with pytest.raises(ValueError, match="at least one"):
+        with_zorder(df, [])
+    with pytest.raises(ValueError, match="not in dataframe"):
+        with_zorder(df, ["nope"])
+    with pytest.raises(ValueError, match="fit a long"):
+        with_zorder(df, ["v", "s"], bits=32)
+
+
+def test_max_records_per_file_bounds_file_sizes(spark, tmpdir_path):
+    table = LakeTable.create(
+        spark, f"{tmpdir_path}/t", SCHEMA, key_columns=["k"],
+        num_buckets=1, max_records_per_file=256,
+        stats_columns=["k", "x", "y"],
+    )
+    table.overwrite(_grid_df(spark), batch_id="seed")
+    entries = table.manifest["buckets"]["0"]
+    assert len(entries) >= 16, "4096 rows / 256 per file"
+    for e in entries:
+        assert pq.ParquetFile(e["path"]).metadata.num_rows <= 256
+    assert table.read().count() == 4096
+
+
+def test_zorder_compact_skips_where_linear_sort_cannot(spark, tmpdir_path):
+    common = dict(
+        key_columns=["k"], num_buckets=1, max_records_per_file=256,
+        stats_columns=["k", "x", "y"],
+    )
+    linear = LakeTable.create(
+        spark, f"{tmpdir_path}/lin", SCHEMA, sort_columns=["x"], **common
+    )
+    linear.overwrite(_grid_df(spark), batch_id="seed")
+    zordered = LakeTable.create(spark, f"{tmpdir_path}/zo", SCHEMA, **common)
+    zordered.overwrite(_grid_df(spark), batch_id="seed")
+    zordered.compact(only_dirty=False, zorder=["x", "y"])
+
+    y_band = [("y", ">=", 10), ("y", "<=", 12)]
+    lin_kept, lin_total = _survivors(linear, y_band)
+    z_kept, z_total = _survivors(zordered, y_band)
+    # x-sorted files each span ALL of y: nothing can be skipped
+    assert lin_kept == lin_total >= 16
+    # z-ordered files bound y too: most of the table is skipped
+    assert z_kept <= z_total // 2, (z_kept, z_total)
+
+    # and on x the z-order still skips (less sharply than pure x-sort)
+    x_band = [("x", ">=", 0), ("x", "<=", 3)]
+    zx_kept, _ = _survivors(zordered, x_band)
+    assert zx_kept <= z_total // 2
+
+    # skipping must be invisible in results (law 8 shape)
+    for t in (linear, zordered):
+        got = t.read(where="y >= 10 AND y <= 12").count()
+        assert got == 64 * 3
+    # the rewrite is self-describing
+    assert zordered.history()[0]["op"]["zorder"] == ["x", "y"]
+
+
+def test_zorder_compact_rejects_unknown_column(spark, tmpdir_path):
+    table = LakeTable.create(
+        spark, f"{tmpdir_path}/t", SCHEMA, key_columns=["k"], num_buckets=1
+    )
+    table.overwrite(_grid_df(spark, side=4), batch_id="seed")
+    with pytest.raises(ValueError, match="zorder"):
+        table.compact(only_dirty=False, zorder=["nope"])
+
+
+def test_cli_maintain_zorder(spark, tmpdir_path):
+    from sap_spark import cli
+
+    path = f"{tmpdir_path}/t"
+    table = LakeTable.create(
+        spark, path, SCHEMA, key_columns=["k"], num_buckets=2,
+        stats_columns=["k", "x", "y"],
+    )
+    table.overwrite(_grid_df(spark, side=8), batch_id="seed")
+
+    class Args:
+        pass
+
+    args = Args()
+    args.table = path
+    args.compact = True
+    args.zorder = "x,y"
+    args.expire_keep = None
+    args.expire_grace = 0.0
+    args.rebucket = None
+    summary = cli.run_maintain(args, spark=spark)
+    assert summary["compacted"] is True
+    assert summary["rows"] == 64
+    assert LakeTable(spark, path).history()[0]["op"]["zorder"] == ["x", "y"]
