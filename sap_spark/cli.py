@@ -167,18 +167,27 @@ def run_maintain(args, spark=None) -> dict:
 
     table = LakeTable(spark, args.table)
     summary: dict = {"table_version_before": table.version}
+    zorder = getattr(args, "zorder", None)
+    zcols = [c.strip() for c in zorder.split(",") if c.strip()] if zorder else None
     rebucket_to = getattr(args, "rebucket", None)
+    if zcols and not (args.compact or rebucket_to is not None):
+        # silently ignoring a clustering request would leave the
+        # operator believing the table was rewritten
+        raise SystemExit("--zorder requires --compact or --rebucket")
     if rebucket_to is not None:
-        # before compact: the reshard already folds every delta, so a
-        # requested compaction afterwards is a clean-table no-op
-        table.rebucket(int(rebucket_to))
+        table.rebucket(int(rebucket_to), zorder=zcols)
         summary["rebucketed_to"] = int(rebucket_to)
+        if zcols:
+            summary["zorder"] = zcols
     if args.compact:
-        zorder = getattr(args, "zorder", None)
-        zcols = [c.strip() for c in zorder.split(",") if c.strip()] if zorder else None
-        # a clustering rewrite must cover the whole table, not just the
-        # dirty buckets, or the cold buckets stay linear
-        table.compact(only_dirty=not zcols, zorder=zcols)
+        # After a reshard the table is fully folded and clustered, so
+        # only the tombstone purge remains (--compact's documented
+        # checkpoint-barrier op): restrict to dirty buckets and keep
+        # the SAME clustering so the purge rewrite doesn't revert them
+        # to linear order. Without a reshard, a clustering rewrite
+        # must cover the whole table or cold buckets stay linear.
+        only_dirty = True if rebucket_to is not None else not zcols
+        table.compact(only_dirty=only_dirty, zorder=zcols)
         summary["compacted"] = True
         if zcols:
             summary["zorder"] = zcols
@@ -378,11 +387,11 @@ def main(argv: list[str] | None = None) -> None:
                         "orphan until its manifest commits; set well above "
                         "the longest write when a pipeline is live)")
     m.add_argument("--zorder", default=None,
-                   help="with --compact: full-table rewrite clustered by "
-                        "the interleaved quantile ranks of these "
-                        "comma-separated columns (OPTIMIZE ZORDER BY "
-                        "analog) — makes the manifest bounds skip files "
-                        "on any of them; add them to stats_columns")
+                   help="with --compact or --rebucket: cluster the "
+                        "rewrite by the interleaved quantile ranks of "
+                        "these comma-separated columns (OPTIMIZE ZORDER "
+                        "BY analog) — makes the manifest bounds skip "
+                        "files on any of them; add them to stats_columns")
     m.add_argument("--rebucket", type=int, default=None,
                    help="reshard the table to this hash-bucket count (one "
                         "atomic full rewrite; folds MOR deltas, keeps "

@@ -112,6 +112,8 @@ class TableBackend(Protocol):
 
     def rebucket(self, new_num_buckets: int) -> None: ...
 
-    def expire_snapshots(self, keep_last: int = 1) -> int: ...
+    def expire_snapshots(
+        self, keep_last: int = 1, grace_seconds: float = 0.0
+    ) -> int: ...
 
     def history(self) -> list[dict]: ...

@@ -24,10 +24,13 @@ Mechanics (all JVM-side, no Python in the row path):
    skew — with uniform bucketing one hot value would collapse every
    row onto a handful of z-values.
 3. The rank is "how many boundaries ≤ value" — computed with
-   ``F.aggregate`` over a literal boundary array so the proxy column is
-   evaluated once per row, not once per boundary (the CollapseProject
-   lambda-inlining trap; ranks are materialized in their own projection
-   for the same reason).
+   ``F.aggregate`` over a literal boundary array, carrying the proxy
+   VALUE through the accumulator struct (the zero slot is evaluated
+   once per row) so the proxy expression never lands inside the
+   per-element lambda. A single-reference proxy column WOULD be
+   inlined there by ColumnPruning+CollapseProject and re-evaluated
+   once per boundary — 255x per row on a full-table rewrite (the
+   lambda-inlining trap; pinned by a plan test).
 4. Bits interleave little-endian across dimensions into one long.
 
 Z-ordering is a MAINTENANCE-REWRITE concern, not a per-epoch one: CDC
@@ -55,9 +58,14 @@ def _proxy(field: T.StructField) -> Column:
     dt = field.dataType
     if isinstance(dt, _NUMERIC):
         return col.cast("double")
-    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
-        # seconds-epoch granularity is plenty for file clustering
-        return col.cast("timestamp_ntz").cast("long").cast("double")
+    if isinstance(dt, T.TimestampType):
+        return F.unix_micros(col).cast("double")
+    if isinstance(dt, T.TimestampNTZType):
+        # ntz→timestamp is order-preserving under any fixed session TZ
+        # (the direct ntz→long cast is illegal in this Spark version)
+        return F.unix_micros(col.cast("timestamp")).cast("double")
+    if isinstance(dt, T.DateType):
+        return F.unix_date(col).cast("double")
     if isinstance(dt, T.StringType):
         # big-endian first-8-byte prefix: rpad the hex with '0' so a
         # short string sorts exactly like itself followed by 0x00 bytes
@@ -98,32 +106,41 @@ def with_zorder(
     if missing:
         raise ValueError(f"zorder columns not in dataframe: {missing}")
 
+    proxies = [_proxy(by_name[c]) for c in columns]
     proxy_names = [f"__zp{i}" for i in range(len(columns))]
     proxied = df.select(
-        "*", *[_proxy(by_name[c]).alias(p) for c, p in zip(columns, proxy_names)]
+        "*", *[p.alias(n) for p, n in zip(proxies, proxy_names)]
     )
     probs = [i / (1 << bits) for i in range(1, 1 << bits)]
     all_bounds = proxied.stat.approxQuantile(proxy_names, probs, relative_error)
 
     rank_names = [f"__zr{i}" for i in range(len(columns))]
     rank_exprs = []
-    for p, bounds in zip(proxy_names, all_bounds):
+    for proxy, bounds in zip(proxies, all_bounds):
         uniq = sorted({b for b in bounds if b is not None})
         if not uniq:  # all-null / empty input: every row ranks 0
             rank_exprs.append(F.lit(0))
             continue
-        # rank = #boundaries <= value; a null proxy contributes nothing
-        # per element (when -> otherwise 0), so nulls rank 0
+        # rank = #boundaries <= value. The proxy rides the ACCUMULATOR
+        # (zero slot, evaluated once per row): referencing the proxy
+        # column inside the lambda instead would let CollapseProject
+        # inline its expression there and re-run it per boundary. A
+        # null proxy contributes nothing per element (when ->
+        # otherwise 0), so nulls rank 0.
         rank_exprs.append(
             F.aggregate(
                 F.array(*[F.lit(float(b)) for b in uniq]),
-                F.lit(0),
-                lambda acc, b: acc + F.when(F.col(p) >= b, 1).otherwise(0),
+                F.struct(proxy.alias("v"), F.lit(0).alias("c")),
+                lambda acc, b: F.struct(
+                    acc["v"].alias("v"),
+                    (acc["c"] + F.when(acc["v"] >= b, 1).otherwise(0)).alias("c"),
+                ),
+                lambda acc: acc["c"],
             )
         )
     # materialize ranks in their own projection: each rank is referenced
     # `bits` times by the interleave and must not re-run its aggregate
-    ranked = proxied.select(
+    ranked = df.select(
         "*", *[e.alias(r) for e, r in zip(rank_exprs, rank_names)]
     )
 

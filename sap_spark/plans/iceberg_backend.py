@@ -86,6 +86,10 @@ PROP_KEYS = "sap_spark.key-columns"          # JSON list of key column names
 PROP_BUCKETS = "sap_spark.num-buckets"       # int
 PROP_BATCHES = "sap_spark.expired-batches"   # JSON list: batch ids whose
 #   snapshots were expired — unioned with live ancestry wap.ids (law 2).
+PROP_REBUCKET_PENDING = "sap_spark.rebucket-pending"  # int: target count of
+#   an in-flight rebucket — set before the row UPDATE, cleared after the
+#   num-buckets flip, so a crash between the two commits is detectable
+#   (num_buckets then refuses to answer until the rebucket is re-run).
 
 _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
@@ -243,6 +247,10 @@ def _sql_set_property(table: str, key: str, value: str) -> str:
     )
 
 
+def _sql_unset_property(table: str, key: str) -> str:
+    return f"ALTER TABLE {_qname(table)} UNSET TBLPROPERTIES ('{key}')"
+
+
 def evolution_ddl(table: str, plan: EvolutionPlan) -> list[str]:
     """The DDL statements a non-noop EvolutionPlan compiles to (law 4).
     Same planner as LakeTable; Iceberg's allowed type promotions
@@ -364,6 +372,16 @@ class IcebergTable:
 
     @property
     def num_buckets(self) -> int:
+        pending = self._props.get(PROP_REBUCKET_PENDING)
+        if pending:
+            # rows may already carry the new numbering while this
+            # property still holds the old one — answering would let a
+            # merge insert duplicate keys. Fail loudly until repaired.
+            raise RuntimeError(
+                f"table {self.path} has an interrupted rebucket to "
+                f"{pending} buckets; re-run rebucket({pending}) to "
+                "complete it before writing"
+            )
         return int(self._props[PROP_BUCKETS])
 
     @property
@@ -591,27 +609,54 @@ class IcebergTable:
         self.version = len(self._ancestry)
 
     def rebucket(self, new_num_buckets: int) -> None:
-        """Layout evolution (law 9): one transactional UPDATE reroutes
-        every row's ``_bucket`` under the new count, then the
-        num-buckets property flips so ``affected_buckets`` and merge
-        partition-pruning speak the new numbering. Readers of earlier
-        snapshots are untouched (Iceberg snapshot isolation); a stale
-        handle refreshes on reload exactly like after a compaction."""
+        """Layout evolution (law 9): the row UPDATE (one transactional
+        Iceberg commit) reroutes every row's ``_bucket`` under the new
+        count, then the num-buckets property flips so
+        ``affected_buckets`` and merge partition-pruning speak the new
+        numbering. Readers of earlier snapshots are untouched (Iceberg
+        snapshot isolation); a stale handle refreshes on reload exactly
+        like after a compaction.
+
+        The UPDATE and the property flip are necessarily TWO catalog
+        commits (Iceberg transactions don't span DML + property DDL),
+        so a crash window exists where rows carry the new numbering
+        while the property still names the old — a merge in that state
+        would silently insert duplicate keys. The pending marker closes
+        it: ``PROP_REBUCKET_PENDING`` is set (with the target count)
+        before the UPDATE and cleared after the flip; while it is set,
+        ``num_buckets`` refuses to answer and re-running
+        ``rebucket(<target>)`` repairs — the UPDATE is idempotent (it
+        recomputes the same values whether the crash hit before or
+        after the row commit), and completion flips + clears."""
         if not isinstance(new_num_buckets, int) or new_num_buckets < 1:
             raise ValueError(
                 f"new_num_buckets must be a positive int, got {new_num_buckets!r}"
             )
-        if new_num_buckets == self.num_buckets:
-            raise ValueError(
-                f"table already has {self.num_buckets} buckets — rebucket "
-                "is a full rewrite, a same-count call is almost certainly a bug"
+        pending = self._props.get(PROP_REBUCKET_PENDING)
+        if pending and int(pending) != new_num_buckets:
+            raise RuntimeError(
+                f"table {self.path} has an interrupted rebucket to "
+                f"{pending} buckets; complete it with rebucket({pending}) "
+                f"before requesting {new_num_buckets}"
             )
+        current = int(self._props[PROP_BUCKETS])  # bypass the pending guard
+        if not pending and new_num_buckets == current:
+            raise ValueError(
+                f"table already has {current} buckets — rebucket is a full "
+                "rewrite, a same-count call is almost certainly a bug"
+            )
+        self.spark.sql(
+            _sql_set_property(
+                self.path, PROP_REBUCKET_PENDING, str(new_num_buckets)
+            )
+        )
         self.spark.sql(
             _sql_rebucket(self.path, self.key_columns, new_num_buckets)
         )
         self.spark.sql(
             _sql_set_property(self.path, PROP_BUCKETS, str(new_num_buckets))
         )
+        self.spark.sql(_sql_unset_property(self.path, PROP_REBUCKET_PENDING))
         self._props = self._load_props()
         self._ancestry = self._load_ancestry()
         self.version = len(self._ancestry)

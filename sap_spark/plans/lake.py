@@ -1055,7 +1055,9 @@ class LakeTable:
         self._commit(manifest, op=op)
         return dirty
 
-    def rebucket(self, new_num_buckets: int) -> None:
+    def rebucket(
+        self, new_num_buckets: int, zorder: "list[str] | None" = None
+    ) -> None:
         """Change the hash-bucket count — the partition-spec-evolution
         analog (Iceberg ``REPLACE PARTITION FIELD bucket(N, k) WITH
         bucket(M, k)``). The count is sized for day-one data
@@ -1082,7 +1084,11 @@ class LakeTable:
         Cluster note: choosing ``new = k * old`` keeps the shuffle
         local — ``pmod(h, k*N) % N == pmod(h, N)``, so every row of
         old bucket b scatters into only the k buckets
-        ``{b, b+N, ..., b+(k-1)N}`` instead of all-to-all."""
+        ``{b, b+N, ..., b+(k-1)N}`` instead of all-to-all.
+
+        ``zorder``: cluster the new layout while we're rewriting it
+        anyway (see :meth:`compact`) — a reshard and a clustering
+        rewrite share one full-table pass instead of costing two."""
         if not isinstance(new_num_buckets, int) or new_num_buckets < 1:
             raise ValueError(
                 f"new_num_buckets must be a positive int, got {new_num_buckets!r}"
@@ -1093,6 +1099,11 @@ class LakeTable:
                 f"table already has {old} buckets — rebucket is a full "
                 "rewrite, a same-count call is almost certainly a bug"
             )
+        if zorder:
+            known = {f.name for f in self.schema.fields} | set(INTERNAL_COLS)
+            unknown = [c for c in zorder if c not in known]
+            if unknown:
+                raise ValueError(f"zorder columns not in schema: {unknown}")
         live = self.read_internal()  # MOR-folded, tombstones + seq kept
         prepared = live.withColumn(
             "__bucket", bucket_expr(self.key_columns, new_num_buckets)
@@ -1103,12 +1114,12 @@ class LakeTable:
         # default partition count, which we pass explicitly — the new
         # layout is written before the count flips in the manifest
         manifest["buckets"] = self._write_buckets(
-            prepared, n_partitions=new_num_buckets
+            prepared, n_partitions=new_num_buckets, zorder=zorder
         )
-        self._commit(
-            manifest,
-            op={"type": "rebucket", "from": old, "to": new_num_buckets},
-        )
+        op = {"type": "rebucket", "from": old, "to": new_num_buckets}
+        if zorder:
+            op["zorder"] = list(zorder)
+        self._commit(manifest, op=op)
 
     def expire_snapshots(self, keep_last: int = 1, grace_seconds: float = 0.0) -> int:
         """Delete manifests older than the newest `keep_last` and any data

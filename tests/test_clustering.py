@@ -162,3 +162,71 @@ def test_cli_maintain_zorder(spark, tmpdir_path):
     assert summary["compacted"] is True
     assert summary["rows"] == 64
     assert LakeTable(spark, path).history()[0]["op"]["zorder"] == ["x", "y"]
+
+
+def test_rebucket_with_zorder_single_pass(spark, tmpdir_path):
+    table = LakeTable.create(
+        spark, f"{tmpdir_path}/t", SCHEMA, key_columns=["k"],
+        num_buckets=1, max_records_per_file=256,
+        stats_columns=["k", "x", "y"],
+    )
+    table.overwrite(_grid_df(spark), batch_id="seed")
+    v_before = table.version
+    table.rebucket(2, zorder=["x", "y"])
+    assert table.version == v_before + 1, "reshard + clustering = ONE commit"
+    assert table.history()[0]["op"] == {
+        "type": "rebucket", "from": 1, "to": 2, "zorder": ["x", "y"],
+    }
+    # both new buckets' files bound y (skipping works after the reshard)
+    kept, total = _survivors(table, [("y", ">=", 10), ("y", "<=", 12)])
+    assert kept <= total // 2, (kept, total)
+    assert table.read().count() == 4096
+    with pytest.raises(ValueError, match="zorder"):
+        table.rebucket(4, zorder=["nope"])
+
+
+def test_zorder_time_typed_columns(spark):
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 1, 1) + dt.timedelta(hours=i), dt.date(2024, 1, 1 + i))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, d date")
+    out = with_zorder(df, ["ts"], bits=4).orderBy("ts").collect()
+    zvals = [r["__zval"] for r in out]
+    assert zvals == sorted(zvals)
+    ntz = spark.createDataFrame(rows, "ts timestamp_ntz, d date")
+    out = with_zorder(ntz, ["ts", "d"], bits=4).collect()
+    assert len(out) == 20
+
+
+def test_zorder_proxy_not_inlined_into_rank_lambda(spark):
+    """The string proxy (conv/rpad/hex/substring chain) must ride the
+    aggregate's zero slot — evaluated once per row — not be inlined
+    into the per-element lambda where it would re-run once per
+    boundary (255x per row at bits=8)."""
+    df = spark.createDataFrame([(f"s{i}",) for i in range(50)], "s string")
+    out = with_zorder(df, ["s"], bits=8)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("substring") == 1, plan
+
+
+def test_cli_zorder_without_rewrite_is_loud(spark, tmpdir_path):
+    from sap_spark import cli
+
+    path = f"{tmpdir_path}/t"
+    LakeTable.create(spark, path, SCHEMA, key_columns=["k"], num_buckets=1)
+
+    class Args:
+        pass
+
+    args = Args()
+    args.table = path
+    args.compact = False
+    args.zorder = "x,y"
+    args.expire_keep = 5
+    args.expire_grace = 0.0
+    args.rebucket = None
+    with pytest.raises(SystemExit, match="--zorder requires"):
+        cli.run_maintain(args, spark=spark)

@@ -175,3 +175,33 @@ def test_constructor_rejects_negative_version(spark):
     # negative indexing into the ancestry list
     with pytest.raises(ValueError, match="outside"):
         IcebergTable(spark, "ice.cdc.nope", version=-1)
+
+
+def test_rebucket_pending_marker_protocol():
+    """The UPDATE and the property flip are two catalog commits; the
+    pending marker makes the crash window between them detectable and
+    repairable instead of silently duplicate-inserting on merge."""
+    from sap_spark.plans.iceberg_backend import (
+        PROP_BUCKETS,
+        PROP_REBUCKET_PENDING,
+        _sql_unset_property,
+    )
+
+    assert _sql_unset_property(TABLE, PROP_REBUCKET_PENDING) == (
+        "ALTER TABLE `ice`.`cdc`.`repos` UNSET TBLPROPERTIES "
+        "('sap_spark.rebucket-pending')"
+    )
+    t = IcebergTable.__new__(IcebergTable)
+    t.path = TABLE
+    t._props = {PROP_BUCKETS: "8", PROP_REBUCKET_PENDING: "32"}
+    with pytest.raises(RuntimeError, match="interrupted rebucket"):
+        t.num_buckets
+    # a DIFFERENT target must not paper over the half-done reshard
+    with pytest.raises(RuntimeError, match=r"rebucket\(32\)"):
+        t.rebucket(16)
+    # without a pending marker, a same-count call is the usual error
+    t2 = IcebergTable.__new__(IcebergTable)
+    t2.path = TABLE
+    t2._props = {PROP_BUCKETS: "8"}
+    with pytest.raises(ValueError, match="already has 8"):
+        t2.rebucket(8)
