@@ -329,6 +329,50 @@ class LakeTable:
         self._commit(manifest)
         return True
 
+    _UNSET = object()
+
+    def alter_properties(
+        self,
+        stats_columns=_UNSET,
+        sort_columns=_UNSET,
+        max_records_per_file=_UNSET,
+    ) -> bool:
+        """Change the write-path layout knobs after creation, as a
+        metadata-only commit. All three affect only FUTURE writes —
+        existing files keep whatever stats/order/size they were written
+        with, which is sound (a file without bounds for a column is
+        simply never pruned on it) — so the table a user sized on day
+        one can pick up an event-time stats column, a new clustering
+        key, or a file-size bound without any rewrite; the next
+        ``compact(only_dirty=False)`` re-lays everything out under the
+        new settings. Returns True if anything changed."""
+        known = {f.name for f in self.schema.fields} | set(INTERNAL_COLS)
+        props = dict(self.manifest.get("properties", {}))
+        changed = {}
+        if stats_columns is not self._UNSET:
+            unknown = [c for c in (stats_columns or []) if c not in known]
+            if unknown:
+                raise ValueError(f"stats_columns not in schema: {unknown}")
+            changed["stats_columns"] = list(stats_columns or [])
+        if sort_columns is not self._UNSET:
+            unknown = [c for c in (sort_columns or []) if c not in known]
+            if unknown:
+                raise ValueError(f"sort_columns not in schema: {unknown}")
+            changed["sort_columns"] = list(sort_columns or [])
+        if max_records_per_file is not self._UNSET:
+            if max_records_per_file is not None and max_records_per_file < 1:
+                raise ValueError(
+                    f"max_records_per_file must be positive, got {max_records_per_file}"
+                )
+            changed["max_records_per_file"] = max_records_per_file
+        changed = {k: v for k, v in changed.items() if props.get(k) != v}
+        if not changed:
+            return False
+        manifest = json.loads(json.dumps(self.manifest))
+        manifest.setdefault("properties", {}).update(changed)
+        self._commit(manifest, op={"type": "alter", "properties": changed})
+        return True
+
     # -- read path ----------------------------------------------------------
 
     def _read_files(self, files: list[dict], schema_id_target: int) -> DataFrame | None:

@@ -230,3 +230,40 @@ def test_cli_zorder_without_rewrite_is_loud(spark, tmpdir_path):
     args.rebucket = None
     with pytest.raises(SystemExit, match="--zorder requires"):
         cli.run_maintain(args, spark=spark)
+
+
+def test_alter_properties_metadata_only_commit(spark, tmpdir_path):
+    table = LakeTable.create(
+        spark, f"{tmpdir_path}/t", SCHEMA, key_columns=["k"], num_buckets=1
+    )
+    table.overwrite(_grid_df(spark, side=8), batch_id="seed")
+    v = table.version
+    files_before = [
+        e["path"] for es in table.manifest["buckets"].values() for e in es
+    ]
+    assert table.alter_properties(
+        stats_columns=["k", "x", "y"], sort_columns=["y"],
+        max_records_per_file=16,
+    ) is True
+    # metadata-only: one commit, zero files touched
+    assert table.version == v + 1
+    files_after = [
+        e["path"] for es in table.manifest["buckets"].values() for e in es
+    ]
+    assert files_after == files_before
+    assert table.history()[0]["op"]["type"] == "alter"
+    assert table.stats_columns == ["k", "x", "y"]
+    assert table.sort_columns == ["y"]
+    assert table.max_records_per_file == 16
+    # a no-op alter commits nothing
+    assert table.alter_properties(sort_columns=["y"]) is False
+    assert table.version == v + 1
+    # the next full rewrite adopts the new layout: several y-sorted
+    # files whose bounds now skip on y
+    table.compact(only_dirty=False)
+    kept, total = _survivors(table, [("y", ">=", 7), ("y", "<=", 7)])
+    assert total >= 4 and kept < total, (kept, total)
+    # unknown columns fail loudly
+    with pytest.raises(ValueError, match="not in schema"):
+        table.alter_properties(stats_columns=["nope"])
+    assert table.read().count() == 64
