@@ -294,6 +294,19 @@ def run_status(args, spark=None) -> dict:
         "with_bounds": sum(1 for e in all_entries if e.get("stats")),
         "columns": table.stats_columns,
         "sort_columns": table.sort_columns,
+        "max_records_per_file": table.max_records_per_file,
+        # the last layout-changing rewrite, if any (rebucket / zordered
+        # compact / alter) — tells the operator what clustering the
+        # long-lived base files actually carry
+        "last_layout_op": next(
+            (
+                h["op"]
+                for h in hist
+                if (h.get("op") or {}).get("type") in ("rebucket", "alter")
+                or (h.get("op") or {}).get("zorder")
+            ),
+            None,
+        ),
     }
     from sap_spark.streaming.pipeline import fold_lineage, read_lineage_file
 

@@ -163,6 +163,13 @@ def test_cli_maintain_zorder(spark, tmpdir_path):
     assert summary["rows"] == 64
     assert LakeTable(spark, path).history()[0]["op"]["zorder"] == ["x", "y"]
 
+    st_args = Args()
+    st_args.table = path
+    st_args.pipeline_id = None
+    st_args.count = False
+    status = cli.run_status(st_args, spark=spark)
+    assert status["file_stats"]["last_layout_op"]["zorder"] == ["x", "y"]
+
 
 def test_rebucket_with_zorder_single_pass(spark, tmpdir_path):
     table = LakeTable.create(
