@@ -67,6 +67,11 @@ DELETED_COL = "_deleted"
 INTERNAL_COLS = (SEQ_COL, DELETED_COL)
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer claimed this table version first (or a dead
+    writer's torn manifest blocks it) — see :meth:`LakeTable._commit`."""
+
+
 def bucket_expr(key_columns: list[str] | tuple[str, ...], num_buckets: int) -> F.Column:
     """Deterministic bucket id for a primary key."""
     return F.pmod(F.xxhash64(*key_columns), F.lit(num_buckets)).cast("int")
@@ -127,7 +132,18 @@ class LakeTable:
         compaction's rewritten buckets), surfaced by :meth:`history`.
         Manifests are built by deep-copying the current one, so an
         inherited annotation from a prior commit is stripped unless this
-        commit supplies its own."""
+        commit supplies its own.
+
+        Optimistic concurrency (the Iceberg catalog-CAS analog at file
+        granularity): the v(N+1) manifest is claimed with an atomic
+        ``os.link`` — exactly one writer can create it. A second writer
+        racing from the same base version gets
+        :class:`ConcurrentCommitError` instead of silently overwriting
+        the winner's manifest, which would orphan the winner's data
+        files AND erase its exactly-once batch markers (a later replay
+        would then double-apply). The loser reloads the table and
+        retries; its own no-op check (`committed_batches`) makes the
+        retry safe."""
         new_version = self.version + 1
         manifest["version"] = new_version
         manifest["parent"] = self.version
@@ -139,13 +155,47 @@ class LakeTable:
         tmp = mpath + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
-        os.replace(tmp, mpath)
+        try:
+            os.link(tmp, mpath)  # atomic claim: fails if v(N+1) exists
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"version {new_version} of {self.path} already exists: "
+                "either another writer committed concurrently (reload the "
+                "table and retry — committed batch ids replay as no-ops), "
+                "or a dead writer left a torn, never-pointer-flipped "
+                "manifest (clear it with clear_torn_commits() once no "
+                "writer is live)"
+            ) from None
+        finally:
+            os.unlink(tmp)
         vtmp = self._version_file() + f".tmp-{uuid.uuid4().hex}"
         with open(vtmp, "w") as f:
             f.write(str(new_version))
         os.replace(vtmp, self._version_file())  # atomic pointer flip
         self.version = new_version
         self.manifest = manifest
+
+    def clear_torn_commits(self) -> list[str]:
+        """Remove manifest files ABOVE the committed VERSION pointer —
+        the debris of a writer that died after writing v(N+1) but
+        before the pointer flip. Such manifests were never committed
+        (the flip is the commit point; their data files are
+        unreferenced and age out via :meth:`expire_snapshots`), but
+        they block the next commit's version claim. Single-operator
+        repair op: only run when no writer is live. Returns the paths
+        removed."""
+        committed = self._current_version()
+        removed = []
+        for mf in glob.glob(os.path.join(self._meta_dir, "v*.json")):
+            base = os.path.basename(mf)
+            try:
+                ver = int(base[1:-5])
+            except ValueError:
+                continue
+            if ver > committed:
+                os.remove(mf)
+                removed.append(mf)
+        return sorted(removed)
 
     # -- creation ---------------------------------------------------------
 
