@@ -294,6 +294,7 @@ def run_status(args, spark=None) -> dict:
         "with_bounds": sum(1 for e in all_entries if e.get("stats")),
         "columns": table.stats_columns,
         "sort_columns": table.sort_columns,
+        "bloom_columns": table.bloom_columns,
         "max_records_per_file": table.max_records_per_file,
         # the last layout-changing rewrite, if any (rebucket / zordered
         # compact / alter) — tells the operator what clustering the

@@ -53,8 +53,9 @@ from pyspark.sql import types as T
 
 from sap_spark.config import EngineConfig
 from sap_spark.plans.stats import (
+    collect_parquet_bloom,
     collect_parquet_stats,
-    file_may_match,
+    entry_may_match,
     key_equality_literals,
     parse_conjuncts,
     split_conjuncts_by_keys,
@@ -213,6 +214,7 @@ class LakeTable:
         stats_columns: "list[str] | None" = None,
         sort_columns: "list[str] | None" = None,
         max_records_per_file: "int | None" = None,
+        bloom_columns: "list[str] | None" = None,
     ) -> "LakeTable":
         """Create an empty table (schema = user columns, no internal cols).
 
@@ -255,7 +257,16 @@ class LakeTable:
         files; bounding splits each bucket's output into several
         scan-friendly files, which is also what gives the per-file
         bounds (``stats_columns`` + ``sort_columns``/zorder) something
-        to skip."""
+        to skip.
+
+        ``bloom_columns``: record a tiny per-file bloom (2 KiB/column,
+        plans/stats.py) at every commit so EQUALITY predicates skip
+        files on high-cardinality NON-clustered columns — bounds can't
+        help there (every file spans the domain), but ``WHERE commit =
+        '<sha>'`` over the north-rule schema drops to the handful of
+        bloom-hit files. Opt-in: collection reads the column's data at
+        commit time (O(batch), like the write itself); string/int
+        columns only."""
         if merge_mode not in ("cow", "mor"):
             raise ValueError(f"merge_mode must be 'cow' or 'mor', got {merge_mode!r}")
         known = {f.name for f in schema.fields} | set(INTERNAL_COLS)
@@ -272,6 +283,9 @@ class LakeTable:
             raise ValueError(
                 f"max_records_per_file must be positive, got {max_records_per_file}"
             )
+        unknown = [c for c in (bloom_columns or []) if c not in known]
+        if unknown:
+            raise ValueError(f"bloom_columns not in schema: {unknown}")
         if num_buckets is None:
             num_buckets = derive_num_buckets(expected_payload_bytes or 0)
         meta_dir = os.path.join(path, "_meta")
@@ -297,6 +311,7 @@ class LakeTable:
                 "stats_columns": list(stats_columns),
                 "sort_columns": list(sort_columns or []),
                 "max_records_per_file": max_records_per_file,
+                "bloom_columns": list(bloom_columns or []),
             },
         }
         mpath = os.path.join(meta_dir, "v00000000.json")
@@ -351,6 +366,11 @@ class LakeTable:
         """Per-file row bound applied to every write (see :meth:`create`)."""
         return self.manifest.get("properties", {}).get("max_records_per_file")
 
+    @property
+    def bloom_columns(self) -> list[str]:
+        """Columns carrying per-file blooms (see :meth:`create`)."""
+        return self.manifest.get("properties", {}).get("bloom_columns") or []
+
     def _schema_with_internal(self, schema_id: int | None = None) -> T.StructType:
         sid = self.manifest["current_schema_id"] if schema_id is None else schema_id
         base = T.StructType.fromJson(json.loads(self.manifest["schemas"][sid]))
@@ -386,6 +406,7 @@ class LakeTable:
         stats_columns=_UNSET,
         sort_columns=_UNSET,
         max_records_per_file=_UNSET,
+        bloom_columns=_UNSET,
     ) -> bool:
         """Change the write-path layout knobs after creation, as a
         metadata-only commit. All three affect only FUTURE writes —
@@ -415,6 +436,11 @@ class LakeTable:
                     f"max_records_per_file must be positive, got {max_records_per_file}"
                 )
             changed["max_records_per_file"] = max_records_per_file
+        if bloom_columns is not self._UNSET:
+            unknown = [c for c in (bloom_columns or []) if c not in known]
+            if unknown:
+                raise ValueError(f"bloom_columns not in schema: {unknown}")
+            changed["bloom_columns"] = list(bloom_columns or [])
         changed = {k: v for k, v in changed.items() if props.get(k) != v}
         if not changed:
             return False
@@ -501,9 +527,7 @@ class LakeTable:
             if any(e.get("kind") == "delta" for e in entries):
                 if key_cj:
                     entries = [
-                        e
-                        for e in entries
-                        if file_may_match(e.get("stats") or {}, key_cj, ts_utc)
+                        e for e in entries if entry_may_match(e, key_cj, ts_utc)
                     ]
                 delta_bucket_files.extend(entries)
             else:
@@ -511,9 +535,7 @@ class LakeTable:
                     entries = [
                         e
                         for e in entries
-                        if file_may_match(
-                            e.get("stats") or {}, key_cj + other_cj, ts_utc
-                        )
+                        if entry_may_match(e, key_cj + other_cj, ts_utc)
                     ]
                 base_files.extend(entries)
         parts: list[DataFrame] = []
@@ -645,6 +667,7 @@ class LakeTable:
         writer.partitionBy("__bucket").mode("overwrite").parquet(commit_dir)
         sid = self.manifest["current_schema_id"]
         stats_cols = self.stats_columns
+        bloom_cols = self.bloom_columns
         out: dict[str, list[dict]] = {}
         for bdir in glob.glob(os.path.join(commit_dir, "__bucket=*")):
             b = bdir.rsplit("=", 1)[1]
@@ -660,6 +683,15 @@ class LakeTable:
                         st = {}
                     if st:
                         entry["stats"] = st
+                if bloom_cols:
+                    # opt-in column-data read (O(this commit's bytes));
+                    # same never-fail-the-commit contract as the bounds
+                    try:
+                        bl = collect_parquet_bloom(p, bloom_cols)
+                    except Exception:  # noqa: BLE001
+                        bl = {}
+                    if bl:
+                        entry["bloom"] = bl
                 entries.append(entry)
             if entries:
                 out[b] = entries

@@ -44,6 +44,7 @@ the seam either collector feeds.
 
 from __future__ import annotations
 
+import hashlib
 from datetime import date, datetime
 from decimal import Decimal
 
@@ -139,6 +140,117 @@ def _lt(a, b) -> bool:
         return a < b
     except TypeError:
         return False
+
+
+# ---------------------------------------------------------------------------
+# per-file bloom filters (point-lookup skipping on non-clustered columns)
+# ---------------------------------------------------------------------------
+#
+# Min/max bounds only skip when values are clustered; a high-cardinality
+# scattered column — the commit sha of the north-rule schema is the
+# canonical case — spans its whole domain in every file, so "WHERE
+# commit = '<sha>'" scans everything. A tiny per-file bloom (2 KiB, k=7;
+# ~1% false-positive at ~2k distinct values, degrading gracefully above)
+# lets an equality conjunct drop almost every file driver-side, same as
+# Iceberg/Parquet bloom skipping but at manifest granularity: no file
+# is even opened. Collection reads the column's DATA at commit time
+# (not just the footer) — opt-in via create(bloom_columns=[...]) for
+# exactly that reason. Soundness is inherited: a bloom-missing file is
+# kept, a bloom hit is "maybe", only a definite miss drops the file,
+# and the caller applies the same key/non-key MOR split as for bounds.
+
+_BLOOM_M = 16384  # bits -> 2 KiB per file per column
+_BLOOM_K = 7
+
+
+def _bloom_hashes(value) -> "list[int] | None":
+    """k bit indexes for one value, or None when the type is not
+    bloomable. The canonical byte form must agree between the write
+    side (pyarrow Python values) and the query side (Catalyst literal
+    values): text for ints, UTF-8 for strings. Floats/times/bools are
+    excluded — their write/query coercion is ambiguous."""
+    if isinstance(value, bool) or value is None:
+        return None
+    if isinstance(value, int):
+        data = b"i:" + str(value).encode()
+    elif isinstance(value, str):
+        data = b"s:" + value.encode("utf-8")
+    elif isinstance(value, bytes):
+        data = b"b:" + value
+    else:
+        return None
+    h = hashlib.blake2b(data, digest_size=16).digest()
+    h1 = int.from_bytes(h[:8], "little")
+    h2 = int.from_bytes(h[8:], "little") | 1  # odd -> good double hashing
+    return [(h1 + i * h2) % _BLOOM_M for i in range(_BLOOM_K)]
+
+
+def collect_parquet_bloom(path: str, columns: "list[str]") -> "dict[str, str]":
+    """``{column: base64 bloom}`` built from one parquet file's column
+    DATA. A column is omitted when any value isn't bloomable (floats,
+    nested types) — absence means "never prune on this"."""
+    import base64
+
+    import pyarrow.parquet as pq
+
+    if not columns:
+        return {}
+    pf = pq.ParquetFile(path)
+    present = [c for c in columns if c in set(pf.schema_arrow.names)]
+    out: dict[str, str] = {}
+    for c in present:
+        bits = bytearray(_BLOOM_M // 8)
+        ok = True
+        for batch in pf.iter_batches(columns=[c]):
+            for v in batch.column(0).to_pylist():
+                if v is None:
+                    continue
+                hs = _bloom_hashes(v)
+                if hs is None:
+                    ok = False
+                    break
+                for b in hs:
+                    bits[b >> 3] |= 1 << (b & 7)
+            if not ok:
+                break
+        if ok:
+            out[c] = base64.b64encode(bytes(bits)).decode()
+    return out
+
+
+def bloom_may_match(
+    blooms: "dict[str, str]", conjuncts: "list[tuple[str, str, object]]"
+) -> bool:
+    """Could a file with these per-column blooms contain a row matching
+    every EQUALITY conjunct? Missing blooms / non-equality ops /
+    unbloomable literals keep the file."""
+    import base64
+
+    for col, op, lit in conjuncts:
+        if op != "=":
+            continue
+        enc = blooms.get(col)
+        if not enc:
+            continue
+        hs = _bloom_hashes(lit)
+        if hs is None:
+            continue
+        bits = base64.b64decode(enc)
+        if any(not (bits[b >> 3] >> (b & 7)) & 1 for b in hs):
+            return False
+    return True
+
+
+def entry_may_match(
+    entry: dict,
+    conjuncts: "list[tuple[str, str, object]]",
+    ts_utc_session: bool = True,
+) -> bool:
+    """Both skipping layers over one manifest file entry: min/max
+    bounds, then the bloom. Same keep-on-doubt contract as each."""
+    return file_may_match(
+        entry.get("stats") or {}, conjuncts, ts_utc_session
+    ) and bloom_may_match(entry.get("bloom") or {}, conjuncts)
 
 
 # ---------------------------------------------------------------------------

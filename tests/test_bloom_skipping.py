@@ -1,0 +1,159 @@
+"""Per-file bloom skipping (plans/stats.py bloom layer).
+
+Min/max bounds can't skip on a high-cardinality UNCLUSTERED column —
+every file spans the whole domain. The per-file bloom closes exactly
+that gap for equality predicates: the north-rule table's `commit` sha
+(not a key, not sorted) is the canonical "needle in 10^6 files" lookup.
+"""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sap_spark.plans.lake import LakeTable
+from sap_spark.plans.stats import (
+    _bloom_hashes,
+    bloom_may_match,
+    collect_parquet_bloom,
+    entry_may_match,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+
+
+def _sha(i: int) -> str:
+    return hashlib.sha256(str(i).encode()).hexdigest()
+
+
+def _rows_df(spark, n=2000):
+    # commit shas are uniformly scattered: min/max bounds are useless
+    return spark.range(n).select(
+        F.concat(F.lit("r"), F.col("id") % 5).alias("repo"),
+        F.concat(F.lit("p"), F.col("id")).alias("path"),
+        F.sha2(F.col("id").cast("string"), 256).alias("commit"),
+        F.concat(F.lit("body-"), F.col("id")).alias("content"),
+    )
+
+
+def _survivors(table, conjuncts):
+    entries = [e for es in table.manifest["buckets"].values() for e in es]
+    kept = sum(1 for e in entries if entry_may_match(e, conjuncts, True))
+    return kept, len(entries)
+
+
+def _make(spark, path, **kw):
+    defaults = dict(
+        key_columns=["repo", "path"], num_buckets=2,
+        max_records_per_file=250, bloom_columns=["commit"],
+    )
+    defaults.update(kw)
+    return LakeTable.create(spark, path, SCHEMA, **defaults)
+
+
+def test_bloom_unit_contains_and_excludes(spark, tmpdir_path):
+    p = f"{tmpdir_path}/f.parquet"
+    spark.createDataFrame(
+        [(_sha(i),) for i in range(500)], "commit string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmpdir_path}/d")
+    import glob
+
+    f = glob.glob(f"{tmpdir_path}/d/*.parquet")[0]
+    blooms = collect_parquet_bloom(f, ["commit", "nope"])
+    assert set(blooms) == {"commit"}
+    for i in (0, 250, 499):  # every present value must hit
+        assert bloom_may_match(blooms, [("commit", "=", _sha(i))])
+    misses = sum(
+        not bloom_may_match(blooms, [("commit", "=", _sha(10_000 + i))])
+        for i in range(200)
+    )
+    assert misses >= 190, f"false-positive rate too high: {200 - misses}/200"
+    # non-equality ops and unbloomable literals keep the file
+    assert bloom_may_match(blooms, [("commit", ">=", "zzz")])
+    assert bloom_may_match(blooms, [("commit", "=", 3.14)])
+    assert _bloom_hashes(True) is None and _bloom_hashes(None) is None
+
+
+def test_point_lookup_on_unclustered_column_skips_files(spark, tmpdir_path):
+    table = _make(spark, f"{tmpdir_path}/t")
+    table.overwrite(_rows_df(spark), batch_id="seed")
+    _, total = _survivors(table, [])
+    assert total >= 8, "need several files for skipping to mean anything"
+
+    needle = _sha(1234)  # present
+    kept, _ = _survivors(table, [("commit", "=", needle)])
+    assert kept <= max(2, total // 4), (kept, total)
+    got = table.read(where=f"commit = '{needle}'").collect()
+    assert [(r["repo"], r["path"]) for r in got] == [("r4", "p1234")]
+
+    absent = _sha(999_999)
+    got = table.read(where=f"commit = '{absent}'").count()
+    assert got == 0
+    # identity law: skipping is invisible in results
+    for needle2 in (needle, absent):
+        w = f"commit = '{needle2}'"
+        assert sorted(map(tuple, table.read(where=w).collect())) == sorted(
+            map(tuple, table.read().where(w).collect())
+        )
+
+
+def test_bloom_never_prunes_mor_fold_inputs(spark, tmpdir_path):
+    """A non-key equality must not drop a delta-bearing bucket's files:
+    key k's commit changed c_old -> c_new in a delta; pruning the delta
+    file on `commit = c_old` would resurrect the old image."""
+    table = _make(spark, f"{tmpdir_path}/t", merge_mode="mor")
+    table.overwrite(_rows_df(spark, n=100), batch_id="seed")
+    changes = spark.createDataFrame(
+        [("r4", "p14", "NEWSHA", "x", "U", 10)],
+        "repo string, path string, commit string, content string, "
+        "op string, event_seq long",
+    )
+    table.merge_cdc(changes, "b2")
+    old = _sha(14)
+    # the old sha matches nothing post-fold, and the fold must have seen
+    # the delta file even though its bloom lacks the old sha
+    assert table.read(where=f"commit = '{old}'").count() == 0
+    assert (
+        table.read(where="commit = 'NEWSHA'").select("path").first()["path"]
+        == "p14"
+    )
+
+
+def test_bloom_alter_and_status(spark, tmpdir_path):
+    from sap_spark import cli
+
+    path = f"{tmpdir_path}/t"
+    table = _make(spark, path, bloom_columns=None)
+    table.overwrite(_rows_df(spark, n=100), batch_id="seed")
+    entries = [e for es in table.manifest["buckets"].values() for e in es]
+    assert not any(e.get("bloom") for e in entries)
+    assert table.alter_properties(bloom_columns=["commit"]) is True
+    table.compact(only_dirty=False)
+    entries = [e for es in table.manifest["buckets"].values() for e in es]
+    assert all(e.get("bloom", {}).get("commit") for e in entries)
+
+    class Args:
+        pass
+
+    args = Args()
+    args.table = path
+    args.pipeline_id = None
+    args.count = False
+    assert cli.run_status(args, spark=spark)["file_stats"]["bloom_columns"] == [
+        "commit"
+    ]
+    with pytest.raises(ValueError, match="bloom_columns"):
+        table.alter_properties(bloom_columns=["nope"])
+    with pytest.raises(ValueError, match="bloom_columns"):
+        LakeTable.create(
+            spark, f"{tmpdir_path}/bad", SCHEMA,
+            key_columns=["repo", "path"], bloom_columns=["nope"],
+        )
