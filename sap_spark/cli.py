@@ -296,15 +296,24 @@ def run_status(args, spark=None) -> dict:
         "sort_columns": table.sort_columns,
         "bloom_columns": table.bloom_columns,
         "max_records_per_file": table.max_records_per_file,
-        # the last layout-changing rewrite, if any (rebucket / zordered
-        # compact / alter) — tells the operator what clustering the
-        # long-lived base files actually carry
+        # the last PHYSICAL rewrite (compact/rebucket, with its zorder
+        # if any) — what clustering the rewritten base files actually
+        # carry; a plain compact counts (it re-lays files out linearly)
+        # while a metadata-only alter does not (it touches no file)
         "last_layout_op": next(
             (
                 h["op"]
                 for h in hist
-                if (h.get("op") or {}).get("type") in ("rebucket", "alter")
-                or (h.get("op") or {}).get("zorder")
+                if (h.get("op") or {}).get("type") in ("compact", "rebucket")
+            ),
+            None,
+        ),
+        # the last metadata-only property change, reported separately
+        "last_alter_op": next(
+            (
+                h["op"]
+                for h in hist
+                if (h.get("op") or {}).get("type") == "alter"
             ),
             None,
         ),

@@ -68,6 +68,18 @@ DELETED_COL = "_deleted"
 INTERNAL_COLS = (SEQ_COL, DELETED_COL)
 
 
+def _check_layout_columns(known: set, name: str, cols) -> None:
+    """Shared create/alter validation for a column-list layout knob."""
+    unknown = [c for c in (cols or []) if c not in known]
+    if unknown:
+        raise ValueError(f"{name} not in schema: {unknown}")
+
+
+def _check_max_records(v) -> None:
+    if v is not None and v < 1:
+        raise ValueError(f"max_records_per_file must be positive, got {v}")
+
+
 class ConcurrentCommitError(RuntimeError):
     """Another writer claimed this table version first (or a dead
     writer's torn manifest blocks it) — see :meth:`LakeTable._commit`."""
@@ -273,19 +285,10 @@ class LakeTable:
         if stats_columns is None:
             stats_columns = [*key_columns, SEQ_COL]
         else:
-            unknown = [c for c in stats_columns if c not in known]
-            if unknown:
-                raise ValueError(f"stats_columns not in schema: {unknown}")
-        unknown = [c for c in (sort_columns or []) if c not in known]
-        if unknown:
-            raise ValueError(f"sort_columns not in schema: {unknown}")
-        if max_records_per_file is not None and max_records_per_file < 1:
-            raise ValueError(
-                f"max_records_per_file must be positive, got {max_records_per_file}"
-            )
-        unknown = [c for c in (bloom_columns or []) if c not in known]
-        if unknown:
-            raise ValueError(f"bloom_columns not in schema: {unknown}")
+            _check_layout_columns(known, "stats_columns", stats_columns)
+        _check_layout_columns(known, "sort_columns", sort_columns)
+        _check_layout_columns(known, "bloom_columns", bloom_columns)
+        _check_max_records(max_records_per_file)
         if num_buckets is None:
             num_buckets = derive_num_buckets(expected_payload_bytes or 0)
         meta_dir = os.path.join(path, "_meta")
@@ -416,31 +419,26 @@ class LakeTable:
         one can pick up an event-time stats column, a new clustering
         key, or a file-size bound without any rewrite; the next
         ``compact(only_dirty=False)`` re-lays everything out under the
-        new settings. Returns True if anything changed."""
+        new settings. Returns True if anything changed.
+
+        An omitted knob is left unchanged. Passing ``None`` to a
+        column-list knob CLEARS it (≡ ``[]``) — unlike :meth:`create`,
+        where ``stats_columns=None`` derives the keys+seq default; the
+        default is a creation-time convenience, never re-derived here."""
         known = {f.name for f in self.schema.fields} | set(INTERNAL_COLS)
         props = dict(self.manifest.get("properties", {}))
         changed = {}
-        if stats_columns is not self._UNSET:
-            unknown = [c for c in (stats_columns or []) if c not in known]
-            if unknown:
-                raise ValueError(f"stats_columns not in schema: {unknown}")
-            changed["stats_columns"] = list(stats_columns or [])
-        if sort_columns is not self._UNSET:
-            unknown = [c for c in (sort_columns or []) if c not in known]
-            if unknown:
-                raise ValueError(f"sort_columns not in schema: {unknown}")
-            changed["sort_columns"] = list(sort_columns or [])
+        for name, value in (
+            ("stats_columns", stats_columns),
+            ("sort_columns", sort_columns),
+            ("bloom_columns", bloom_columns),
+        ):
+            if value is not self._UNSET:
+                _check_layout_columns(known, name, value)
+                changed[name] = list(value or [])
         if max_records_per_file is not self._UNSET:
-            if max_records_per_file is not None and max_records_per_file < 1:
-                raise ValueError(
-                    f"max_records_per_file must be positive, got {max_records_per_file}"
-                )
+            _check_max_records(max_records_per_file)
             changed["max_records_per_file"] = max_records_per_file
-        if bloom_columns is not self._UNSET:
-            unknown = [c for c in (bloom_columns or []) if c not in known]
-            if unknown:
-                raise ValueError(f"bloom_columns not in schema: {unknown}")
-            changed["bloom_columns"] = list(bloom_columns or [])
         changed = {k: v for k, v in changed.items() if props.get(k) != v}
         if not changed:
             return False

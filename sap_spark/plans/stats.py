@@ -47,6 +47,7 @@ from __future__ import annotations
 import hashlib
 from datetime import date, datetime
 from decimal import Decimal
+from functools import lru_cache
 
 # bounds longer than this are not stored: a PREFIX of a string max is a
 # smaller string, i.e. an INVALID upper bound, so oversized bounds are
@@ -163,32 +164,46 @@ _BLOOM_M = 16384  # bits -> 2 KiB per file per column
 _BLOOM_K = 7
 
 
-def _bloom_hashes(value) -> "list[int] | None":
-    """k bit indexes for one value, or None when the type is not
-    bloomable. The canonical byte form must agree between the write
-    side (pyarrow Python values) and the query side (Catalyst literal
-    values): text for ints, UTF-8 for strings. Floats/times/bools are
+def _bloom_tag(value) -> "str | None":
+    """Type class of one value for bloom purposes ('i'/'s'/'b'), or
+    None when the type is not bloomable. Floats/times/bools are
     excluded — their write/query coercion is ambiguous."""
     if isinstance(value, bool) or value is None:
         return None
     if isinstance(value, int):
-        data = b"i:" + str(value).encode()
-    elif isinstance(value, str):
-        data = b"s:" + value.encode("utf-8")
-    elif isinstance(value, bytes):
-        data = b"b:" + value
-    else:
+        return "i"
+    if isinstance(value, str):
+        return "s"
+    if isinstance(value, bytes):
+        return "b"
+    return None
+
+
+@lru_cache(maxsize=4096)
+def _bloom_hashes(value) -> "list[int] | None":
+    """k bit indexes for one value, or None when the type is not
+    bloomable. The canonical byte form must agree between the write
+    side (pyarrow Python values) and the query side (Catalyst literal
+    values): text for ints, UTF-8 for strings. Cached so the planning
+    walk hashes a query literal once, not once per manifest entry."""
+    tag = _bloom_tag(value)
+    if tag is None:
         return None
-    h = hashlib.blake2b(data, digest_size=16).digest()
+    data = (
+        value if tag == "b" else str(value).encode("utf-8")
+    )
+    h = hashlib.blake2b(tag.encode() + b":" + data, digest_size=16).digest()
     h1 = int.from_bytes(h[:8], "little")
     h2 = int.from_bytes(h[8:], "little") | 1  # odd -> good double hashing
     return [(h1 + i * h2) % _BLOOM_M for i in range(_BLOOM_K)]
 
 
-def collect_parquet_bloom(path: str, columns: "list[str]") -> "dict[str, str]":
-    """``{column: base64 bloom}`` built from one parquet file's column
-    DATA. A column is omitted when any value isn't bloomable (floats,
-    nested types) — absence means "never prune on this"."""
+def collect_parquet_bloom(path: str, columns: "list[str]") -> "dict[str, dict]":
+    """``{column: {"t": type-tag, "b": base64 bloom}}`` built from one
+    parquet file's column DATA. A column is omitted when any value
+    isn't bloomable (floats, nested types) — absence means "never
+    prune on this". The stored type tag is what makes cross-type
+    lookups sound (see :func:`bloom_may_match`)."""
     import base64
 
     import pyarrow.parquet as pq
@@ -197,46 +212,55 @@ def collect_parquet_bloom(path: str, columns: "list[str]") -> "dict[str, str]":
         return {}
     pf = pq.ParquetFile(path)
     present = [c for c in columns if c in set(pf.schema_arrow.names)]
-    out: dict[str, str] = {}
+    out: dict[str, dict] = {}
     for c in present:
         bits = bytearray(_BLOOM_M // 8)
         ok = True
+        tag = None
         for batch in pf.iter_batches(columns=[c]):
             for v in batch.column(0).to_pylist():
                 if v is None:
                     continue
-                hs = _bloom_hashes(v)
-                if hs is None:
-                    ok = False
+                vtag = _bloom_tag(v)
+                if vtag is None or (tag is not None and vtag != tag):
+                    ok = False  # unbloomable or (impossible) mixed types
                     break
-                for b in hs:
+                tag = vtag
+                for b in _bloom_hashes(v):
                     bits[b >> 3] |= 1 << (b & 7)
             if not ok:
                 break
-        if ok:
-            out[c] = base64.b64encode(bytes(bits)).decode()
+        if ok and tag is not None:
+            out[c] = {"t": tag, "b": base64.b64encode(bytes(bits)).decode()}
     return out
 
 
 def bloom_may_match(
-    blooms: "dict[str, str]", conjuncts: "list[tuple[str, str, object]]"
+    blooms: "dict[str, dict]", conjuncts: "list[tuple[str, str, object]]"
 ) -> bool:
     """Could a file with these per-column blooms contain a row matching
     every EQUALITY conjunct? Missing blooms / non-equality ops /
-    unbloomable literals keep the file."""
+    unbloomable literals keep the file.
+
+    Type guard: the conjunct literal comes from Spark's UNRESOLVED
+    parse tree, so ``WHERE y = '7'`` on a bigint column carries the
+    Python str ``'7'`` while the file's bloom holds ints — Spark's own
+    analyzer would cast and match, so pruning on the raw-type miss
+    would silently lose rows. A literal whose type class differs from
+    the bloom's stored tag therefore KEEPS the file (the bounds layer
+    makes the same keep-on-type-mismatch choice in ``_coerce``)."""
     import base64
 
     for col, op, lit in conjuncts:
         if op != "=":
             continue
-        enc = blooms.get(col)
-        if not enc:
+        entry = blooms.get(col)
+        if not isinstance(entry, dict) or "b" not in entry:
             continue
-        hs = _bloom_hashes(lit)
-        if hs is None:
+        if _bloom_tag(lit) != entry.get("t"):
             continue
-        bits = base64.b64decode(enc)
-        if any(not (bits[b >> 3] >> (b & 7)) & 1 for b in hs):
+        bits = base64.b64decode(entry["b"])
+        if any(not (bits[b >> 3] >> (b & 7)) & 1 for b in _bloom_hashes(lit)):
             return False
     return True
 

@@ -160,7 +160,8 @@ def ingest_batch(
         if bucket_offsets is not None:
             metrics_out["bucket_offsets"] = bucket_offsets
     try:
-        return table.merge_cdc(
+        return _merge_self_healing(
+            table,
             folded,
             batch_id,
             op_column=cfg.op_column,
@@ -172,6 +173,35 @@ def ingest_batch(
             winners_full.unpersist()
         if cancelled is not None:
             cancelled.unpersist()
+
+
+def _merge_self_healing(table, folded, batch_id, **kw) -> bool:
+    """merge_cdc with the single-writer crash-recovery the pipeline
+    contract promises. A driver that dies between the manifest claim
+    and the pointer flip leaves a torn v(N+1) manifest; on restart the
+    replayed epoch's commit would hit ConcurrentCommitError forever.
+    The pipeline IS the table's writer (one pipeline per checkpoint
+    dir), so it may repair: reload — if the pointer moved, a genuinely
+    concurrent writer exists and the error propagates (never repair
+    someone else's claim); if the batch is already committed, the
+    replay is the normal no-op; otherwise the unflipped claim is this
+    pipeline's own debris — clear it and retry once."""
+    from sap_spark.plans.lake import ConcurrentCommitError
+
+    try:
+        return table.merge_cdc(folded, batch_id, **kw)
+    except ConcurrentCommitError:
+        committed_now = table._current_version()
+        if committed_now != table.version:
+            # the pointer moved: someone else is writing this table —
+            # refresh-and-retry here would paper over a real conflict
+            raise
+        table.clear_torn_commits()
+        # refresh IN PLACE: the pipeline reuses this handle next epoch,
+        # so a replacement handle would leave it permanently stale
+        table.version = table._current_version()
+        table.manifest = table._load_manifest(table.version)
+        return table.merge_cdc(folded, batch_id, **kw)
 
 
 def read_lineage_file(path: str) -> list[dict]:

@@ -157,3 +157,37 @@ def test_bloom_alter_and_status(spark, tmpdir_path):
             spark, f"{tmpdir_path}/bad", SCHEMA,
             key_columns=["repo", "path"], bloom_columns=["nope"],
         )
+
+
+def test_bloom_cross_type_literal_never_prunes(spark, tmpdir_path):
+    """WHERE y = '7' on a bigint column carries a str literal in the
+    unresolved parse tree; Spark's analyzer casts and matches, so the
+    bloom must KEEP on the type mismatch (identity law), exactly like
+    the bounds layer's _coerce does."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("y", T.LongType(), True),
+        ]
+    )
+    table = LakeTable.create(
+        spark, f"{tmpdir_path}/t", schema, key_columns=["k"],
+        num_buckets=1, max_records_per_file=64, bloom_columns=["y"],
+        stats_columns=[],
+    )
+    table.overwrite(
+        spark.range(256).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("y")
+        ),
+        batch_id="seed",
+    )
+    for w in ("y = '21'", "y = 21"):
+        got = sorted(r["k"] for r in table.read(where=w).collect())
+        expect = sorted(r["k"] for r in table.read().where(w).collect())
+        assert got == expect == [7], w
+    # int-typed lookups still skip: most files lack the needle
+    kept, total = _survivors(table, [("y", "=", 21)])
+    assert total >= 4 and kept <= max(1, total // 4), (kept, total)
+    # a string literal against the int bloom keeps every file
+    kept_s, _ = _survivors(table, [("y", "=", "21")])
+    assert kept_s == total
