@@ -97,12 +97,31 @@ def run_ingest(args, spark=None) -> dict:
             for dp, _, fs in os.walk(args.log)
             for f in fs
         )
+    def _cols(v):
+        return [c.strip() for c in v.split(",") if c.strip()] if v else None
+
     table = LakeTable.create(
         spark, args.table, schema, key_columns=keys,
         num_buckets=args.buckets, if_not_exists=True,
         expected_payload_bytes=expected_bytes,
         merge_mode=args.merge_mode or "cow",
+        stats_columns=_cols(getattr(args, "stats_columns", None)),
+        sort_columns=_cols(getattr(args, "sort_columns", None)),
+        bloom_columns=_cols(getattr(args, "bloom_columns", None)),
+        max_records_per_file=getattr(args, "max_records_per_file", None),
     )
+    # layout knobs are mutable table properties: explicit flags against a
+    # PRE-EXISTING table apply as a metadata-only alter (a fresh create
+    # already carries them, so this is a no-op commit-wise there)
+    explicit = {}
+    for knob in ("stats_columns", "sort_columns", "bloom_columns"):
+        v = getattr(args, knob, None)
+        if v is not None:
+            explicit[knob] = _cols(v)
+    if getattr(args, "max_records_per_file", None) is not None:
+        explicit["max_records_per_file"] = args.max_records_per_file
+    if explicit:
+        table.alter_properties(**explicit)
     if args.merge_mode is not None and table.merge_mode != args.merge_mode:
         # an EXPLICIT --merge-mode against an existing table with a
         # different stored mode: the stored mode is a table-layout
@@ -487,6 +506,17 @@ def main(argv: list[str] | None = None) -> None:
                         "delta files, fold at read (write cost O(batch), "
                         "compact() to fold back). Omitted on an existing "
                         "table: its stored mode is used")
+    i.add_argument("--stats-columns", default=None,
+                   help="table-creation only: comma-separated columns whose "
+                        "per-file [min,max] bounds drive file skipping "
+                        "(default: keys + _event_seq)")
+    i.add_argument("--sort-columns", default=None,
+                   help="table-creation only: write-order clustering columns")
+    i.add_argument("--bloom-columns", default=None,
+                   help="table-creation only: columns carrying per-file "
+                        "blooms for equality skipping (e.g. commit)")
+    i.add_argument("--max-records-per-file", type=int, default=None,
+                   help="table-creation only: bound every written file")
     i.add_argument("--max-files-per-trigger", type=int, default=None)
     i.add_argument("--pipeline-id", default=None)
     i.add_argument("--dead-letter-dir", default=None,

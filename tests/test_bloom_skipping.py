@@ -191,3 +191,36 @@ def test_bloom_cross_type_literal_never_prunes(spark, tmpdir_path):
     # a string literal against the int bloom keeps every file
     kept_s, _ = _survivors(table, [("y", "=", "21")])
     assert kept_s == total
+
+
+def test_cli_ingest_layout_flags(spark, tmpdir_path):
+    """The ingest surface exposes the layout knobs at creation and
+    applies explicit flags to a pre-existing table as an alter."""
+    import json
+
+    from sap_spark.cli import main
+    from sap_spark.sources.datagen import gen_change_events, write_change_log
+
+    log_dir = f"{tmpdir_path}/log"
+    events = gen_change_events(spark, n_events=300, n_keys=60)
+    write_change_log(events, log_dir)
+    table_dir = f"{tmpdir_path}/t"
+
+    main([
+        "ingest", "--log", log_dir, "--table", table_dir,
+        "--checkpoint", f"{tmpdir_path}/ckpt", "--buckets", "4",
+        "--bloom-columns", "commit", "--max-records-per-file", "500",
+    ])
+    table = LakeTable(spark, table_dir)
+    assert table.bloom_columns == ["commit"]
+    assert table.max_records_per_file == 500
+    entries = [e for es in table.manifest["buckets"].values() for e in es]
+    assert any(e.get("bloom", {}).get("commit") for e in entries)
+
+    # explicit flags on re-ingest of an EXISTING table apply as an alter
+    main([
+        "ingest", "--log", log_dir, "--table", table_dir,
+        "--checkpoint", f"{tmpdir_path}/ckpt2",
+        "--bloom-columns", "commit,lang",
+    ])
+    assert LakeTable(spark, table_dir).bloom_columns == ["commit", "lang"]
