@@ -213,7 +213,18 @@ def _sql_widen_column(table: str, name: str, dt: T.DataType) -> str:
     )
 
 
-def _sql_rewrite_data_files(catalog: str, db_table: str) -> str:
+def _sql_rewrite_data_files(
+    catalog: str, db_table: str, zorder: "list[str] | None" = None
+) -> str:
+    if zorder:
+        for c in zorder:
+            _q(c)  # identifier validation; zorder(...) takes bare names
+        cols = ", ".join(zorder)
+        return (
+            f"CALL {_q(catalog)}.system.rewrite_data_files("
+            f"table => '{db_table}', strategy => 'sort', "
+            f"sort_order => 'zorder({cols})')"
+        )
     return (
         f"CALL {_q(catalog)}.system.rewrite_data_files(table => '{db_table}')"
     )
@@ -599,12 +610,17 @@ class IcebergTable:
 
     # -- maintenance -------------------------------------------------------
 
-    def compact(self) -> None:
+    def compact(self, zorder: "list[str] | None" = None) -> None:
         """Bin-pack data files; user-visible rows unchanged (law 6).
-        Tombstone purge (``DELETE WHERE _deleted``) is a separate
-        checkpoint-barrier op exactly as in LakeTable.compact and is NOT
-        run here."""
-        self.spark.sql(_sql_rewrite_data_files(self.catalog, self._db_table))
+        ``zorder`` clusters the rewrite via Iceberg's native
+        ``rewrite_data_files(strategy => 'sort', sort_order =>
+        'zorder(...)')`` — the catalog-side twin of
+        ``LakeTable.compact(zorder=...)``. Tombstone purge (``DELETE
+        WHERE _deleted``) is a separate checkpoint-barrier op exactly
+        as in LakeTable.compact and is NOT run here."""
+        self.spark.sql(
+            _sql_rewrite_data_files(self.catalog, self._db_table, zorder)
+        )
         self._ancestry = self._load_ancestry()
         self.version = len(self._ancestry)
 

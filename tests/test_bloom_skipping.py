@@ -224,3 +224,40 @@ def test_cli_ingest_layout_flags(spark, tmpdir_path):
         "--bloom-columns", "commit,lang",
     ])
     assert LakeTable(spark, table_dir).bloom_columns == ["commit", "lang"]
+
+
+def test_bloom_no_false_negatives_property():
+    """THE soundness property, through the real pyarrow write path: any
+    value present in a parquet file must hit the file's bloom when
+    queried as the same Python value (write-side pyarrow values and
+    query-side Catalyst literals canonicalize identically)."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from hypothesis import given, settings, strategies as st
+
+    scalar = st.one_of(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        st.text(max_size=40),
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(scalar, min_size=1, max_size=50))
+    def run(values):
+        # one arrow type per column, like any real table
+        ints = [v for v in values if isinstance(v, int)]
+        strs = [v for v in values if isinstance(v, str)]
+        for name, arr, vals in (
+            ("i", pa.int64(), ints),
+            ("s", pa.string(), strs),
+        ):
+            if not vals:
+                continue
+            with tempfile.NamedTemporaryFile(suffix=".parquet") as f:
+                pq.write_table(pa.table({name: pa.array(vals, type=arr)}), f.name)
+                blooms = collect_parquet_bloom(f.name, [name])
+                for v in vals:
+                    assert bloom_may_match(blooms, [(name, "=", v)])
+
+    run()

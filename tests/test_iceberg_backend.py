@@ -205,3 +205,14 @@ def test_rebucket_pending_marker_protocol():
     t2._props = {PROP_BUCKETS: "8"}
     with pytest.raises(ValueError, match="already has 8"):
         t2.rebucket(8)
+
+
+def test_rewrite_data_files_zorder_sql():
+    from sap_spark.plans.iceberg_backend import _sql_rewrite_data_files
+
+    assert _sql_rewrite_data_files("ice", "cdc.repos", ["lang", "path"]) == (
+        "CALL `ice`.system.rewrite_data_files(table => 'cdc.repos', "
+        "strategy => 'sort', sort_order => 'zorder(lang, path)')"
+    )
+    with pytest.raises(ValueError, match="invalid identifier"):
+        _sql_rewrite_data_files("ice", "cdc.repos", ["x; DROP TABLE t"])
