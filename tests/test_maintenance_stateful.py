@@ -193,3 +193,63 @@ def test_seen_seq_filter_stateful(spark, tmpdir_path):
         ("k1", 1, "a"), ("k1", 2, "b"), ("k2", 5, "c"),  # from run 1
         ("k1", 3, "d"),                                  # only new event from run 2
     }, got2
+
+
+def test_maintenance_ops_invisible_under_live_replay(spark, tmpdir_path):
+    """The round-trip contract every maintenance op promises
+    individually, exercised COMPOSED and mid-stream: replaying the same
+    change log with rebucket / zordered compact / alter / expiry
+    interleaved between epochs must land on the exact state of a plain
+    replay. (Only purge_tombstones stays off — tombstone purge is the
+    one documented checkpoint-barrier op that is NOT epoch-boundary
+    safe.)"""
+    events = gen_change_events(
+        spark, n_events=3000, n_keys=150, events_per_token=500
+    )
+    tokens = sorted(
+        r[0] for r in events.select("delta_token").distinct().collect()
+    )
+
+    plain = LakeTable.create(
+        spark, f"{tmpdir_path}/plain", SCHEMA, ["repo", "path"], 4
+    )
+    for tok in tokens:
+        ingest_batch(
+            events.where(F.col("delta_token") == tok), plain, CFG, f"b-{tok}"
+        )
+    expected = plain.read().orderBy("repo", "path").collect()
+
+    table = LakeTable.create(
+        spark, f"{tmpdir_path}/maint", SCHEMA, ["repo", "path"], 4,
+        merge_mode="mor", max_records_per_file=300,
+    )
+    ops = [
+        lambda t: t.rebucket(7),
+        lambda t: t.compact(
+            only_dirty=False, purge_tombstones=False, zorder=["lang", "path"]
+        ),
+        lambda t: t.alter_properties(
+            bloom_columns=["commit"], sort_columns=["path"]
+        ),
+        lambda t: t.rebucket(12, zorder=["path"]),
+        lambda t: t.expire_snapshots(keep_last=1, grace_seconds=0),
+        lambda t: t.compact(purge_tombstones=False),
+    ]
+    i = 0
+    for tok in tokens:
+        ingest_batch(
+            events.where(F.col("delta_token") == tok), table, CFG, f"b-{tok}"
+        )
+        for _ in range(2):  # two maintenance ops between epochs
+            ops[i % len(ops)](table)
+            i += 1
+
+    got = table.read().orderBy("repo", "path").collect()
+    assert got == expected
+    # the layered read path (bucket prune + bounds + bloom + MOR fold)
+    # still answers point lookups exactly
+    probe = expected[0]
+    hit = table.read(
+        where=f"repo = '{probe['repo']}' AND path = '{probe['path']}'"
+    ).collect()
+    assert len(hit) == 1 and hit[0]["commit"] == probe["commit"]
