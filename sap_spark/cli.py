@@ -97,17 +97,14 @@ def run_ingest(args, spark=None) -> dict:
             for dp, _, fs in os.walk(args.log)
             for f in fs
         )
-    def _cols(v):
-        return [c.strip() for c in v.split(",") if c.strip()] if v else None
-
     table = LakeTable.create(
         spark, args.table, schema, key_columns=keys,
         num_buckets=args.buckets, if_not_exists=True,
         expected_payload_bytes=expected_bytes,
         merge_mode=args.merge_mode or "cow",
-        stats_columns=_cols(getattr(args, "stats_columns", None)),
-        sort_columns=_cols(getattr(args, "sort_columns", None)),
-        bloom_columns=_cols(getattr(args, "bloom_columns", None)),
+        stats_columns=_split_cols(getattr(args, "stats_columns", None)),
+        sort_columns=_split_cols(getattr(args, "sort_columns", None)),
+        bloom_columns=_split_cols(getattr(args, "bloom_columns", None)),
         max_records_per_file=getattr(args, "max_records_per_file", None),
     )
     # layout knobs are mutable table properties: explicit flags against a
@@ -117,7 +114,7 @@ def run_ingest(args, spark=None) -> dict:
     for knob in ("stats_columns", "sort_columns", "bloom_columns"):
         v = getattr(args, knob, None)
         if v is not None:
-            explicit[knob] = _cols(v)
+            explicit[knob] = _split_cols(v)
     if getattr(args, "max_records_per_file", None) is not None:
         explicit["max_records_per_file"] = args.max_records_per_file
     if explicit:
@@ -165,6 +162,11 @@ def run_ingest(args, spark=None) -> dict:
     return summary
 
 
+def _split_cols(v: "str | None") -> "list[str] | None":
+    """Comma-separated column list from a CLI flag (None passes through)."""
+    return [c.strip() for c in v.split(",") if c.strip()] if v else None
+
+
 def run_maintain(args, spark=None) -> dict:
     """Table maintenance: compact (fold MOR deltas / drop tombstones) and
     expire old snapshots. The checkpoint-barrier op of the MOR loop:
@@ -187,7 +189,7 @@ def run_maintain(args, spark=None) -> dict:
     table = LakeTable(spark, args.table)
     summary: dict = {"table_version_before": table.version}
     zorder = getattr(args, "zorder", None)
-    zcols = [c.strip() for c in zorder.split(",") if c.strip()] if zorder else None
+    zcols = _split_cols(zorder)
     rebucket_to = getattr(args, "rebucket", None)
     if zcols and not (args.compact or rebucket_to is not None):
         # silently ignoring a clustering request would leave the
@@ -507,16 +509,20 @@ def main(argv: list[str] | None = None) -> None:
                         "compact() to fold back). Omitted on an existing "
                         "table: its stored mode is used")
     i.add_argument("--stats-columns", default=None,
-                   help="table-creation only: comma-separated columns whose "
-                        "per-file [min,max] bounds drive file skipping "
-                        "(default: keys + _event_seq)")
+                   help="comma-separated columns whose per-file [min,max] "
+                        "bounds drive file skipping (creation default: keys "
+                        "+ _event_seq; on an existing table an explicit flag "
+                        "applies as a metadata-only alter)")
     i.add_argument("--sort-columns", default=None,
-                   help="table-creation only: write-order clustering columns")
+                   help="write-order clustering columns (alters an existing "
+                        "table's property; affects future writes)")
     i.add_argument("--bloom-columns", default=None,
-                   help="table-creation only: columns carrying per-file "
-                        "blooms for equality skipping (e.g. commit)")
+                   help="columns carrying per-file blooms for equality "
+                        "skipping, e.g. commit (alters an existing table's "
+                        "property; affects future writes)")
     i.add_argument("--max-records-per-file", type=int, default=None,
-                   help="table-creation only: bound every written file")
+                   help="bound every written file (alters an existing "
+                        "table's property; affects future writes)")
     i.add_argument("--max-files-per-trigger", type=int, default=None)
     i.add_argument("--pipeline-id", default=None)
     i.add_argument("--dead-letter-dir", default=None,

@@ -121,6 +121,10 @@ class LakeTable:
         self._meta_dir = os.path.join(path, "_meta")
         self.version = self._current_version() if version is None else version
         self.manifest = self._load_manifest(self.version)
+        # optional writer identity stamped into every commit claim —
+        # what lets a single-writer pipeline prove a torn claim is its
+        # own (see _commit / clear_torn_commits)
+        self.writer_id: "str | None" = None
 
     # -- manifest / pointer machinery ------------------------------------
 
@@ -164,6 +168,10 @@ class LakeTable:
             manifest.pop("op", None)
         else:
             manifest["op"] = op
+        if self.writer_id is None:
+            manifest.pop("writer_id", None)
+        else:
+            manifest["writer_id"] = self.writer_id
         mpath = self._manifest_path(new_version)
         tmp = mpath + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
@@ -188,15 +196,20 @@ class LakeTable:
         self.version = new_version
         self.manifest = manifest
 
-    def clear_torn_commits(self) -> list[str]:
+    def clear_torn_commits(self, owner: "str | None" = None) -> list[str]:
         """Remove manifest files ABOVE the committed VERSION pointer —
         the debris of a writer that died after writing v(N+1) but
         before the pointer flip. Such manifests were never committed
         (the flip is the commit point; their data files are
         unreferenced and age out via :meth:`expire_snapshots`), but
-        they block the next commit's version claim. Single-operator
-        repair op: only run when no writer is live. Returns the paths
-        removed."""
+        they block the next commit's version claim.
+
+        ``owner``: only clear claims stamped with this ``writer_id`` —
+        how an automated caller (the pipeline's self-healing merge)
+        proves a claim is its OWN previous incarnation's debris and
+        never deletes another writer's in-flight claim. ``None`` clears
+        unconditionally: the manual repair op, only safe when no writer
+        is live. Returns the paths removed."""
         committed = self._current_version()
         removed = []
         for mf in glob.glob(os.path.join(self._meta_dir, "v*.json")):
@@ -205,9 +218,18 @@ class LakeTable:
                 ver = int(base[1:-5])
             except ValueError:
                 continue
-            if ver > committed:
-                os.remove(mf)
-                removed.append(mf)
+            if ver <= committed:
+                continue
+            if owner is not None:
+                try:
+                    with open(mf) as f:
+                        claimant = json.load(f).get("writer_id")
+                except (OSError, ValueError):
+                    continue  # unreadable claim: not provably ours
+                if claimant != owner:
+                    continue
+            os.remove(mf)
+            removed.append(mf)
         return sorted(removed)
 
     # -- creation ---------------------------------------------------------
@@ -281,6 +303,16 @@ class LakeTable:
         columns only."""
         if merge_mode not in ("cow", "mor"):
             raise ValueError(f"merge_mode must be 'cow' or 'mor', got {merge_mode!r}")
+        meta_dir = os.path.join(path, "_meta")
+        if os.path.exists(os.path.join(meta_dir, "VERSION")):
+            # short-circuit BEFORE the schema-dependent knob validation:
+            # a pre-existing table's columns live in ITS stored (possibly
+            # evolved) schema, not the caller's — validating a resume
+            # call's knobs against the passed/default schema here would
+            # spuriously reject columns the table actually has
+            if if_not_exists:
+                return cls(spark, path)
+            raise FileExistsError(f"table already exists at {path}")
         known = {f.name for f in schema.fields} | set(INTERNAL_COLS)
         if stats_columns is None:
             stats_columns = [*key_columns, SEQ_COL]
@@ -291,11 +323,6 @@ class LakeTable:
         _check_max_records(max_records_per_file)
         if num_buckets is None:
             num_buckets = derive_num_buckets(expected_payload_bytes or 0)
-        meta_dir = os.path.join(path, "_meta")
-        if os.path.exists(os.path.join(meta_dir, "VERSION")):
-            if if_not_exists:
-                return cls(spark, path)
-            raise FileExistsError(f"table already exists at {path}")
         os.makedirs(meta_dir, exist_ok=True)
         manifest = {
             "version": 0,

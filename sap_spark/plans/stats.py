@@ -179,23 +179,41 @@ def _bloom_tag(value) -> "str | None":
     return None
 
 
-@lru_cache(maxsize=4096)
-def _bloom_hashes(value) -> "list[int] | None":
-    """k bit indexes for one value, or None when the type is not
-    bloomable. The canonical byte form must agree between the write
-    side (pyarrow Python values) and the query side (Catalyst literal
-    values): text for ints, UTF-8 for strings. Cached so the planning
-    walk hashes a query literal once, not once per manifest entry."""
-    tag = _bloom_tag(value)
-    if tag is None:
-        return None
-    data = (
-        value if tag == "b" else str(value).encode("utf-8")
-    )
+def _bloom_hashes_tagged(tag: str, data: bytes) -> list[int]:
+    """k bit indexes from a (type tag, canonical bytes) pair — the
+    uncached kernel, used directly by the write-side loop where a
+    high-cardinality column (a sha — the feature's target) would only
+    churn a cache."""
     h = hashlib.blake2b(tag.encode() + b":" + data, digest_size=16).digest()
     h1 = int.from_bytes(h[:8], "little")
     h2 = int.from_bytes(h[8:], "little") | 1  # odd -> good double hashing
     return [(h1 + i * h2) % _BLOOM_M for i in range(_BLOOM_K)]
+
+
+# query-side wrapper: a read's planning walk probes the SAME literal
+# against every manifest entry, so cache by (tag, bytes) — keying on the
+# raw value would let True collide with 1 and 1.0 with 1 under ==/hash
+_bloom_hashes_cached = lru_cache(maxsize=1024)(_bloom_hashes_tagged)
+
+
+def _bloom_canonical(value) -> "tuple[str, bytes] | None":
+    """(type tag, canonical bytes) for one value, or None when the type
+    is not bloomable. The canonical form must agree between the write
+    side (pyarrow Python values) and the query side (Catalyst literal
+    values): text for ints, UTF-8 for strings."""
+    tag = _bloom_tag(value)
+    if tag is None:
+        return None
+    return tag, (value if tag == "b" else str(value).encode("utf-8"))
+
+
+def _bloom_hashes(value) -> "list[int] | None":
+    """Query-side convenience: k bit indexes for one literal, or None
+    when unbloomable."""
+    canon = _bloom_canonical(value)
+    if canon is None:
+        return None
+    return _bloom_hashes_cached(*canon)
 
 
 def collect_parquet_bloom(path: str, columns: "list[str]") -> "dict[str, dict]":
@@ -221,12 +239,12 @@ def collect_parquet_bloom(path: str, columns: "list[str]") -> "dict[str, dict]":
             for v in batch.column(0).to_pylist():
                 if v is None:
                     continue
-                vtag = _bloom_tag(v)
-                if vtag is None or (tag is not None and vtag != tag):
+                canon = _bloom_canonical(v)
+                if canon is None or (tag is not None and canon[0] != tag):
                     ok = False  # unbloomable or (impossible) mixed types
                     break
-                tag = vtag
-                for b in _bloom_hashes(v):
+                tag = canon[0]
+                for b in _bloom_hashes_tagged(*canon):
                     bits[b >> 3] |= 1 << (b & 7)
             if not ok:
                 break

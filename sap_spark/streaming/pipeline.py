@@ -180,27 +180,25 @@ def _merge_self_healing(table, folded, batch_id, **kw) -> bool:
     contract promises. A driver that dies between the manifest claim
     and the pointer flip leaves a torn v(N+1) manifest; on restart the
     replayed epoch's commit would hit ConcurrentCommitError forever.
-    The pipeline IS the table's writer (one pipeline per checkpoint
-    dir), so it may repair: reload — if the pointer moved, a genuinely
-    concurrent writer exists and the error propagates (never repair
-    someone else's claim); if the batch is already committed, the
-    replay is the normal no-op; otherwise the unflipped claim is this
-    pipeline's own debris — clear it and retry once."""
+    Repair requires PROOF of ownership, not inference: the blocking
+    claim must carry this pipeline's own writer_id (stable across
+    restarts — sha of the checkpoint path, stamped into every claim by
+    _commit). A claim stamped by anyone else — a concurrent maintenance
+    job mid-commit, another pipeline — propagates as the real conflict
+    it is, pointer moved or not."""
     from sap_spark.plans.lake import ConcurrentCommitError
 
     try:
         return table.merge_cdc(folded, batch_id, **kw)
     except ConcurrentCommitError:
-        committed_now = table._current_version()
-        if committed_now != table.version:
-            # the pointer moved: someone else is writing this table —
-            # refresh-and-retry here would paper over a real conflict
+        if (
+            table.writer_id is None
+            or table._current_version() != table.version
+            or not table.clear_torn_commits(owner=table.writer_id)
+        ):
+            # pointer moved, claim not provably ours, or nothing ours
+            # to clear: a genuine conflict — never repair it away
             raise
-        table.clear_torn_commits()
-        # refresh IN PLACE: the pipeline reuses this handle next epoch,
-        # so a replacement handle would leave it permanently stale
-        table.version = table._current_version()
-        table.manifest = table._load_manifest(table.version)
         return table.merge_cdc(folded, batch_id, **kw)
 
 
@@ -378,6 +376,11 @@ class CdcPipeline:
         self.pipeline_id = pipeline_id or "cdc-" + hashlib.sha256(
             os.path.abspath(checkpoint_dir).encode()
         ).hexdigest()[:12]
+        # stamp every commit claim with this pipeline's identity so the
+        # self-healing merge can prove a torn claim is its OWN debris
+        # (same id across restarts — sha of the checkpoint path) and
+        # never clear another writer's in-flight claim
+        table.writer_id = self.pipeline_id
         self.lineage_path = os.path.join(table.path, "_meta", "lineage.jsonl")
         self._deferred_dir = os.path.join(checkpoint_dir, "sap_spark_deferred")
 

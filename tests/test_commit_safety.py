@@ -104,36 +104,57 @@ def test_clear_torn_commits_never_touches_committed_chain(spark, tmpdir_path):
 def test_pipeline_merge_self_heals_own_torn_commit(spark, tmpdir_path):
     """The streaming restart story: a driver that died between the
     manifest claim and the pointer flip must not wedge its own replayed
-    epoch — the pipeline is the table's single writer, so it clears the
-    torn claim and retries. A claim by a LIVE writer (pointer moved) is
-    a real conflict and still propagates."""
+    epoch — the pipeline proves OWNERSHIP (the claim carries its own
+    writer_id) before clearing and retrying. A claim stamped by anyone
+    else, or one on a table whose pointer moved, is a real conflict and
+    still propagates."""
     from sap_spark.streaming.pipeline import _merge_self_healing
 
     path = f"{tmpdir_path}/t"
     table = _make(spark, path)
+    table.writer_id = "pipe-1"  # what CdcPipeline.__init__ does
     table.merge_cdc(_changes(spark, [("r", "a", "v1", "I", 1)]), "b1")
     torn = os.path.join(path, "_meta", f"v{table.version + 1:08d}.json")
-    with open(torn, "w") as f:
-        json.dump({**table.manifest, "version": table.version + 1}, f)
 
+    # 1. a torn claim from a FOREIGN writer (a maintenance job
+    # mid-commit): never cleared, even with the pointer unmoved
+    with open(torn, "w") as f:
+        json.dump(
+            {**table.manifest, "version": table.version + 1,
+             "writer_id": "maintenance-7"},
+            f,
+        )
+    with pytest.raises(ConcurrentCommitError):
+        _merge_self_healing(
+            table, _changes(spark, [("r", "b", "v2", "I", 2)]), "b2"
+        )
+    os.remove(torn)
+
+    # 2. this pipeline's OWN debris (same writer_id — the id is stable
+    # across restarts): cleared and retried
+    with open(torn, "w") as f:
+        json.dump(
+            {**table.manifest, "version": table.version + 1,
+             "writer_id": "pipe-1"},
+            f,
+        )
     ok = _merge_self_healing(
         table, _changes(spark, [("r", "b", "v2", "I", 2)]), "b2"
     )
     assert ok is True
-    # the retry re-claimed the SAME version number the torn manifest
-    # held — but now committed (pointer flipped) and carrying the merge
     fresh = LakeTable(spark, path)
     assert fresh.version == 2
     assert "b2" in fresh.committed_batches()
     assert _state(fresh) == {("r", "a"): "v1", ("r", "b"): "v2"}
-    # the handle was refreshed in place: the next epoch merges cleanly
+    # the handle stays usable: the next epoch merges cleanly
     assert _merge_self_healing(
         table, _changes(spark, [("r", "c", "v3", "I", 3)]), "b3"
     )
 
-    # genuine concurrency (pointer moved since this handle loaded) is
-    # NOT repaired: never clear another writer's committed claim
+    # 3. genuine concurrency (pointer moved since this handle loaded)
+    # is NOT repaired: never clear another writer's committed claim
     stale = LakeTable(spark, path, version=1)
+    stale.writer_id = "pipe-1"
     with pytest.raises(ConcurrentCommitError):
         _merge_self_healing(
             stale, _changes(spark, [("r", "d", "v4", "I", 4)]), "b4"
