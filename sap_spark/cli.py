@@ -89,9 +89,13 @@ def run_ingest(args, spark=None) -> dict:
         T.StructType.fromDDL(args.schema) if args.schema else _default_schema()
     )
     # --buckets omitted → derive from the change-log size (upper bound on
-    # the table payload) via the documented ~payload/256MB rule
+    # the table payload) via the documented ~payload/256MB rule. Skipped
+    # when the table already exists: resuming over a million-file log
+    # must not pay an O(log files) stat walk for a number create()
+    # would discard anyway.
+    exists = os.path.exists(os.path.join(args.table, "_meta", "VERSION"))
     expected_bytes = None
-    if args.buckets is None and os.path.isdir(args.log):
+    if args.buckets is None and not exists and os.path.isdir(args.log):
         expected_bytes = sum(
             os.path.getsize(os.path.join(dp, f))
             for dp, _, fs in os.walk(args.log)
@@ -107,18 +111,6 @@ def run_ingest(args, spark=None) -> dict:
         bloom_columns=_split_cols(getattr(args, "bloom_columns", None)),
         max_records_per_file=getattr(args, "max_records_per_file", None),
     )
-    # layout knobs are mutable table properties: explicit flags against a
-    # PRE-EXISTING table apply as a metadata-only alter (a fresh create
-    # already carries them, so this is a no-op commit-wise there)
-    explicit = {}
-    for knob in ("stats_columns", "sort_columns", "bloom_columns"):
-        v = getattr(args, knob, None)
-        if v is not None:
-            explicit[knob] = _split_cols(v)
-    if getattr(args, "max_records_per_file", None) is not None:
-        explicit["max_records_per_file"] = args.max_records_per_file
-    if explicit:
-        table.alter_properties(**explicit)
     if args.merge_mode is not None and table.merge_mode != args.merge_mode:
         # an EXPLICIT --merge-mode against an existing table with a
         # different stored mode: the stored mode is a table-layout
@@ -136,6 +128,20 @@ def run_ingest(args, spark=None) -> dict:
             f"table at {args.table} is merge_mode={table.merge_mode} "
             "(pass --merge-mode mor at table creation)"
         )
+    # layout knobs are mutable table properties: explicit flags against a
+    # PRE-EXISTING table apply as a metadata-only alter (a fresh create
+    # already carries them, so this is a no-op commit-wise there). Runs
+    # AFTER every flag validation above — a rejected invocation must not
+    # have already committed a property change.
+    explicit = {}
+    for knob in ("stats_columns", "sort_columns", "bloom_columns"):
+        v = getattr(args, knob, None)
+        if v is not None:
+            explicit[knob] = _split_cols(v)
+    if getattr(args, "max_records_per_file", None) is not None:
+        explicit["max_records_per_file"] = args.max_records_per_file
+    if explicit:
+        table.alter_properties(**explicit)
     cfg = EngineConfig(
         key_columns=tuple(keys),
         num_buckets=table.num_buckets,

@@ -9,10 +9,17 @@ module with `MERGE INTO` / `UpdateSchema` calls — the pipeline layer
 Semantics provided (and how they scale):
 
 - **Snapshot isolation / atomic commit**: every commit writes new immutable
-  data files plus a new manifest ``_meta/v{N}.json``; the current-version
-  pointer ``_meta/VERSION`` is flipped with an atomic rename. Readers
-  resolve the pointer once and see one consistent snapshot. (On an object
-  store this pointer flip is a catalog swap — exactly Iceberg's model.)
+  data files plus a new manifest ``_meta/v{N}.json``, claimed with one
+  atomic ``os.link`` — the link IS the commit point, so there is no
+  window where a commit is half-visible and no torn state to repair:
+  a writer either committed (its manifest exists) or it didn't. The
+  claim doubles as optimistic concurrency control: exactly one writer
+  can create v(N+1); a racer gets :class:`ConcurrentCommitError`,
+  reloads, and retries (its batch markers make the retry a no-op when
+  it had actually won). Readers resolve the highest manifest once and
+  see one consistent snapshot; ``_meta/VERSION`` is an advisory cache
+  of that number, never the source of truth. (On an object store the
+  single-file claim is a catalog CAS — exactly Iceberg's model.)
 - **Bucketed copy-on-write MERGE**: data files are hash-bucketed by the
   primary key (``pmod(xxhash64(keys), num_buckets)``). A CDC batch only
   reads + rewrites the buckets its keys touch; untouched buckets carry
@@ -81,8 +88,8 @@ def _check_max_records(v) -> None:
 
 
 class ConcurrentCommitError(RuntimeError):
-    """Another writer claimed this table version first (or a dead
-    writer's torn manifest blocks it) — see :meth:`LakeTable._commit`."""
+    """Another writer committed this table version first — reload and
+    retry (see :meth:`LakeTable._commit`)."""
 
 
 def bucket_expr(key_columns: list[str] | tuple[str, ...], num_buckets: int) -> F.Column:
@@ -121,10 +128,6 @@ class LakeTable:
         self._meta_dir = os.path.join(path, "_meta")
         self.version = self._current_version() if version is None else version
         self.manifest = self._load_manifest(self.version)
-        # optional writer identity stamped into every commit claim —
-        # what lets a single-writer pipeline prove a torn claim is its
-        # own (see _commit / clear_torn_commits)
-        self.writer_id: "str | None" = None
 
     # -- manifest / pointer machinery ------------------------------------
 
@@ -135,7 +138,19 @@ class LakeTable:
         return os.path.join(self._meta_dir, f"v{version:08d}.json")
 
     def _current_version(self) -> int:
-        with open(self._version_file()) as f:
+        """Highest manifest on disk — the source of truth. The VERSION
+        file is only an advisory cache (and the table-exists marker):
+        trusting it would re-open the torn-commit window the
+        link-is-the-commit design closes."""
+        best = -1
+        for mf in glob.glob(os.path.join(self._meta_dir, "v*.json")):
+            try:
+                best = max(best, int(os.path.basename(mf)[1:-5]))
+            except ValueError:
+                continue
+        if best >= 0:
+            return best
+        with open(self._version_file()) as f:  # pre-manifest corruption aid
             return int(f.read().strip())
 
     def _load_manifest(self, version: int) -> dict:
@@ -143,7 +158,7 @@ class LakeTable:
             return json.load(f)
 
     def _commit(self, manifest: dict, op: "dict | None" = None) -> None:
-        """Write manifest v(N+1) and atomically flip the pointer.
+        """Write manifest v(N+1); its atomic ``os.link`` IS the commit.
 
         ``op``: optional self-describing commit annotation (e.g. a
         compaction's rewritten buckets), surfaced by :meth:`history`.
@@ -151,16 +166,19 @@ class LakeTable:
         inherited annotation from a prior commit is stripped unless this
         commit supplies its own.
 
-        Optimistic concurrency (the Iceberg catalog-CAS analog at file
-        granularity): the v(N+1) manifest is claimed with an atomic
-        ``os.link`` — exactly one writer can create it. A second writer
-        racing from the same base version gets
-        :class:`ConcurrentCommitError` instead of silently overwriting
-        the winner's manifest, which would orphan the winner's data
-        files AND erase its exactly-once batch markers (a later replay
-        would then double-apply). The loser reloads the table and
-        retries; its own no-op check (`committed_batches`) makes the
-        retry safe."""
+        Single-step commit point: data files are fully written before
+        this is called, so the instant the manifest link lands the
+        commit is complete and durable — there is NO second step whose
+        failure could leave a torn, half-committed state (the classic
+        claim-then-flip design wedges a restarted writer on its own
+        debris, and any automatic repair must guess claim ownership —
+        a guess that deletes a slow LIVE writer's claim). The link
+        doubles as optimistic concurrency (the Iceberg catalog-CAS
+        analog): exactly one writer can create v(N+1); a racer gets
+        :class:`ConcurrentCommitError`, reloads, and retries — its own
+        batch markers (``committed_batches``) make the retry a no-op
+        where it had actually committed. The VERSION file is refreshed
+        after the fact purely as an advisory cache / exists-marker."""
         new_version = self.version + 1
         manifest["version"] = new_version
         manifest["parent"] = self.version
@@ -168,69 +186,27 @@ class LakeTable:
             manifest.pop("op", None)
         else:
             manifest["op"] = op
-        if self.writer_id is None:
-            manifest.pop("writer_id", None)
-        else:
-            manifest["writer_id"] = self.writer_id
         mpath = self._manifest_path(new_version)
         tmp = mpath + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         try:
-            os.link(tmp, mpath)  # atomic claim: fails if v(N+1) exists
+            os.link(tmp, mpath)  # the commit point: one writer wins
         except FileExistsError:
             raise ConcurrentCommitError(
-                f"version {new_version} of {self.path} already exists: "
-                "either another writer committed concurrently (reload the "
-                "table and retry — committed batch ids replay as no-ops), "
-                "or a dead writer left a torn, never-pointer-flipped "
-                "manifest (clear it with clear_torn_commits() once no "
-                "writer is live)"
+                f"version {new_version} of {self.path} already exists — "
+                "another writer committed from the same base version. "
+                "Reload the table and retry: committed batch ids replay "
+                "as no-ops."
             ) from None
         finally:
             os.unlink(tmp)
         vtmp = self._version_file() + f".tmp-{uuid.uuid4().hex}"
         with open(vtmp, "w") as f:
             f.write(str(new_version))
-        os.replace(vtmp, self._version_file())  # atomic pointer flip
+        os.replace(vtmp, self._version_file())  # advisory cache only
         self.version = new_version
         self.manifest = manifest
-
-    def clear_torn_commits(self, owner: "str | None" = None) -> list[str]:
-        """Remove manifest files ABOVE the committed VERSION pointer —
-        the debris of a writer that died after writing v(N+1) but
-        before the pointer flip. Such manifests were never committed
-        (the flip is the commit point; their data files are
-        unreferenced and age out via :meth:`expire_snapshots`), but
-        they block the next commit's version claim.
-
-        ``owner``: only clear claims stamped with this ``writer_id`` —
-        how an automated caller (the pipeline's self-healing merge)
-        proves a claim is its OWN previous incarnation's debris and
-        never deletes another writer's in-flight claim. ``None`` clears
-        unconditionally: the manual repair op, only safe when no writer
-        is live. Returns the paths removed."""
-        committed = self._current_version()
-        removed = []
-        for mf in glob.glob(os.path.join(self._meta_dir, "v*.json")):
-            base = os.path.basename(mf)
-            try:
-                ver = int(base[1:-5])
-            except ValueError:
-                continue
-            if ver <= committed:
-                continue
-            if owner is not None:
-                try:
-                    with open(mf) as f:
-                        claimant = json.load(f).get("writer_id")
-                except (OSError, ValueError):
-                    continue  # unreadable claim: not provably ours
-                if claimant != owner:
-                    continue
-            os.remove(mf)
-            removed.append(mf)
-        return sorted(removed)
 
     # -- creation ---------------------------------------------------------
 

@@ -160,8 +160,12 @@ def ingest_batch(
         if bucket_offsets is not None:
             metrics_out["bucket_offsets"] = bucket_offsets
     try:
-        return _merge_self_healing(
-            table,
+        # crash-restart needs no special handling here: the manifest
+        # link is the SINGLE commit step (lake.py _commit), so a dead
+        # driver either committed (the replayed epoch no-ops on its
+        # batch marker) or left nothing behind. ConcurrentCommitError
+        # therefore only ever means a genuinely concurrent writer.
+        return table.merge_cdc(
             folded,
             batch_id,
             op_column=cfg.op_column,
@@ -173,33 +177,6 @@ def ingest_batch(
             winners_full.unpersist()
         if cancelled is not None:
             cancelled.unpersist()
-
-
-def _merge_self_healing(table, folded, batch_id, **kw) -> bool:
-    """merge_cdc with the single-writer crash-recovery the pipeline
-    contract promises. A driver that dies between the manifest claim
-    and the pointer flip leaves a torn v(N+1) manifest; on restart the
-    replayed epoch's commit would hit ConcurrentCommitError forever.
-    Repair requires PROOF of ownership, not inference: the blocking
-    claim must carry this pipeline's own writer_id (stable across
-    restarts — sha of the checkpoint path, stamped into every claim by
-    _commit). A claim stamped by anyone else — a concurrent maintenance
-    job mid-commit, another pipeline — propagates as the real conflict
-    it is, pointer moved or not."""
-    from sap_spark.plans.lake import ConcurrentCommitError
-
-    try:
-        return table.merge_cdc(folded, batch_id, **kw)
-    except ConcurrentCommitError:
-        if (
-            table.writer_id is None
-            or table._current_version() != table.version
-            or not table.clear_torn_commits(owner=table.writer_id)
-        ):
-            # pointer moved, claim not provably ours, or nothing ours
-            # to clear: a genuine conflict — never repair it away
-            raise
-        return table.merge_cdc(folded, batch_id, **kw)
 
 
 def read_lineage_file(path: str) -> list[dict]:
@@ -376,11 +353,6 @@ class CdcPipeline:
         self.pipeline_id = pipeline_id or "cdc-" + hashlib.sha256(
             os.path.abspath(checkpoint_dir).encode()
         ).hexdigest()[:12]
-        # stamp every commit claim with this pipeline's identity so the
-        # self-healing merge can prove a torn claim is its OWN debris
-        # (same id across restarts — sha of the checkpoint path) and
-        # never clear another writer's in-flight claim
-        table.writer_id = self.pipeline_id
         self.lineage_path = os.path.join(table.path, "_meta", "lineage.jsonl")
         self._deferred_dir = os.path.join(checkpoint_dir, "sap_spark_deferred")
 
