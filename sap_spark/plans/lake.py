@@ -279,13 +279,16 @@ class LakeTable:
         columns only."""
         if merge_mode not in ("cow", "mor"):
             raise ValueError(f"merge_mode must be 'cow' or 'mor', got {merge_mode!r}")
+        _check_max_records(max_records_per_file)  # schema-free: always
         meta_dir = os.path.join(path, "_meta")
         if os.path.exists(os.path.join(meta_dir, "VERSION")):
             # short-circuit BEFORE the schema-dependent knob validation:
             # a pre-existing table's columns live in ITS stored (possibly
             # evolved) schema, not the caller's — validating a resume
             # call's knobs against the passed/default schema here would
-            # spuriously reject columns the table actually has
+            # spuriously reject columns the table actually has. The
+            # knobs themselves are IGNORED on this path (the stored
+            # properties win); change them with alter_properties.
             if if_not_exists:
                 return cls(spark, path)
             raise FileExistsError(f"table already exists at {path}")
@@ -296,7 +299,6 @@ class LakeTable:
             _check_layout_columns(known, "stats_columns", stats_columns)
         _check_layout_columns(known, "sort_columns", sort_columns)
         _check_layout_columns(known, "bloom_columns", bloom_columns)
-        _check_max_records(max_records_per_file)
         if num_buckets is None:
             num_buckets = derive_num_buckets(expected_payload_bytes or 0)
         os.makedirs(meta_dir, exist_ok=True)
