@@ -202,10 +202,41 @@ def run_maintain(args, spark=None) -> dict:
         # operator believing the table was rewritten
         raise SystemExit("--zorder requires --compact or --rebucket")
     if rebucket_to is not None:
-        table.rebucket(int(rebucket_to), zorder=zcols)
-        summary["rebucketed_to"] = int(rebucket_to)
-        if zcols:
-            summary["zorder"] = zcols
+        if str(rebucket_to) == "auto":
+            # re-derive from what the table holds NOW (the same
+            # ~payload/256MB rule create uses for the change log): the
+            # count chosen at creation was sized for day-one data
+            from sap_spark.plans.lake import derive_num_buckets
+
+            payload = sum(
+                os.path.getsize(e["path"])
+                for entries in table.manifest["buckets"].values()
+                for e in entries
+                if os.path.exists(e["path"])
+            )
+            rebucket_to = derive_num_buckets(payload)
+            summary["rebucket_auto_payload_bytes"] = payload
+            if rebucket_to == table.num_buckets:
+                summary["rebucketed_to"] = rebucket_to
+                summary["rebucket_noop"] = True
+                rebucket_to = None  # already right-sized: skip the rewrite
+                if zcols and not args.compact:
+                    # the clustering request must still be honored: a
+                    # right-sized table gets the plain zordered rewrite
+                    table.compact(only_dirty=False, zorder=zcols)
+                    summary["compacted"] = True
+                    summary["zorder"] = zcols
+        if rebucket_to is not None:
+            try:
+                target = int(rebucket_to)
+            except ValueError:
+                raise SystemExit(
+                    f"--rebucket must be an integer or 'auto', got {rebucket_to!r}"
+                )
+            table.rebucket(target, zorder=zcols)
+            summary["rebucketed_to"] = target
+            if zcols:
+                summary["zorder"] = zcols
     if args.compact:
         # After a reshard the table is fully folded and clustered, so
         # only the tombstone purge remains (--compact's documented
@@ -442,11 +473,14 @@ def main(argv: list[str] | None = None) -> None:
                         "these comma-separated columns (OPTIMIZE ZORDER "
                         "BY analog) — makes the manifest bounds skip "
                         "files on any of them; add them to stats_columns")
-    m.add_argument("--rebucket", type=int, default=None,
-                   help="reshard the table to this hash-bucket count (one "
-                        "atomic full rewrite; folds MOR deltas, keeps "
-                        "tombstones — safe at any epoch boundary, but "
-                        "single-writer: stop or pause ingest first)")
+    m.add_argument("--rebucket", default=None,
+                   help="reshard the table to this hash-bucket count, or "
+                        "'auto' to re-derive it from the table's current "
+                        "payload (~bytes/256MB, the creation sizing rule; "
+                        "no-op when already right-sized). One atomic full "
+                        "rewrite; folds MOR deltas, keeps tombstones — safe "
+                        "at any epoch boundary, but single-writer: stop or "
+                        "pause ingest first")
     m.add_argument("--master", default=None)
     m.add_argument("--shuffle-partitions", type=int, default=None)
 

@@ -196,3 +196,53 @@ def test_cli_maintain_rebucket(spark, tmpdir_path):
     assert summary["rebucketed_to"] == 16
     assert summary["rows"] == 15
     assert LakeTable(spark, path).num_buckets == 16
+
+
+def test_cli_maintain_rebucket_auto(spark, tmpdir_path):
+    """--rebucket auto re-derives the count from the table's current
+    payload via the creation sizing rule (min 8 at toy scale): a
+    mis-sized table reshards, a right-sized one no-ops — but still
+    honors a clustering request with a plain zordered rewrite."""
+    from sap_spark import cli
+
+    path = f"{tmpdir_path}/t"
+    table = LakeTable.create(
+        spark, path, SCHEMA, key_columns=["repo", "path"], num_buckets=3
+    )
+    _seed(spark, table, n=40)
+
+    class Args:
+        pass
+
+    args = Args()
+    args.table = path
+    args.compact = False
+    args.expire_keep = None
+    args.expire_grace = 0.0
+    args.zorder = None
+    args.rebucket = "auto"
+    summary = cli.run_maintain(args, spark=spark)
+    assert summary["rebucketed_to"] == 8  # derive_num_buckets floor
+    assert "rebucket_noop" not in summary
+    assert LakeTable(spark, path).num_buckets == 8
+
+    # right-sized now: auto no-ops, but a clustering request still runs
+    args2 = Args()
+    args2.table = path
+    args2.compact = False
+    args2.expire_keep = None
+    args2.expire_grace = 0.0
+    args2.zorder = "content"
+    args2.rebucket = "auto"
+    v_before = LakeTable(spark, path).version
+    summary = cli.run_maintain(args2, spark=spark)
+    assert summary["rebucket_noop"] is True
+    assert summary["compacted"] is True and summary["zorder"] == ["content"]
+    after = LakeTable(spark, path)
+    assert after.num_buckets == 8
+    assert after.version == v_before + 1  # one zordered rewrite, no reshard
+    assert after.history()[0]["op"]["zorder"] == ["content"]
+
+    args2.rebucket = "12x"
+    with pytest.raises(SystemExit, match="integer or 'auto'"):
+        cli.run_maintain(args2, spark=spark)
