@@ -61,6 +61,7 @@ from pyspark.sql import types as T
 from sap_spark.config import EngineConfig
 from sap_spark.plans.stats import (
     collect_parquet_bloom,
+    collect_parquet_nulls,
     collect_parquet_stats,
     entry_may_match,
     key_equality_literals,
@@ -678,7 +679,7 @@ class LakeTable:
             for p in glob.glob(os.path.join(bdir, "*.parquet")):
                 entry: dict = {"path": p, "schema_id": sid}
                 if stats_cols:
-                    # footer-only read, bounded by files-per-commit; a
+                    # footer-only reads, bounded by files-per-commit; a
                     # stats failure must never fail the commit
                     try:
                         st = collect_parquet_stats(p, stats_cols)
@@ -686,6 +687,12 @@ class LakeTable:
                         st = {}
                     if st:
                         entry["stats"] = st
+                    try:
+                        nl = collect_parquet_nulls(p, stats_cols)
+                    except Exception:  # noqa: BLE001
+                        nl = {}
+                    if nl.get("counts"):
+                        entry["nulls"] = nl
                 if bloom_cols:
                     # opt-in column-data read (O(this commit's bytes));
                     # same never-fail-the-commit contract as the bounds

@@ -269,16 +269,75 @@ def bloom_may_match(
     makes the same keep-on-type-mismatch choice in ``_coerce``)."""
     import base64
 
+    def _definitely_absent(entry, lit) -> bool:
+        if _bloom_tag(lit) != entry.get("t"):
+            return False  # cross-type: Spark may cast-match — keep
+        bits = base64.b64decode(entry["b"])
+        return any(
+            not (bits[b >> 3] >> (b & 7)) & 1 for b in _bloom_hashes(lit)
+        )
+
     for col, op, lit in conjuncts:
-        if op != "=":
-            continue
         entry = blooms.get(col)
         if not isinstance(entry, dict) or "b" not in entry:
             continue
-        if _bloom_tag(lit) != entry.get("t"):
+        if op == "=":
+            if _definitely_absent(entry, lit):
+                return False
+        elif op == "in":
+            # prune only when EVERY member is a definite miss
+            if lit and all(_definitely_absent(entry, m) for m in lit):
+                return False
+    return True
+
+
+def collect_parquet_nulls(path: str, columns: "list[str]") -> dict:
+    """``{"rows": <file rows>, "counts": {column: null_count}}`` from one
+    parquet file's footer. A column is omitted when any row group lacks
+    an exact null count — absence means "never prune on this"."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    wanted = set(columns)
+    counts: dict = {}
+    dead: set = set()
+    for rg in range(md.num_row_groups):
+        group = md.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            name = col.path_in_schema
+            if name not in wanted or name in dead:
+                continue
+            st = col.statistics
+            if st is None or not st.has_null_count:
+                dead.add(name)
+                continue
+            counts[name] = counts.get(name, 0) + st.null_count
+    return {
+        "rows": md.num_rows,
+        "counts": {k: v for k, v in counts.items() if k not in dead},
+    }
+
+
+def nulls_may_match(
+    nulls: dict, conjuncts: "list[tuple[str, str, object]]"
+) -> bool:
+    """Null-count skipping (the Iceberg value_counts/null_value_counts
+    analog): ``IS NULL`` drops a file with zero nulls in the column;
+    ``IS NOT NULL`` (and any value predicate, which null rows can never
+    satisfy) drops an ALL-null file. Missing counts keep the file."""
+    rows = nulls.get("rows")
+    counts = nulls.get("counts") or {}
+    for col, op, _lit in conjuncts:
+        nc = counts.get(col)
+        if nc is None:
             continue
-        bits = base64.b64decode(entry["b"])
-        if any(not (bits[b >> 3] >> (b & 7)) & 1 for b in _bloom_hashes(lit)):
+        if op == "isnull":
+            if nc == 0:
+                return False
+        elif nc == rows and rows:
+            # every row is null in this column: no value predicate —
+            # =, range, in, isnotnull — can be satisfied (3VL)
             return False
     return True
 
@@ -288,11 +347,14 @@ def entry_may_match(
     conjuncts: "list[tuple[str, str, object]]",
     ts_utc_session: bool = True,
 ) -> bool:
-    """Both skipping layers over one manifest file entry: min/max
-    bounds, then the bloom. Same keep-on-doubt contract as each."""
-    return file_may_match(
-        entry.get("stats") or {}, conjuncts, ts_utc_session
-    ) and bloom_may_match(entry.get("bloom") or {}, conjuncts)
+    """Every skipping layer over one manifest file entry: min/max
+    bounds, null counts, then the bloom. Same keep-on-doubt contract
+    as each."""
+    return (
+        file_may_match(entry.get("stats") or {}, conjuncts, ts_utc_session)
+        and nulls_may_match(entry.get("nulls") or {}, conjuncts)
+        and bloom_may_match(entry.get("bloom") or {}, conjuncts)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -307,6 +369,7 @@ _CMP_NODES = {
     "GreaterThanOrEqual": ">=",
 }
 _FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "="}
+_SKIP = object()  # _lit_value sentinel: not a carryable literal
 # literal dataType().simpleString() prefixes we know how to carry; a
 # DATE/TIMESTAMP/BINARY/interval literal is skipped (its conjunct then
 # prunes nothing — sound, just conservative)
@@ -350,42 +413,81 @@ def parse_conjuncts(spark, where: str) -> "list[tuple[str, str, object]]":
             conjuncts.append(node)
 
     _split_and(root)
+
+    def _attr_name(node) -> "str | None":
+        if node.getClass().getSimpleName() != "UnresolvedAttribute":
+            return None
+        if node.nameParts().size() != 1:
+            return None  # struct paths carry no manifest bounds
+        return node.nameParts().apply(0)
+
+    def _lit_value(node):
+        """Carried literal value, or the _SKIP sentinel. None means the
+        SQL literal NULL (carried: `x IN (1, NULL)`'s null member is
+        droppable — null never satisfies IN)."""
+        if node.getClass().getSimpleName() != "Literal":
+            return _SKIP
+        dt = node.dataType().simpleString()
+        raw = node.value()
+        if raw is None:
+            return None
+        if dt in _INT_TYPES:
+            return int(raw)
+        if dt in ("double", "float"):
+            return float(raw)
+        if dt.startswith("decimal"):
+            # exact — Spark compares integral-vs-decimal AS decimal,
+            # so a float() here would mis-prune above 2^53
+            return Decimal(str(raw))
+        if dt == "string":
+            return str(raw)
+        return _SKIP
+
     out: list[tuple[str, str, object]] = []
     for node in conjuncts:
         try:
-            op = _CMP_NODES.get(node.getClass().getSimpleName())
+            kind = node.getClass().getSimpleName()
+            if kind in ("IsNull", "IsNotNull"):
+                col = _attr_name(node.child())
+                if col is not None:
+                    out.append(
+                        (col, "isnull" if kind == "IsNull" else "isnotnull", None)
+                    )
+                continue
+            if kind == "In":
+                col = _attr_name(node.value())
+                if col is None:
+                    continue
+                members = []
+                ok = True
+                lst = node.list()
+                for i in range(lst.size()):
+                    v = _lit_value(lst.apply(i))
+                    if v is _SKIP:
+                        # a non-literal / uncarried member could match
+                        # anything — the whole conjunct must not prune
+                        ok = False
+                        break
+                    if v is not None:  # NULL member never satisfies IN
+                        members.append(v)
+                if ok and members:
+                    out.append((col, "in", tuple(members)))
+                continue
+            op = _CMP_NODES.get(kind)
             if op is None:
                 continue
             left, right = node.left(), node.right()
-            lname = left.getClass().getSimpleName()
-            rname = right.getClass().getSimpleName()
-            if lname == "UnresolvedAttribute" and rname == "Literal":
+            if _attr_name(left) is not None:
                 attr, lit = left, right
-            elif lname == "Literal" and rname == "UnresolvedAttribute":
+            elif _attr_name(right) is not None:
                 attr, lit = right, left
                 op = _FLIP[op]
             else:
                 continue
-            if attr.nameParts().size() != 1:
-                continue  # struct paths carry no manifest bounds
-            col = attr.nameParts().apply(0)
-            dt = lit.dataType().simpleString()
-            raw = lit.value()
-            if raw is None:
+            col = _attr_name(attr)
+            val = _lit_value(lit)
+            if val is _SKIP or val is None:
                 continue  # `col = NULL` matches nothing; let Spark say so
-            val: object
-            if dt in _INT_TYPES:
-                val = int(raw)
-            elif dt in ("double", "float"):
-                val = float(raw)
-            elif dt.startswith("decimal"):
-                # exact — Spark compares integral-vs-decimal AS decimal,
-                # so a float() here would mis-prune above 2^53
-                val = Decimal(str(raw))
-            elif dt == "string":
-                val = str(raw)
-            else:
-                continue
             out.append((col, op, val))
         except Exception:  # noqa: BLE001 — unexpected node surface: skip
             continue
@@ -453,11 +555,30 @@ def file_may_match(
     (pruning must never be the component that loses a row).
     ``ts_utc_session=False`` disables naive-literal-vs-aware-timestamp
     pruning (the literal's meaning then depends on the session zone)."""
+    def _within(bounds, lit) -> "bool | None":
+        """Could a value equal to ``lit`` live inside ``bounds``?
+        None = not decidable (keep)."""
+        lo, hi = decode_bound(bounds[0]), decode_bound(bounds[1])
+        pair_lo = _coerce(lo, lit, ts_utc_session)
+        pair_hi = _coerce(hi, lit, ts_utc_session)
+        if pair_lo is None or pair_hi is None:
+            return None
+        try:
+            return pair_lo[0] <= pair_lo[1] and pair_hi[1] <= pair_hi[0]
+        except TypeError:
+            return None
+
     for col, op, lit in conjuncts:
-        if op not in _PRUNABLE_OPS:
-            continue
         bounds = stats.get(col)
         if not bounds:
+            continue
+        if op == "in":
+            # keep iff ANY member may live in the bounds; an undecidable
+            # member keeps the file
+            if all(_within(bounds, m) is False for m in lit):
+                return False
+            continue
+        if op not in _PRUNABLE_OPS:
             continue
         lo, hi = decode_bound(bounds[0]), decode_bound(bounds[1])
         pair_lo = _coerce(lo, lit, ts_utc_session)

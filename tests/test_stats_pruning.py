@@ -66,7 +66,8 @@ def test_parse_conjuncts_shapes(spark):
         ("k", ">", 7)
     ]
     assert parse_conjuncts(spark, "ts >= '2026-01-01' AND name IS NULL") == [
-        ("ts", ">=", "2026-01-01")
+        ("ts", ">=", "2026-01-01"),
+        ("name", "isnull", None),  # carried since the null-count layer
     ]
     # 'AND' inside a quoted literal must not split
     assert parse_conjuncts(spark, "name = 'a AND b'") == [
@@ -94,7 +95,9 @@ def test_parse_conjuncts_bails_on_disjunction_shapes(spark):
         ("k", "=", 1),
         ("v", ">", 2),
     ]
-    assert parse_conjuncts(spark, "k IN (1, 2)") == []
+    assert parse_conjuncts(spark, "k IN (1, 2)") == [
+        ("k", "in", (1, 2))  # carried since the IN-list layer
+    ]
     assert parse_conjuncts(spark, "v BETWEEN 1 AND 2") == []
     assert parse_conjuncts(spark, "k = 3 AND v BETWEEN 1 AND 2") == [
         ("k", "=", 3)
