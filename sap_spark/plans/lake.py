@@ -64,7 +64,7 @@ from sap_spark.plans.stats import (
     collect_parquet_nulls,
     collect_parquet_stats,
     entry_may_match,
-    key_equality_literals,
+    key_membership_literals,
     parse_conjuncts,
     split_conjuncts_by_keys,
 )
@@ -580,11 +580,9 @@ class LakeTable:
                 (canon.get(c.lower(), c), op, v) for c, op, v in conjuncts
             ]
             buckets = None
-            pinned = key_equality_literals(conjuncts, self.key_columns)
-            if pinned is not None:
-                b = self._bucket_for_key_literals(pinned)
-                if b is not None:
-                    buckets = [b]
+            combos = key_membership_literals(conjuncts, self.key_columns)
+            if combos:
+                buckets = self._buckets_for_key_combos(combos)
             df = self.read_internal(buckets=buckets, conjuncts=conjuncts)
         out = df.where(~F.coalesce(F.col(DELETED_COL), F.lit(False))).select(
             *[f.name for f in self.schema.fields]
@@ -596,23 +594,31 @@ class LakeTable:
             out = out.where(F.expr(where))
         return out
 
-    def _bucket_for_key_literals(self, pinned: "dict[str, object]") -> "int | None":
-        """The one bucket a fully-pinned key can live in, or None when
+    def _buckets_for_key_combos(
+        self, combos: "list[dict[str, object]]"
+    ) -> "list[int] | None":
+        """The bucket set a point-in-set lookup can live in (one bucket
+        per fully-pinned key combination, deduplicated), or None when
         the literals don't coerce to the key schema (the post-filter
         then yields the honest result over all buckets). Evaluated with
         the SAME Spark expression the write path uses (one local
-        single-row job at planning time) — a reimplementation of
+        ≤max_combos-row job at planning time) — a reimplementation of
         xxhash64 here would be a silent-wrong-bucket bug factory."""
         key_fields = [f for f in self.schema.fields if f.name in self.key_columns]
         try:
-            row = tuple(pinned[f.name] for f in key_fields)
-            df = self.spark.createDataFrame([row], T.StructType(key_fields))
+            rows = [tuple(c[f.name] for f in key_fields) for c in combos]
+            df = self.spark.createDataFrame(rows, T.StructType(key_fields))
             got = df.select(
                 bucket_expr(self.key_columns, self.num_buckets).alias("b")
-            ).collect()
-            return int(got[0]["b"]) if got else None
+            ).distinct().collect()
+            return sorted(int(r["b"]) for r in got) if got else None
         except Exception:  # noqa: BLE001 — mis-typed literal: no pruning
             return None
+
+    def _bucket_for_key_literals(self, pinned: "dict[str, object]") -> "int | None":
+        """Single-combo convenience over :meth:`_buckets_for_key_combos`."""
+        got = self._buckets_for_key_combos([pinned])
+        return got[0] if got else None
 
     # -- write paths ----------------------------------------------------------
 

@@ -613,6 +613,49 @@ def split_conjuncts_by_keys(
     return key_cj, [c for c in conjuncts if c[0] not in keys]
 
 
+def key_membership_literals(
+    conjuncts: "list[tuple[str, str, object]]",
+    key_columns: "list[str]",
+    max_combos: int = 64,
+) -> "list[dict[str, object]] | None":
+    """Every candidate ``{key: literal}`` combination when EVERY key
+    column is pinned by an equality OR an IN-list — the point-in-SET
+    lookup shape ("fetch these 20 keys") that prunes the read to the
+    union of the combos' hash buckets. None when some key is unpinned,
+    a key carries conflicting pins, or the cross-product exceeds
+    ``max_combos`` (a huge IN-list reads the whole table anyway — the
+    planning walk must stay O(1))."""
+    per_key: dict[str, set] = {}
+    for col, op, lit in conjuncts:
+        if col not in key_columns:
+            continue
+        if op == "=":
+            vals = {lit}
+        elif op == "in":
+            vals = set(lit)
+        else:
+            continue  # a range pin doesn't name buckets; others may
+        if col in per_key:
+            per_key[col] &= vals  # two pins on one key: intersect
+            if not per_key[col]:
+                return None  # contradictory: post-filter yields empty
+        else:
+            per_key[col] = vals
+    if set(per_key) != set(key_columns):
+        return None
+    total = 1
+    for vals in per_key.values():
+        total *= len(vals)
+        if total > max_combos:
+            return None
+    combos: list[dict[str, object]] = [{}]
+    for col in key_columns:
+        combos = [
+            {**c, col: v} for c in combos for v in sorted(per_key[col], key=repr)
+        ]
+    return combos
+
+
 def key_equality_literals(
     conjuncts: "list[tuple[str, str, object]]", key_columns: "list[str]"
 ) -> "dict[str, object] | None":

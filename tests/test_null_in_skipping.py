@@ -148,3 +148,51 @@ def test_mor_null_conjuncts_never_prune_fold_inputs(spark, tmpdir_path):
     table.merge_cdc(changes, "b2")
     got = {r["k"]: r["x"] for r in table.read(where="x IS NULL").collect()}
     assert 7 not in got and len(got) == 19
+
+
+def test_key_membership_literals_unit():
+    from sap_spark.plans.stats import key_membership_literals as kml
+
+    assert kml([("k", "=", 5)], ["k"]) == [{"k": 5}]
+    assert kml([("k", "in", (1, 2))], ["k"]) == [{"k": 1}, {"k": 2}]
+    assert kml([("a", "in", (1, 2)), ("b", "=", "x")], ["a", "b"]) == [
+        {"a": 1, "b": "x"}, {"a": 2, "b": "x"},
+    ]
+    # intersecting pins narrow; contradictions yield None (honest empty
+    # comes from the post-filter over all buckets)
+    assert kml([("k", "in", (1, 2, 3)), ("k", "in", (2, 9))], ["k"]) == [{"k": 2}]
+    assert kml([("k", "=", 1), ("k", "=", 2)], ["k"]) is None
+    # unpinned key / range-only pin / oversized product: no pruning
+    assert kml([("a", "=", 1)], ["a", "b"]) is None
+    assert kml([("k", ">", 5)], ["k"]) is None
+    assert kml([("k", "in", tuple(range(100)))], ["k"]) is None
+
+
+def test_point_in_set_lookup_prunes_buckets(spark, tmpdir_path):
+    """`k IN (...)` over the key prunes the read to the union of the
+    member buckets — the 'fetch these N keys' shape at 10^10 rows."""
+    table = LakeTable.create(
+        spark, f"{tmpdir_path}/t", SCHEMA, key_columns=["k"], num_buckets=32
+    )
+    table.overwrite(
+        spark.range(2000).select(
+            F.col("id").alias("k"),
+            F.col("id").alias("x"),
+            F.lit("v").alias("s"),
+        ),
+        batch_id="seed",
+    )
+    combos = [{"k": 5}, {"k": 505}, {"k": 1999}]
+    expect_buckets = table._buckets_for_key_combos(combos)
+    assert expect_buckets and len(expect_buckets) <= 3
+
+    got = table.read(where="k IN (5, 505, 1999)")
+    assert sorted(r["k"] for r in got.collect()) == [5, 505, 1999]
+    # the plan's scan reads only the pruned buckets' files
+    files = {f.removeprefix("file://") for f in got.inputFiles()}
+    allowed = {
+        e["path"]
+        for b in expect_buckets
+        for e in table.manifest["buckets"].get(str(b), [])
+    }
+    assert files and files <= allowed
