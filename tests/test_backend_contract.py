@@ -279,7 +279,11 @@ def test_predicate_read_identity(spark, make_table):
     for where in (
         "repo = 'r0'",                      # key equality (bucket prune)
         "repo = 'r0' AND path = 'p0'",      # full point lookup
+        "repo IN ('r0', 'r3') AND path IN ('p0', 'p3')",  # point-in-set
         "content = 'v0-new'",               # non-key (MOR fold safety)
+        "content IN ('v2', 'v0-new')",      # non-key IN (bloom/nulls path)
+        "content IS NULL",                  # tombstone-adjacent shape
+        "content IS NOT NULL AND repo = 'r2'",
         "content >= 'v3' AND repo = 'r2'",
         "repo = 'r1' OR content = 'v7'",    # no pruning possible
         "length(content) > 2",              # not a prunable shape
