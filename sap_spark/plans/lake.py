@@ -60,9 +60,6 @@ from pyspark.sql import types as T
 
 from sap_spark.config import EngineConfig
 from sap_spark.plans.stats import (
-    collect_parquet_bloom,
-    collect_parquet_nulls,
-    collect_parquet_stats,
     entry_may_match,
     key_membership_literals,
     parse_conjuncts,
@@ -190,7 +187,12 @@ class LakeTable:
         mpath = self._manifest_path(new_version)
         tmp = mpath + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            json.dump(manifest, f)
+            # allow_nan=False: a non-finite stat bound would serialize as
+            # the bare non-RFC token `NaN`/`Infinity`, corrupting the
+            # manifest for strict parsers — stats collection drops such
+            # bounds (plans/stats._encode_bound), so any one reaching
+            # here is a bug that must fail the commit loudly, not land
+            json.dump(manifest, f, allow_nan=False)
         try:
             os.link(tmp, mpath)  # the commit point: one writer wins
         except FileExistsError:
@@ -678,40 +680,69 @@ class LakeTable:
         sid = self.manifest["current_schema_id"]
         stats_cols = self.stats_columns
         bloom_cols = self.bloom_columns
-        out: dict[str, list[dict]] = {}
+        bucket_paths: dict[str, list[str]] = {}
         for bdir in glob.glob(os.path.join(commit_dir, "__bucket=*")):
             b = bdir.rsplit("=", 1)[1]
-            entries = []
-            for p in glob.glob(os.path.join(bdir, "*.parquet")):
-                entry: dict = {"path": p, "schema_id": sid}
-                if stats_cols:
-                    # footer-only reads, bounded by files-per-commit; a
-                    # stats failure must never fail the commit
-                    try:
-                        st = collect_parquet_stats(p, stats_cols)
-                    except Exception:  # noqa: BLE001
-                        st = {}
-                    if st:
-                        entry["stats"] = st
-                    try:
-                        nl = collect_parquet_nulls(p, stats_cols)
-                    except Exception:  # noqa: BLE001
-                        nl = {}
-                    if nl.get("counts"):
-                        entry["nulls"] = nl
-                if bloom_cols:
-                    # opt-in column-data read (O(this commit's bytes));
-                    # same never-fail-the-commit contract as the bounds
-                    try:
-                        bl = collect_parquet_bloom(p, bloom_cols)
-                    except Exception:  # noqa: BLE001
-                        bl = {}
-                    if bl:
-                        entry["bloom"] = bl
-                entries.append(entry)
-            if entries:
-                out[b] = entries
-        return out
+            paths = sorted(glob.glob(os.path.join(bdir, "*.parquet")))
+            if paths:
+                bucket_paths[b] = paths
+        meta_by_path = self._collect_commit_metadata(
+            [p for paths in bucket_paths.values() for p in paths],
+            stats_cols,
+            bloom_cols,
+        )
+        return {
+            b: [
+                {"path": p, "schema_id": sid, **meta_by_path.get(p, {})}
+                for p in paths
+            ]
+            for b, paths in bucket_paths.items()
+        }
+
+    # commits with at least this many files collect footer stats in the
+    # distributed pass too (a full-compaction commit at the 4096-bucket
+    # design point would otherwise serialize 4096+ footer GETs through
+    # the driver); below it one job's scheduling overhead costs more
+    # than the handful of local footer reads it parallelizes
+    _DISTRIBUTED_STATS_MIN_FILES = 64
+
+    def _collect_commit_metadata(
+        self,
+        paths: list[str],
+        stats_cols: list[str],
+        bloom_cols: list[str],
+    ) -> "dict[str, dict]":
+        """Manifest metadata for a commit's new files. Anything that must
+        read column DATA — blooms, NaN counts for float/double stats
+        columns — runs TASK-SIDE (stats.collect_metadata_distributed):
+        the write job's output bytes never serialize through the driver.
+        Footer-only collection (min/max + null counts) stays a driver
+        walk for small commits — bounded, local-FS cheap — and joins the
+        distributed pass past _DISTRIBUTED_STATS_MIN_FILES. Both paths
+        run the same collect_entry_metadata, so the manifests they
+        produce are identical."""
+        from sap_spark.plans.stats import (
+            collect_entry_metadata,
+            collect_metadata_distributed,
+        )
+
+        if not paths or not (stats_cols or bloom_cols):
+            return {}
+        float_types = (T.FloatType(), T.DoubleType())
+        needs_data = bool(bloom_cols) or any(
+            f.name in stats_cols and f.dataType in float_types
+            for f in self._schema_with_internal().fields
+        )
+        if self.spark is not None and (
+            needs_data or len(paths) >= self._DISTRIBUTED_STATS_MIN_FILES
+        ):
+            try:
+                return collect_metadata_distributed(
+                    self.spark, paths, stats_cols, bloom_cols
+                )
+            except Exception:  # noqa: BLE001 — stats never fail a commit
+                return {}
+        return {p: collect_entry_metadata(p, stats_cols, bloom_cols) for p in paths}
 
     def overwrite(self, df: DataFrame, batch_id: str | None = None) -> None:
         """Replace the whole table (initial load / backfill)."""
@@ -1157,7 +1188,8 @@ class LakeTable:
         if buckets is not None:
             universe &= set(buckets)
         if only_dirty:
-            delta = sorted(b for b in universe if b in self.delta_file_counts())
+            counts = self.delta_file_counts()  # one manifest walk, not one per bucket
+            delta = sorted(b for b in universe if b in counts)
             if purge_tombstones:
                 clean_candidates = sorted(universe - set(delta))
                 dirty = sorted(

@@ -35,16 +35,19 @@ tests/test_stats_pruning.py):
   groups by key, so removing rows of non-matching keys never changes a
   matching key's winner.
 
-Stats collection reads footers driver-side at commit time — bounded by
-files-per-commit, and local-FS cheap here. A real object-store
-deployment would collect the same bounds task-side inside the write
-job (as Iceberg writers do); the manifest shape this module defines is
-the seam either collector feeds.
+Collection locality (the Iceberg writer-collects-stats model): anything
+reading column DATA — blooms, NaN counts — runs task-side via
+:func:`collect_metadata_distributed`; footer-only bounds/null-counts run
+driver-side for small commits (bounded, local) and join the distributed
+pass for large ones (see plans/lake.LakeTable._collect_commit_metadata).
+Both paths share :func:`collect_entry_metadata`, so manifests are
+identical regardless of where collection ran.
 """
 
 from __future__ import annotations
 
 import hashlib
+import math
 from datetime import date, datetime
 from decimal import Decimal
 from functools import lru_cache
@@ -67,6 +70,14 @@ def _encode_bound(v):
     """JSON-safe encoding of one min/max bound; None = not storable."""
     if isinstance(v, bool) or v is None:
         return None  # boolean bounds prune nothing worth the bytes
+    if isinstance(v, float) and not math.isfinite(v):
+        # Spark's parquet writer records max=NaN for NaN-bearing files,
+        # and every Python comparison against NaN is False — keeping the
+        # bound would make file_may_match silently drop files whose rows
+        # DO match (law 8). ±Inf is droppable for a cheaper reason: it is
+        # valid but json.dump would emit non-RFC tokens. None ⇒ the
+        # column goes dead for this file ⇒ never pruned on.
+        return None
     if isinstance(v, (int, float)):
         return v
     if isinstance(v, str):
@@ -253,6 +264,96 @@ def collect_parquet_bloom(path: str, columns: "list[str]") -> "dict[str, dict]":
     return out
 
 
+def collect_entry_metadata(
+    path: str, stats_cols: "list[str]", bloom_cols: "list[str]"
+) -> dict:
+    """Every manifest-entry metadata layer for one data file — min/max
+    bounds + null counts (footer-only), NaN counts for float stats
+    columns and blooms (column-data reads) — as one JSON-safe dict.
+    Shared verbatim by the driver-side footer walk and the task-side
+    distributed pass (plans/lake.py), so the manifests both produce are
+    identical by construction. Per-layer failures are swallowed: stats
+    are an optimization and must never fail the commit."""
+    meta: dict = {}
+    if stats_cols:
+        try:
+            st = collect_parquet_stats(path, stats_cols)
+        except Exception:  # noqa: BLE001
+            st = {}
+        if st:
+            meta["stats"] = st
+        try:
+            nl = collect_parquet_nulls(path, stats_cols)
+        except Exception:  # noqa: BLE001
+            nl = {}
+        if nl.get("counts"):
+            meta["nulls"] = nl
+        try:
+            nn = collect_parquet_nans(path, stats_cols)
+        except Exception:  # noqa: BLE001
+            nn = {}
+        if nn:
+            # a recorded 0 is the NaN-absence proof that re-enables
+            # upper-bound pruning on float columns — always stored
+            meta["nan"] = nn
+    if bloom_cols:
+        try:
+            bl = collect_parquet_bloom(path, bloom_cols)
+        except Exception:  # noqa: BLE001
+            bl = {}
+        if bl:
+            meta["bloom"] = bl
+    return meta
+
+
+def collect_metadata_distributed(
+    spark, paths: "list[str]", stats_cols: "list[str]", bloom_cols: "list[str]"
+) -> "dict[str, dict]":
+    """Task-side manifest metadata for a commit's newly-written files:
+    one Spark job, one task per group of files, each task running
+    :func:`collect_entry_metadata` against files it reads LOCALLY
+    (shared storage on a cluster) and returning only the small JSON
+    metadata blob (~2 KiB/bloom column + bounds). The driver assembles
+    manifests from the collected blobs and never touches column data —
+    the Iceberg writer-collects-stats model. At the design point (10^8-
+    event epochs with ``bloom_columns=['commit']``) the old driver loop
+    serialized the entire epoch's written column bytes through one
+    Python thread; this pass scales with executor count like the write
+    job that produced the files."""
+    if not paths:
+        return {}
+    import json
+
+    sc_cols, bl_cols = list(stats_cols or []), list(bloom_cols or [])
+
+    def _collect(batches):
+        import pandas as pd
+
+        from sap_spark.plans.stats import collect_entry_metadata
+
+        def one(p: str) -> str:
+            try:
+                return json.dumps(
+                    collect_entry_metadata(p, sc_cols, bl_cols), allow_nan=False
+                )
+            except Exception:  # noqa: BLE001 — stats never fail a commit
+                return "{}"
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"path": pdf["path"], "meta": [one(p) for p in pdf["path"]]}
+            )
+
+    df = spark.createDataFrame([(p,) for p in paths], "path string")
+    n = max(1, min(len(paths), int(spark.sparkContext.defaultParallelism)))
+    rows = (
+        df.repartition(n)
+        .mapInPandas(_collect, "path string, meta string")
+        .collect()  # bounded: O(files-per-commit) small JSON blobs
+    )
+    return {r["path"]: json.loads(r["meta"]) for r in rows}
+
+
 def bloom_may_match(
     blooms: "dict[str, dict]", conjuncts: "list[tuple[str, str, object]]"
 ) -> bool:
@@ -319,6 +420,40 @@ def collect_parquet_nulls(path: str, columns: "list[str]") -> dict:
     }
 
 
+def collect_parquet_nans(path: str, columns: "list[str]") -> "dict[str, int]":
+    """``{column: NaN count}`` for the float/double columns among
+    ``columns`` — the Iceberg ``nan_value_counts`` analog. Spec-compliant
+    parquet writers OMIT NaN from min/max stats, so a file can carry
+    clean-looking float bounds while its NaN rows (which Spark orders
+    LARGER than every value) match any ``>``/``>=`` predicate; a proven
+    count of 0 is what re-enables upper-bound pruning on float columns
+    (:func:`file_may_match`). Reads the float columns' data, so it runs
+    task-side (plans/lake.py's distributed metadata pass), never on the
+    driver. Non-float columns are skipped without reading anything."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    if not columns:
+        return {}
+    pf = pq.ParquetFile(path)
+    arrow_schema = pf.schema_arrow
+    float_cols = [
+        c
+        for c in columns
+        if c in arrow_schema.names
+        and pa.types.is_floating(arrow_schema.field(c).type)
+    ]
+    out: dict[str, int] = {}
+    for c in float_cols:
+        n = 0
+        for batch in pf.iter_batches(columns=[c]):
+            is_nan = pc.is_nan(batch.column(0))
+            n += pc.sum(is_nan).as_py() or 0
+        out[c] = int(n)
+    return out
+
+
 def nulls_may_match(
     nulls: dict, conjuncts: "list[tuple[str, str, object]]"
 ) -> bool:
@@ -351,7 +486,12 @@ def entry_may_match(
     bounds, null counts, then the bloom. Same keep-on-doubt contract
     as each."""
     return (
-        file_may_match(entry.get("stats") or {}, conjuncts, ts_utc_session)
+        file_may_match(
+            entry.get("stats") or {},
+            conjuncts,
+            ts_utc_session,
+            nan_counts=entry.get("nan") or {},
+        )
         and nulls_may_match(entry.get("nulls") or {}, conjuncts)
         and bloom_may_match(entry.get("bloom") or {}, conjuncts)
     )
@@ -549,12 +689,32 @@ def file_may_match(
     stats: dict,
     conjuncts: "list[tuple[str, str, object]]",
     ts_utc_session: bool = True,
+    nan_counts: "dict | None" = None,
 ) -> bool:
     """Could a file with these ``{col: [min, max]}`` bounds contain a row
     satisfying every conjunct? Missing/incomparable stats keep the file
     (pruning must never be the component that loses a row).
     ``ts_utc_session=False`` disables naive-literal-vs-aware-timestamp
-    pruning (the literal's meaning then depends on the session zone)."""
+    pruning (the literal's meaning then depends on the session zone).
+
+    NaN soundness on float/double columns: Spark orders NaN LARGER than
+    every value, and spec-compliant parquet writers omit NaN from
+    min/max — so a file whose bounds look clean can still hold NaN rows
+    that satisfy any ``>``/``>=`` conjunct. Upper-bound pruning on a
+    float bound therefore requires NaN-absence proof: ``nan_counts``
+    (the per-file NaN counts of :func:`collect_parquet_nans`) must
+    record 0 for the column, else the conjunct keeps the file. All
+    other ops stay sound without proof: rows matching ``=``/``<``/
+    ``<=``/``in`` under a non-NaN literal are themselves non-NaN, and
+    the omitted-NaN bounds are exact over the non-NaN rows. (A NaN
+    LITERAL cannot reach here — SQL has no NaN token and
+    parse_conjuncts carries only parse-tree literals.)"""
+    nan_counts = nan_counts or {}
+
+    def _nan_unsafe(col, bounds) -> bool:
+        """True when the file may hold NaN rows in this float column."""
+        return isinstance(decode_bound(bounds[1]), float) and nan_counts.get(col) != 0
+
     def _within(bounds, lit) -> "bool | None":
         """Could a value equal to ``lit`` live inside ``bounds``?
         None = not decidable (keep)."""
@@ -580,6 +740,8 @@ def file_may_match(
             continue
         if op not in _PRUNABLE_OPS:
             continue
+        if op in (">", ">=") and _nan_unsafe(col, bounds):
+            continue  # possible NaN rows order above hi and would match
         lo, hi = decode_bound(bounds[0]), decode_bound(bounds[1])
         pair_lo = _coerce(lo, lit, ts_utc_session)
         pair_hi = _coerce(hi, lit, ts_utc_session)

@@ -133,7 +133,11 @@ def test_parse_conjuncts_spark_grammar_corners(spark):
 def test_file_may_match_bounds():
     stats = {"v": [10.0, 20.0], "name": ["aa", "mm"]}
     assert file_may_match(stats, [("v", ">=", 15)])
-    assert not file_may_match(stats, [("v", ">", 20.0)])
+    # upper-bound pruning on a FLOAT bound needs NaN-absence proof
+    # (tests/test_nan_stats.py) — without it the file is kept...
+    assert file_may_match(stats, [("v", ">", 20.0)])
+    # ...and with a recorded NaN count of 0 it prunes as before
+    assert not file_may_match(stats, [("v", ">", 20.0)], nan_counts={"v": 0})
     assert not file_may_match(stats, [("v", "<", 10.0)])
     assert file_may_match(stats, [("v", "<=", 10.0)])
     assert not file_may_match(stats, [("v", "=", 25.0)])
@@ -248,7 +252,12 @@ def test_mor_nonkey_pruning_is_fold_safe(spark, tmp_path):
         if e.get("kind") == "delta"
     ]
     assert len(entries) == 2
-    fires = [not file_may_match(e["stats"], [("v", ">=", 50.0)]) for e in entries]
+    fires = [
+        not file_may_match(
+            e["stats"], [("v", ">=", 50.0)], nan_counts=e.get("nan")
+        )
+        for e in entries
+    ]
     assert sorted(fires) == [False, True]
     got = t.read(where="v >= 50.0")
     # non-key conjunct in a delta-bearing bucket: nothing pruned...
