@@ -537,11 +537,11 @@ def main(argv: list[str] | None = None) -> None:
     i.add_argument("--buckets", type=int, default=None,
                    help="table hash buckets; omit to derive from log size "
                         "(~payload/256MB, min 8)")
-    i.add_argument("--strategy", default="fetch",
+    i.add_argument("--strategy", default="auto",
                    choices=["fetch", "agg", "window", "window_salted", "auto"],
-                   help="LWW fold strategy; auto = fetch with a per-batch "
-                        "hot-key probe that flips to window_salted past "
-                        "hot_key_threshold events on one key")
+                   help="LWW fold strategy; auto (default) = fetch with a "
+                        "per-batch hot-key probe that flips to window_salted "
+                        "past hot_key_threshold events on one key")
     i.add_argument("--merge-mode", default=None, choices=["cow", "mor"],
                    help="cow (default for new tables): rewrite touched "
                         "buckets per merge (read-optimal); mor: append "

@@ -251,7 +251,7 @@ class CdcPipeline:
         log_path: str,
         checkpoint_dir: str,
         max_files_per_trigger: int | None = None,
-        strategy: str = "fetch",
+        strategy: str = "auto",
         pipeline_id: str | None = None,
         transform=None,
         enforce_token_atomicity: bool = True,
@@ -260,7 +260,15 @@ class CdcPipeline:
         dead_letter_rules=None,
         auto_compact_delta_files: int | None = None,
     ):
-        """``transform``: optional DataFrame → DataFrame decode stage applied
+        """``strategy``: the per-batch LWW fold (see :func:`ingest_batch`).
+        Default ``'auto'`` — the fetch fold plus a per-batch hot-key probe
+        (one O(keys) job over the already-persisted winner scan) that
+        flips to the salted two-level window past
+        ``cfg.hot_key_threshold`` surviving events on one key, so the
+        north-rule skew machinery engages without opt-in. Pass
+        ``'fetch'`` to pin the probe-free fold.
+
+        ``transform``: optional DataFrame → DataFrame decode stage applied
         to each micro-batch before fold/merge — the slot for the SAP-style
         field-decode kernels (functions/decode.py ``decode_entity`` /
         per-field kernels, vectorized expressions or Arrow pandas UDFs; see

@@ -373,10 +373,12 @@ def test_auto_strategy_flips_on_zipf_hot_key(spark, tmpdir_path):
         spark, f"{tmpdir_path}/hot_repos", TARGET_SCHEMA,
         key_columns=["repo", "path"], num_buckets=8,
     )
+    # deliberately NO strategy argument: auto is the pipeline default,
+    # so the north-rule skew machinery must engage without opt-in
     pipe = CdcPipeline(
         spark, cfg, table, log_dir,
         checkpoint_dir=f"{tmpdir_path}/hot_ckpt",
-        strategy="auto", pipeline_id="auto-hot",
+        pipeline_id="auto-hot",
     )
     pipe.run_available_now(timeout_sec=300)
     applied = [r for r in pipe.lineage() if r["applied"]]
@@ -410,7 +412,7 @@ def test_auto_strategy_flips_on_zipf_hot_key(spark, tmpdir_path):
     pipe2 = CdcPipeline(
         spark, cfg, table2, log2,
         checkpoint_dir=f"{tmpdir_path}/mild_ckpt",
-        strategy="auto", pipeline_id="auto-mild",
+        pipeline_id="auto-mild",
     )
     pipe2.run_available_now(timeout_sec=300)
     applied2 = [r for r in pipe2.lineage() if r["applied"]]
