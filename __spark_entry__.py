@@ -865,14 +865,65 @@ def _docs_neardup_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: hyperplane-LSH bucket join + cosine verify."""
+    """Embedding near-dup: banded hyperplane-LSH candidate join + exact
+    cosine verify + connected-component group resolution — oracle-checked
+    end to end.
+
+    The driver's embeddings table has no natural pairs above 0.99 (max
+    base cosine ≈ 0.6), so the query plants one near-duplicate per 10th
+    vector: the same vector quantized to integer milli-units with +7
+    added to its first coordinate (cosine ≈ 0.99997 — a true NEAR dup,
+    not a copy, so the verify leg is exercised). Quantization makes
+    every dot product an exact integer, so the cosine and the 0.99
+    threshold decision are bit-identical in Spark and DuckDB; 8 bands x
+    12 planes put per-pair miss probability ~2e-13, and the oracle's
+    exhaustive-pair + recursive-CTE components confirm the LSH found
+    every pair (recall 1 on this data, checked by hash equality)."""
     from sap_spark.operators.textdedup import dedup_embedding_cosine
 
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()["embedding"])
-    return dedup_embedding_cosine(
-        emb, "vec_id", "embedding", dim, threshold=0.99, n_planes=12
+    quant = F.transform(F.col("embedding"), lambda x: F.round(x * 1000))
+    base = emb.select("vec_id", quant.alias("q"))
+    planted = base.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("q"), lambda x, i: F.when(i == 0, x + 7.0).otherwise(x)
+        ).alias("q"),
     )
+    corpus = base.unionByName(planted)
+    return dedup_embedding_cosine(
+        corpus, "vec_id", "q", dim, threshold=0.99, n_planes=12, n_bands=8
+    )
+
+
+_EMB_COSINE_DEDUP_SQL = """
+    WITH RECURSIVE base AS (
+        SELECT vec_id, list_transform(embedding, x -> round(x * 1000)) AS q
+        FROM embeddings
+    ),
+    planted AS (
+        SELECT vec_id + 100000 AS vec_id,
+               list_concat([q[1] + 7], q[2:]) AS q
+        FROM base WHERE vec_id % 10 = 0
+    ),
+    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+    pairs AS (
+        SELECT a.vec_id AS a, b.vec_id AS b
+        FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        WHERE list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2]))
+              / (sqrt(list_sum(list_transform(list_zip(a.q, a.q), p -> p[1] * p[2])))
+                 * sqrt(list_sum(list_transform(list_zip(b.q, b.q), p -> p[1] * p[2]))))
+              >= 0.99
+    ),
+    edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+    reach(id, lbl) AS (
+        SELECT vec_id, vec_id FROM corpus
+        UNION
+        SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id
+    )
+    SELECT id AS vec_id, min(lbl) AS group_id FROM reach GROUP BY id
+"""
 
 
 def _emb_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -970,23 +1021,73 @@ def _cdc_token_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# non-SQL-expressible: full engine replay on the synthetic change log
+# the north-star metric: full engine replay on the synthetic change log,
+# hash-checked by the driver against an independent DuckDB replay
 # ---------------------------------------------------------------------------
+
+# The synthetic log is xxhash64-generated, so DuckDB can't regenerate it;
+# the query stages it to parquet once (deterministic: seed=42, pure
+# function of the row index) and the oracle SQL replays THE SAME BYTES.
+_CDC_REPLAY_LOG_DIR = "/tmp/sap_spark_oracle_stage/cdc_replay_log"
+
+
+def _staged_replay_log(spark: SparkSession) -> DataFrame:
+    """Materialize the deterministic synthetic change log (10k events /
+    1k keys) for side-by-side Spark + DuckDB replay. Idempotent: the
+    _SUCCESS marker skips the rewrite; content is identical either way
+    (seeded generator, no RNG state)."""
+    import os
+
+    from sap_spark.sources.datagen import gen_change_events
+
+    events = gen_change_events(spark, n_events=10_000, n_keys=1_000)
+    if not os.path.exists(os.path.join(_CDC_REPLAY_LOG_DIR, "_SUCCESS")):
+        events.write.mode("overwrite").parquet(_CDC_REPLAY_LOG_DIR)
+    return spark.read.parquet(_CDC_REPLAY_LOG_DIR)
 
 
 def _cdc_replay_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full CDC replay (cancellation + LWW + delete filter) of the
-    deterministic synthetic change log — rows-only check; exact-state
-    equality vs the sequential oracle is covered in tests/test_dedup.py."""
+    """Full CDC replay (ROCANCEL cancellation + LWW dedup + delete
+    filter) of the deterministic synthetic change log — the final table
+    state under the content-sha256 invariant (BASELINE.json metric).
+    Oracle-checked: _CDC_REPLAY_SQL folds the same staged log in DuckDB
+    (cancel anti-join → row_number LWW window → I/U/D fold); the pytest
+    sequential-fold oracle (tests/test_dedup.py) pins the same semantics
+    event-by-event."""
     from sap_spark.config import EngineConfig
     from sap_spark.operators.dedup import replay
-    from sap_spark.sources.datagen import gen_change_events
 
     cfg = EngineConfig().validate()
-    events = gen_change_events(spark, n_events=10_000, n_keys=1_000)
+    events = _staged_replay_log(spark)
     return replay(events, cfg).select(
         "repo", "path", "commit", "lang", F.sha2("content", 256).alias("content_sha")
     )
+
+
+_CDC_REPLAY_SQL = f"""
+    WITH log AS (
+        SELECT * FROM read_parquet('{_CDC_REPLAY_LOG_DIR}/*.parquet')
+    ),
+    cancelled AS (
+        SELECT DISTINCT cancel_seq AS event_seq FROM log
+        WHERE rocancel AND cancel_seq IS NOT NULL
+    ),
+    survivors AS (
+        SELECT l.* FROM log l
+        LEFT JOIN cancelled c USING (event_seq)
+        WHERE NOT l.rocancel AND c.event_seq IS NULL
+    ),
+    latest AS (
+        SELECT repo, path, commit, lang, content, op,
+               row_number() OVER (
+                   PARTITION BY repo, path
+                   ORDER BY event_seq DESC, delta_token DESC
+               ) AS rn
+        FROM survivors
+    )
+    SELECT repo, path, commit, lang, sha256(content) AS content_sha
+    FROM latest WHERE rn = 1 AND op <> 'D'
+"""
 
 
 def _events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1919,9 +2020,14 @@ def oracle_sql() -> dict[str, str]:
         "odata2_feed_decode": _ODATA2_FEED_DECODE_SQL,
         "odata4_feed_decode": _ODATA4_FEED_DECODE_SQL,
         "decode_kernels": _DECODE_KERNELS_SQL,
-        # intentionally no oracle for: cdc_replay_synthetic (non-SQL source;
-        # exact-state parity pytest-verified against the sequential fold),
-        # docs_neardup_methods / emb_cosine_dedup / emb_ann_methods /
-        # assets_media_features / cdc_token_progress (hash-seeded / UDF /
-        # approx operators — semantics pinned in tests).
+        # the north-star replay, hash-checked against an independent
+        # DuckDB fold of the same staged log (requires the Spark query to
+        # have run first — it stages the log parquet the SQL reads)
+        "cdc_replay_synthetic": _CDC_REPLAY_SQL,
+        # banded-LSH near-dup vs exhaustive-pair + recursive-CTE components
+        "emb_cosine_dedup": _EMB_COSINE_DEDUP_SQL,
+        # intentionally no oracle for: docs_neardup_methods /
+        # emb_ann_methods / assets_media_features / cdc_token_progress
+        # (hash-seeded / UDF / approx operators — semantics pinned in
+        # tests).
     }
