@@ -189,19 +189,35 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
-def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
+def hyperplane_signature(
+    vec: Column, dim: int, n_planes: int = 16, plane_seed: int = 0
+) -> Column:
     """Random-hyperplane LSH bit signature for cosine similarity: bit i =
     sign(<v, h_i>) with h_i a deterministic ±1 plane derived from seeded
-    xxhash64 — P[bits differ] = angle/π (Charikar 2002). Returns a long."""
+    xxhash64 — P[bits differ] = angle/π (Charikar 2002). Returns a long.
+
+    ``plane_seed`` selects an independent plane family — the banding
+    primitive (operators/textdedup.dedup_embedding_cosine n_bands): b
+    independent r-plane signatures detect a pair when ANY band collides,
+    lifting recall from p^r to 1-(1-p^r)^b. Seed 0 is the original
+    (i, j)-hashed family, so existing signatures are unchanged."""
     bits = []
     for i in range(n_planes):
-        # h_i[j] = ±1 from hash(i, j): computed inline, no stored planes
+        # h_i[j] = ±1 from hash([seed,] i, j): computed inline, no stored
+        # planes; the seedless form is kept bit-identical to pre-banding
+        def sign_of(j, i=i):
+            h = (
+                F.xxhash64(F.lit(i), j)
+                if plane_seed == 0
+                else F.xxhash64(F.lit(plane_seed), F.lit(i), j)
+            )
+            return F.when(F.pmod(h, 2) == 0, 1.0).otherwise(-1.0)
+
         proj = F.aggregate(
             F.zip_with(
                 vec,
                 F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda v, j: v
-                * F.when(F.pmod(F.xxhash64(F.lit(i), j), 2) == 0, 1.0).otherwise(-1.0),
+                lambda v, j: v * sign_of(j),
             ),
             F.lit(0.0),
             lambda acc, v: acc + v,

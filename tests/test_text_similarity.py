@@ -331,6 +331,42 @@ def test_dedup_embedding_cosine(spark):
     assert got[3] == 3
 
 
+def test_dedup_embedding_cosine_banding_recall(spark):
+    """Banded LSH recall lift: pairs a single signature misses are
+    caught when ANY of b independent plane families collides. 40
+    perturbed near-dup pairs (cosine ≈ 0.998) at r=12: the one-band run
+    misses a few by design (p^12 ≈ 0.9 per pair → ~4 expected misses),
+    the 8-band run must find every pair (miss ≈ 3e-12 per pair). Also
+    pins band-0 compatibility: n_bands=1 equals the pre-banding
+    operator (plane_seed=0 is the original family)."""
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(40):
+        v = rng.normal(size=32)
+        v /= np.linalg.norm(v)
+        w = v.copy()
+        w[0] += 0.06  # cosine(v, w) ≈ 0.9983
+        rows.append((i, [float(x) for x in v]))
+        rows.append((1000 + i, [float(x) for x in w]))
+    df = spark.createDataFrame(rows, "id int, v array<double>")
+    banded = {
+        r["id"]: r["group_id"]
+        for r in dedup_embedding_cosine(
+            df, "id", "v", 32, threshold=0.99, n_planes=12, n_bands=8
+        ).collect()
+    }
+    assert all(banded[1000 + i] == banded[i] == i for i in range(40))
+    single = {
+        r["id"]: r["group_id"]
+        for r in dedup_embedding_cosine(
+            df, "id", "v", 32, threshold=0.99, n_planes=12, n_bands=1
+        ).collect()
+    }
+    hits = sum(single[1000 + i] == i for i in range(40))
+    assert hits < 40  # the single-band miss the banding exists to fix
+    assert hits >= 20  # but it's LSH, not a broken hash
+
+
 def test_dedup_exact_bounds_member_ids(spark):
     """A pathological hash (one boilerplate file across 10^5 repos) must
     not materialize every duplicate id into one giant row: member_ids is
