@@ -161,18 +161,33 @@ def _lt(a, b) -> bool:
 # Min/max bounds only skip when values are clustered; a high-cardinality
 # scattered column — the commit sha of the north-rule schema is the
 # canonical case — spans its whole domain in every file, so "WHERE
-# commit = '<sha>'" scans everything. A tiny per-file bloom (2 KiB, k=7;
-# ~1% false-positive at ~2k distinct values, degrading gracefully above)
-# lets an equality conjunct drop almost every file driver-side, same as
+# commit = '<sha>'" scans everything. A tiny per-file bloom (k=7, sized
+# from the file's row count at ~12 bits/row so the false-positive rate
+# stays ~1e-3 regardless of file size: 2 KiB floor, 8 KiB at the 4k-row
+# bench files, 128 KiB cap ≈ 87k rows before fp degrades) lets an
+# equality conjunct drop almost every file driver-side, same as
 # Iceberg/Parquet bloom skipping but at manifest granularity: no file
-# is even opened. Collection reads the column's DATA at commit time
-# (not just the footer) — opt-in via create(bloom_columns=[...]) for
-# exactly that reason. Soundness is inherited: a bloom-missing file is
-# kept, a bloom hit is "maybe", only a definite miss drops the file,
-# and the caller applies the same key/non-key MOR split as for bounds.
+# is even opened. The bitmap's own length carries its size, so files
+# written under different sizing coexist in one manifest. Collection
+# reads the column's DATA at commit time (not just the footer) —
+# opt-in via create(bloom_columns=[...]) for exactly that reason.
+# Soundness is inherited: a bloom-missing file is kept, a bloom hit is
+# "maybe", only a definite miss drops the file, and the caller applies
+# the same key/non-key MOR split as for bounds.
 
-_BLOOM_M = 16384  # bits -> 2 KiB per file per column
+_BLOOM_MIN_M = 16384  # bits -> 2 KiB floor per file per column
+_BLOOM_MAX_M = 1 << 20  # 128 KiB cap — manifests stay metadata-sized
+_BLOOM_BITS_PER_ROW = 12  # k=7 at 12 bits/value -> fp ~6e-4
 _BLOOM_K = 7
+
+
+def _bloom_m_for_rows(n_rows: int) -> int:
+    """Power-of-two bit count for a file of ``n_rows`` (row count upper-
+    bounds the distinct count; footer-known, no extra pass)."""
+    m = _BLOOM_MIN_M
+    while m < min(n_rows * _BLOOM_BITS_PER_ROW, _BLOOM_MAX_M):
+        m <<= 1
+    return m
 
 
 def _bloom_tag(value) -> "str | None":
@@ -190,21 +205,26 @@ def _bloom_tag(value) -> "str | None":
     return None
 
 
-def _bloom_hashes_tagged(tag: str, data: bytes) -> list[int]:
-    """k bit indexes from a (type tag, canonical bytes) pair — the
-    uncached kernel, used directly by the write-side loop where a
+def _bloom_hash_pair(tag: str, data: bytes) -> "tuple[int, int]":
+    """Double-hashing pair from a (type tag, canonical bytes) value —
+    size-independent, so one pair probes bitmaps of any m; the uncached
+    kernel is used directly by the write-side loop where a
     high-cardinality column (a sha — the feature's target) would only
     churn a cache."""
     h = hashlib.blake2b(tag.encode() + b":" + data, digest_size=16).digest()
     h1 = int.from_bytes(h[:8], "little")
     h2 = int.from_bytes(h[8:], "little") | 1  # odd -> good double hashing
-    return [(h1 + i * h2) % _BLOOM_M for i in range(_BLOOM_K)]
+    return h1, h2
+
+
+def _bloom_indexes(h1: int, h2: int, m: int) -> "list[int]":
+    return [(h1 + i * h2) % m for i in range(_BLOOM_K)]
 
 
 # query-side wrapper: a read's planning walk probes the SAME literal
 # against every manifest entry, so cache by (tag, bytes) — keying on the
 # raw value would let True collide with 1 and 1.0 with 1 under ==/hash
-_bloom_hashes_cached = lru_cache(maxsize=1024)(_bloom_hashes_tagged)
+_bloom_pair_cached = lru_cache(maxsize=1024)(_bloom_hash_pair)
 
 
 def _bloom_canonical(value) -> "tuple[str, bytes] | None":
@@ -218,13 +238,13 @@ def _bloom_canonical(value) -> "tuple[str, bytes] | None":
     return tag, (value if tag == "b" else str(value).encode("utf-8"))
 
 
-def _bloom_hashes(value) -> "list[int] | None":
-    """Query-side convenience: k bit indexes for one literal, or None
-    when unbloomable."""
+def _bloom_hashes(value, m: int = _BLOOM_MIN_M) -> "list[int] | None":
+    """Query-side convenience: k bit indexes for one literal against an
+    m-bit bitmap, or None when unbloomable."""
     canon = _bloom_canonical(value)
     if canon is None:
         return None
-    return _bloom_hashes_cached(*canon)
+    return _bloom_indexes(*_bloom_pair_cached(*canon), m)
 
 
 def collect_parquet_bloom(path: str, columns: "list[str]") -> "dict[str, dict]":
@@ -241,9 +261,10 @@ def collect_parquet_bloom(path: str, columns: "list[str]") -> "dict[str, dict]":
         return {}
     pf = pq.ParquetFile(path)
     present = [c for c in columns if c in set(pf.schema_arrow.names)]
+    m = _bloom_m_for_rows(pf.metadata.num_rows)
     out: dict[str, dict] = {}
     for c in present:
-        bits = bytearray(_BLOOM_M // 8)
+        bits = bytearray(m // 8)
         ok = True
         tag = None
         for batch in pf.iter_batches(columns=[c]):
@@ -255,7 +276,8 @@ def collect_parquet_bloom(path: str, columns: "list[str]") -> "dict[str, dict]":
                     ok = False  # unbloomable or (impossible) mixed types
                     break
                 tag = canon[0]
-                for b in _bloom_hashes_tagged(*canon):
+                h1, h2 = _bloom_hash_pair(*canon)
+                for b in _bloom_indexes(h1, h2, m):
                     bits[b >> 3] |= 1 << (b & 7)
             if not ok:
                 break
@@ -374,9 +396,10 @@ def bloom_may_match(
         if _bloom_tag(lit) != entry.get("t"):
             return False  # cross-type: Spark may cast-match — keep
         bits = base64.b64decode(entry["b"])
-        return any(
-            not (bits[b >> 3] >> (b & 7)) & 1 for b in _bloom_hashes(lit)
-        )
+        # the bitmap length IS its size: files written under different
+        # sizing policies coexist in one manifest
+        idx = _bloom_hashes(lit, m=len(bits) * 8)
+        return any(not (bits[b >> 3] >> (b & 7)) & 1 for b in idx)
 
     for col, op, lit in conjuncts:
         entry = blooms.get(col)
