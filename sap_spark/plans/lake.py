@@ -272,7 +272,7 @@ class LakeTable:
         bounds (``stats_columns`` + ``sort_columns``/zorder) something
         to skip.
 
-        ``bloom_columns``: record a tiny per-file bloom (2 KiB/column,
+        ``bloom_columns``: record a tiny per-file bloom (row-count-sized,
         plans/stats.py) at every commit so EQUALITY predicates skip
         files on high-cardinality NON-clustered columns — bounds can't
         help there (every file spans the domain), but ``WHERE commit =
