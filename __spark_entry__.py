@@ -719,18 +719,25 @@ _DOCS_TOP_WORDS_SQL = r"""
 
 
 def _docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing (training-data pipeline tail): documents in doc_id
-    order chunked into ~512-token context bins by greedy offset chunking
-    (operators/packing.py) — bin = floor(start_offset / 512)."""
+    """Sequence packing (training-data pipeline tail): documents chunked
+    into ~512-token context bins by greedy offset chunking
+    (operators/packing.py) — bin = floor(start_offset / 512) — over the
+    SHARDED scale path: 8 deterministic shards (doc_id % 8), each packed
+    by its own window in doc_id order, embarrassingly parallel with bin
+    ids unique per (shard, bin). This is the form that survives 100 TB
+    (one window partition per shard, never a single global sort); the
+    un-sharded global form remains covered by tests/test_packing.py."""
     from sap_spark.functions import text as TX
     from sap_spark.operators.packing import pack_sequences
 
     docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", TX.token_count(F.col("text")).alias("n_tokens")
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        F.pmod(F.col("doc_id"), F.lit(8)).alias("shard"),
     )
     return pack_sequences(
-        docs, "n_tokens", 512, order_cols=["doc_id"]
-    ).select("doc_id", "n_tokens", "pack_offset", "pack_id")
+        docs, "n_tokens", 512, order_cols=["doc_id"], partition_cols=["shard"]
+    ).select("doc_id", "n_tokens", "shard", "pack_offset", "pack_id")
 
 
 _DOCS_PACK_SEQUENCES_SQL = r"""
@@ -738,13 +745,15 @@ _DOCS_PACK_SEQUENCES_SQL = r"""
         SELECT doc_id,
                CASE WHEN trim(text) = '' THEN 0
                     ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) END
-                   AS n_tokens
+                   AS n_tokens,
+               doc_id % 8 AS shard
         FROM documents
     )
-    SELECT doc_id, n_tokens,
-           CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+    SELECT doc_id, n_tokens, shard,
+           CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING)
                 - n_tokens AS BIGINT) AS pack_offset,
-           CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY doc_id
+           CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                                            ROWS UNBOUNDED PRECEDING)
                        - n_tokens) / 512) AS BIGINT) AS pack_id
     FROM t
