@@ -175,7 +175,10 @@ def test_merge_cdc_empty_batch_records_ledger_only(spark):
         {"key": PROP_BUCKETS, "value": "8"},
         {"key": PROP_BATCHES, "value": json.dumps(["epoch-9"])},
     ]
-    fake.props_rows = [type("R", (), {"__getitem__": lambda s, k: d[k]})() for d in t2_props]
+    fake.props_rows = [
+        type("R", (), {"__getitem__": lambda s, k, d=d: d[k]})()
+        for d in t2_props  # d=d: bind per-row, not the loop variable
+    ]
     assert t.merge_cdc(_changes(spark), "epoch-9", affected_buckets=[]) is True
     assert fake.sqls()[0] == _sql_set_property(
         TABLE, PROP_BATCHES, json.dumps(["epoch-9"])
