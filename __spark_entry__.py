@@ -892,10 +892,14 @@ def _emb_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()["embedding"])
+    # planted ids start past the natural domain at ANY scale factor (a
+    # fixed offset would collide once vec_id reaches it, duplicating ids
+    # in the corpus and desyncing the oracle's GROUP BY)
+    off = emb.agg(F.max("vec_id")).first()[0] + 1
     quant = F.transform(F.col("embedding"), lambda x: F.round(x * 1000))
     base = emb.select("vec_id", quant.alias("q"))
     planted = base.where(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
+        (F.col("vec_id") + F.lit(off)).alias("vec_id"),
         F.transform(
             F.col("q"), lambda x, i: F.when(i == 0, x + 7.0).otherwise(x)
         ).alias("q"),
@@ -912,7 +916,7 @@ _EMB_COSINE_DEDUP_SQL = """
         FROM embeddings
     ),
     planted AS (
-        SELECT vec_id + 100000 AS vec_id,
+        SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS vec_id,
                list_concat([q[1] + 7], q[2:]) AS q
         FROM base WHERE vec_id % 10 = 0
     ),
@@ -1037,22 +1041,51 @@ def _cdc_token_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The synthetic log is xxhash64-generated, so DuckDB can't regenerate it;
 # the query stages it to parquet once (deterministic: seed=42, pure
 # function of the row index) and the oracle SQL replays THE SAME BYTES.
-_CDC_REPLAY_LOG_DIR = "/tmp/sap_spark_oracle_stage/cdc_replay_log"
+# The directory is keyed by (a) the current user — /tmp is world-shared
+# and another user's dir would be unwritable — and (b) a content
+# fingerprint of the generated frame (one tiny job over 10k slim rows),
+# so a change to the generator can never silently replay stale bytes,
+# and concurrent runs of the same code converge on one identical dir.
+def _replay_stage_dir(spark: SparkSession, events: DataFrame) -> str:
+    import getpass
+
+    fp = (
+        events.select(
+            # decimal sum: a long sum of 64-bit hashes overflows ANSI
+            F.xxhash64(*sorted(events.columns)).cast("decimal(30,0)").alias("h")
+        )
+        .agg(F.sum("h").alias("s"), F.count(F.lit(1)).alias("n"))
+        .first()
+    )
+    tag = f"{int(fp['s'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}-{fp['n']}"
+    return (
+        f"/tmp/sap_spark_oracle_stage-{getpass.getuser()}/"
+        f"cdc_replay_log-{tag}"
+    )
 
 
 def _staged_replay_log(spark: SparkSession) -> DataFrame:
     """Materialize the deterministic synthetic change log (10k events /
     1k keys) for side-by-side Spark + DuckDB replay. Idempotent: the
-    _SUCCESS marker skips the rewrite; content is identical either way
-    (seeded generator, no RNG state)."""
+    _SUCCESS marker skips the rewrite, and the fingerprint-keyed dir
+    makes the marker trustworthy (different generated content ⇒
+    different dir). Stale sibling stages (older generator versions) are
+    removed so the oracle's glob matches exactly this content."""
     import os
+    import shutil
 
     from sap_spark.sources.datagen import gen_change_events
 
     events = gen_change_events(spark, n_events=10_000, n_keys=1_000)
-    if not os.path.exists(os.path.join(_CDC_REPLAY_LOG_DIR, "_SUCCESS")):
-        events.write.mode("overwrite").parquet(_CDC_REPLAY_LOG_DIR)
-    return spark.read.parquet(_CDC_REPLAY_LOG_DIR)
+    stage = _replay_stage_dir(spark, events)
+    root, this = os.path.dirname(stage), os.path.basename(stage)
+    if os.path.isdir(root):
+        for d in os.listdir(root):
+            if d.startswith("cdc_replay_log-") and d != this:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        events.write.mode("overwrite").parquet(stage)
+    return spark.read.parquet(stage)
 
 
 def _cdc_replay_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1073,9 +1106,21 @@ def _cdc_replay_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cdc_replay_glob() -> str:
+    """The oracle-side path: exactly one fingerprint dir exists after
+    the Spark query ran (it removes stale siblings), so the glob reads
+    the same bytes the engine replayed."""
+    import getpass
+
+    return (
+        f"/tmp/sap_spark_oracle_stage-{getpass.getuser()}/"
+        "cdc_replay_log-*/*.parquet"
+    )
+
+
 _CDC_REPLAY_SQL = f"""
     WITH log AS (
-        SELECT * FROM read_parquet('{_CDC_REPLAY_LOG_DIR}/*.parquet')
+        SELECT * FROM read_parquet('{_cdc_replay_glob()}')
     ),
     cancelled AS (
         SELECT DISTINCT cancel_seq AS event_seq FROM log

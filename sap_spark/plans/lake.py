@@ -153,7 +153,38 @@ class LakeTable:
 
     def _load_manifest(self, version: int) -> dict:
         with open(self._manifest_path(version)) as f:
-            return json.load(f)
+            return self._scrub_nonfinite_stats(json.load(f))
+
+    @staticmethod
+    def _scrub_nonfinite_stats(manifest: dict) -> dict:
+        """Drop non-finite float bounds inherited from manifests written
+        BEFORE the NaN-soundness fix (json.load accepts the bare NaN
+        token). Without this, every later commit deep-copies the legacy
+        entry forward and _commit's ``allow_nan=False`` rejects it —
+        bricking writes to an upgraded table. The read side independently
+        ignores such bounds (stats.decode_bound), so scrubbing only
+        changes what future manifests inherit. O(files) driver-side,
+        touches nothing when clean (the overwhelmingly common case)."""
+        import math
+
+        for entries in (manifest.get("buckets") or {}).values():
+            for e in entries:
+                stats = e.get("stats")
+                if not stats:
+                    continue
+                bad = [
+                    c
+                    for c, b in stats.items()
+                    if any(
+                        isinstance(v, float) and not math.isfinite(v)
+                        for v in b
+                    )
+                ]
+                for c in bad:
+                    del stats[c]
+                if not stats:
+                    del e["stats"]
+        return manifest
 
     def _commit(self, manifest: dict, op: "dict | None" = None) -> None:
         """Write manifest v(N+1); its atomic ``os.link`` IS the commit.
@@ -740,8 +771,20 @@ class LakeTable:
                 return collect_metadata_distributed(
                     self.spark, paths, stats_cols, bloom_cols
                 )
-            except Exception:  # noqa: BLE001 — stats never fail a commit
-                return {}
+            except Exception as exc:  # noqa: BLE001
+                # A transient job failure must not permanently strip this
+                # commit's (immutable) manifest of its stats — fall back
+                # to the driver walk: worse locality once, never silent
+                # metadata loss. Per-file failures inside either path
+                # still degrade per-layer (collect_entry_metadata).
+                import warnings
+
+                warnings.warn(
+                    f"distributed stats collection failed ({exc!r}); "
+                    "falling back to the driver-side walk for this commit",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
         return {p: collect_entry_metadata(p, stats_cols, bloom_cols) for p in paths}
 
     def overwrite(self, df: DataFrame, batch_id: str | None = None) -> None:

@@ -96,12 +96,21 @@ def _encode_bound(v):
 
 
 def decode_bound(v):
-    """Inverse of :func:`_encode_bound` after a JSON round-trip."""
+    """Inverse of :func:`_encode_bound` after a JSON round-trip.
+
+    Non-finite floats decode to None (= bound missing, keep the file):
+    new writers never store them, but manifests written BEFORE the
+    NaN-soundness fix can carry Spark's max=NaN verbatim (json.loads
+    accepts the bare token), and evaluating a comparison against that
+    NaN silently prunes matching files — the exact defect the encode
+    guard closed for new writes must stay closed for legacy reads."""
     if isinstance(v, dict):
         if "$ts" in v:
             return datetime.fromisoformat(v["$ts"])
         if "$d" in v:
             return date.fromisoformat(v["$d"])
+        return None
+    if isinstance(v, float) and not math.isfinite(v):
         return None
     return v
 

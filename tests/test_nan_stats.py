@@ -165,6 +165,55 @@ def test_clean_float_files_still_prune_upper(spark, tmpdir_path):
     assert len(sel.inputFiles()) < n_all
 
 
+def test_legacy_nan_bounds_read_and_scrub(spark, tmpdir_path):
+    """Manifests written BEFORE the NaN fix carry Spark's max=NaN
+    verbatim (json accepts the bare token). Two guarantees for an
+    upgraded table: (1) read side — a non-finite bound decodes to
+    missing, so it prunes nothing (the round-4 defect must stay closed
+    for legacy METADATA, not just legacy writes); (2) write side — the
+    load-time scrub drops the poisoned bounds so the next commit's
+    ``allow_nan=False`` dump doesn't brick the table."""
+    import json
+
+    t = _mk(spark, tmpdir_path, num_buckets=1, max_records_per_file=None)
+    clean = spark.range(32).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("double").alias("v"),
+        F.lit("x").alias("name"),
+    )
+    t.overwrite(clean)
+    t = LakeTable(spark, tmpdir_path)
+    mpath = t._manifest_path(t.version)
+    with open(mpath) as f:
+        m = json.load(f)
+    entry = next(iter(m["buckets"].values()))[0]
+    entry["stats"]["v"] = [1.0, float("nan")]  # the pre-fix on-disk shape
+    entry.pop("nan", None)
+    with open(mpath, "w") as f:
+        json.dump(m, f)  # stdlib default allow_nan=True, like old code
+
+    # unit: the poisoned bound keeps the file for every op shape
+    assert file_may_match({"v": [1.0, float("nan")]}, [("v", "=", 5.0)])
+    assert file_may_match({"v": [1.0, float("nan")]}, [("v", "in", (5.0,))])
+
+    t2 = LakeTable(spark, tmpdir_path)
+    assert {r["k"] for r in t2.read(where="v = 5.0").collect()} == {5}
+    # the scrub removed the unusable bounds from the loaded manifest...
+    for es in t2.manifest["buckets"].values():
+        for e in es:
+            assert "v" not in (e.get("stats") or {})
+    # ...so the next commit survives allow_nan=False and writes strict JSON
+    extra = spark.createDataFrame(
+        [(99, 99.0, "y", "I", 1)],
+        "k long, v double, name string, op string, event_seq long",
+    )
+    t2.merge_cdc(extra, "post-upgrade-batch")
+    with open(t2._manifest_path(t2.version)) as f:
+        text = f.read()
+    assert "NaN" not in text
+    json.loads(text)
+
+
 # ---------------------------------------------------------------------------
 # collection: NaN counts + driver/task equality
 # ---------------------------------------------------------------------------
