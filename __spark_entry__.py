@@ -1026,11 +1026,43 @@ def _assets_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cdc_token_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-delta-token operational metrics of the synthetic change log."""
-    from sap_spark.sources.datagen import gen_change_events
+    """Per-delta-token operational metrics of the synthetic change log
+    (streaming/aggregates.token_progress) — oracle-checked over the same
+    staged log as the replay. The operator's ``approx_keys`` HLL column
+    is excluded from the contract projection (HLL sketches are
+    engine-specific, so DuckDB's approx_count_distinct would hash-differ
+    by design); its accuracy vs exact distinct is pinned in
+    tests/test_streaming_aggregates.py. All seven exact aggregate
+    columns are hash-checked."""
     from sap_spark.streaming.aggregates import token_progress
 
-    return token_progress(gen_change_events(spark, n_events=10_000, n_keys=1_000))
+    out = token_progress(_staged_replay_log(spark)).drop("approx_keys")
+    counts = ["n_events", "n_insert", "n_update", "n_delete", "n_rocancel"]
+    # pin the wire type: DuckDB sums to HUGEINT, so both sides cast to
+    # 64-bit or the hash compares int64 against float64/object reprs
+    return out.select(
+        "delta_token",
+        *[F.col(c).cast("long").alias(c) for c in counts],
+        "min_seq",
+        "max_seq",
+    )
+
+
+def _cdc_token_progress_sql() -> str:
+    return f"""
+    WITH log AS (
+        SELECT * FROM read_parquet('{_cdc_replay_glob()}')
+    )
+    SELECT delta_token,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_insert,
+           CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_update,
+           CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_delete,
+           CAST(sum(CASE WHEN rocancel THEN 1 ELSE 0 END) AS BIGINT) AS n_rocancel,
+           min(event_seq) AS min_seq,
+           max(event_seq) AS max_seq
+    FROM log GROUP BY delta_token ORDER BY delta_token
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -2080,8 +2112,10 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_synthetic": _CDC_REPLAY_SQL,
         # banded-LSH near-dup vs exhaustive-pair + recursive-CTE components
         "emb_cosine_dedup": _EMB_COSINE_DEDUP_SQL,
+        # per-token ops metrics over the same staged log (HLL column
+        # excluded — engine-specific sketch, pytest-pinned accuracy)
+        "cdc_token_progress": _cdc_token_progress_sql(),
         # intentionally no oracle for: docs_neardup_methods /
-        # emb_ann_methods / assets_media_features / cdc_token_progress
-        # (hash-seeded / UDF / approx operators — semantics pinned in
-        # tests).
+        # emb_ann_methods / assets_media_features (hash-seeded / UDF /
+        # approx operators — semantics pinned in tests).
     }

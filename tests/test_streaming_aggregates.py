@@ -17,6 +17,19 @@ def test_token_progress(spark):
     r0 = prog[0]
     assert r0["n_insert"] + r0["n_update"] + r0["n_delete"] == r0["n_events"]
     assert r0["n_rocancel"] > 0
+    # the HLL column is excluded from the driver contract's hash check
+    # (engine-specific sketch) — its accuracy is pinned HERE instead:
+    # Spark documents ~2-5% default relative error; assert 10% slack
+    exact = {
+        r["delta_token"]: r["n"]
+        for r in events.groupBy("delta_token")
+        .agg(F.countDistinct("repo", "path").alias("n"))
+        .collect()
+    }
+    for r in prog:
+        assert abs(r["approx_keys"] - exact[r["delta_token"]]) <= max(
+            0.10 * exact[r["delta_token"]], 2
+        )
 
 
 def test_op_rates_streaming_matches_batch(spark, tmpdir_path):
