@@ -1078,7 +1078,7 @@ def _cdc_token_progress_sql() -> str:
 # fingerprint of the generated frame (one tiny job over 10k slim rows),
 # so a change to the generator can never silently replay stale bytes,
 # and concurrent runs of the same code converge on one identical dir.
-def _replay_stage_dir(spark: SparkSession, events: DataFrame) -> str:
+def _replay_stage_dir(events: DataFrame) -> str:
     import getpass
 
     fp = (
@@ -1098,25 +1098,60 @@ def _replay_stage_dir(spark: SparkSession, events: DataFrame) -> str:
 
 def _staged_replay_log(spark: SparkSession) -> DataFrame:
     """Materialize the deterministic synthetic change log (10k events /
-    1k keys) for side-by-side Spark + DuckDB replay. Idempotent: the
-    _SUCCESS marker skips the rewrite, and the fingerprint-keyed dir
-    makes the marker trustworthy (different generated content ⇒
-    different dir). Stale sibling stages (older generator versions) are
-    removed so the oracle's glob matches exactly this content."""
+    1k keys) for side-by-side Spark + DuckDB replay. Concurrency-safe
+    by construction: the log is written to a private tmp dir and
+    PUBLISHED with one atomic rename (a half-written stage is never
+    visible under its final name), a ``current`` symlink — also swapped
+    atomically — names the fingerprint dir this process staged, and the
+    oracle reads through that symlink, so its glob can never span two
+    stages even while another run (e.g. an older generator version)
+    publishes a different fingerprint next to it. Idempotent: a
+    complete stage for this content short-circuits the write; stale
+    siblings are swept only once they are an hour old (never the dir
+    a just-finished run might still be reading)."""
     import os
     import shutil
+    import time
 
     from sap_spark.sources.datagen import gen_change_events
 
     events = gen_change_events(spark, n_events=10_000, n_keys=1_000)
-    stage = _replay_stage_dir(spark, events)
+    stage = _replay_stage_dir(events)
     root, this = os.path.dirname(stage), os.path.basename(stage)
-    if os.path.isdir(root):
-        for d in os.listdir(root):
-            if d.startswith("cdc_replay_log-") and d != this:
-                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
     if not os.path.exists(os.path.join(stage, "_SUCCESS")):
-        events.write.mode("overwrite").parquet(stage)
+        tmp = f"{stage}.tmp-{os.getpid()}"
+        events.write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, stage)  # atomic publish: all-or-nothing
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # a twin run won
+    # repoint current -> this fingerprint (atomic symlink swap)
+    link, tmplink = os.path.join(root, "current"), os.path.join(
+        root, f"current.tmp-{os.getpid()}"
+    )
+    try:
+        os.symlink(this, tmplink)
+        os.replace(tmplink, link)
+    except OSError:
+        if os.path.exists(tmplink):
+            os.unlink(tmplink)
+    # hygiene: sweep hour-old stages from other generator versions
+    now = time.time()
+    for d in os.listdir(root):
+        full = os.path.join(root, d)
+        if d in (this, "current") or not d.startswith(
+            ("cdc_replay_log-", "current.tmp-")
+        ):
+            continue
+        try:
+            if now - os.lstat(full).st_mtime > 3600:
+                if os.path.islink(full):
+                    os.unlink(full)
+                else:
+                    shutil.rmtree(full, ignore_errors=True)
+        except OSError:
+            pass
     return spark.read.parquet(stage)
 
 
@@ -1139,14 +1174,15 @@ def _cdc_replay_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cdc_replay_glob() -> str:
-    """The oracle-side path: exactly one fingerprint dir exists after
-    the Spark query ran (it removes stale siblings), so the glob reads
-    the same bytes the engine replayed."""
+    """The oracle-side path: reads through the ``current`` symlink the
+    Spark query just pointed at its fingerprint dir, so the glob names
+    exactly one stage — it cannot span a sibling stage published by a
+    concurrent run of a different generator version."""
     import getpass
 
     return (
         f"/tmp/sap_spark_oracle_stage-{getpass.getuser()}/"
-        "cdc_replay_log-*/*.parquet"
+        "current/*.parquet"
     )
 
 

@@ -36,6 +36,7 @@ is part of the training-data-pipeline extension surface, not a port.
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 
 import numpy as np
 
@@ -347,8 +348,19 @@ def _parse_dht(seg: bytes, huff: "dict[tuple[int, int], _HuffTable]") -> None:
         vals = list(seg[p + 17 : p + 17 + cnt])
         if len(vals) != cnt:
             raise ValueError("truncated DHT")
-        huff[(cls, tid)] = _HuffTable(bits, vals)
+        huff[(cls, tid)] = _huff_table_cached(tuple(bits), tuple(vals))
         p += 17 + cnt
+
+
+@lru_cache(maxsize=64)
+def _huff_table_cached(bits: tuple, vals: tuple) -> "_HuffTable":
+    """Tables repeat across images — most encoders ship the Annex K.3
+    defaults verbatim — so cache the two 65,536-entry LUT builds by
+    table content: a thumbnail batch would otherwise pay ~0.5M list
+    fills per image for identical tables. _HuffTable is immutable after
+    construction (its LUTs are only ever indexed), so sharing one
+    instance across frames is safe."""
+    return _HuffTable(list(bits), list(vals))
 
 
 _DEFAULT_HUFF: dict[tuple[int, int], _HuffTable] = {}

@@ -313,6 +313,12 @@ def dedup_embedding_cosine(
     pair colliding in k bands is verified once, and vectors cross a
     shuffle O(1) times regardless of b.
     """
+    if n_bands < 1 or n_planes < 1:
+        # range(0) would silently emit zero signatures -> zero candidate
+        # pairs -> all-singleton groups, i.e. dedup quietly disabled
+        raise ValueError(
+            f"n_bands and n_planes must be >= 1, got {n_bands}/{n_planes}"
+        )
     # Norms are computed once per vector BEFORE the self-join: inside the
     # verify each vector participates in ~bucket_size pairs, and cosine_sim
     # would redo the self-dot (dim multiply-adds) per pair per side.

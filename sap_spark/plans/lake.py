@@ -308,7 +308,10 @@ class LakeTable:
         files on high-cardinality NON-clustered columns — bounds can't
         help there (every file spans the domain), but ``WHERE commit =
         '<sha>'`` over the north-rule schema drops to the handful of
-        bloom-hit files. Opt-in: collection reads the column's data at
+        bloom-hit files. Bitmaps live out-of-line in per-file
+        ``.bloom`` sidecars (manifest carries only the column list and
+        stays metadata-sized at any file count); the read path loads
+        them lazily. Opt-in: collection reads the column's data at
         commit time (O(batch), like the write itself); string/int
         columns only."""
         if merge_mode not in ("cow", "mor"):
@@ -788,7 +791,13 @@ class LakeTable:
         return {p: collect_entry_metadata(p, stats_cols, bloom_cols) for p in paths}
 
     def overwrite(self, df: DataFrame, batch_id: str | None = None) -> None:
-        """Replace the whole table (initial load / backfill)."""
+        """Replace the whole table (initial load / backfill). Same
+        exactly-once contract as :meth:`merge_cdc`: a replayed
+        ``batch_id`` that already committed is a no-op (a restarted
+        backfill driver re-running its epoch must not burn a version
+        or re-spill the table)."""
+        if batch_id is not None and batch_id in self.committed_batches():
+            return
         user_cols = [f.name for f in self.schema.fields]
         prepared = (
             apply_cast_plan(df, self.schema)
@@ -1398,6 +1407,11 @@ class LakeTable:
                     except OSError:
                         continue  # vanished mid-scan: someone else's problem
                 os.remove(f)
+                # the bloom sidecar shares its data file's lifecycle
+                try:
+                    os.remove(f + ".bloom")
+                except OSError:
+                    pass  # no sidecar (bloom-less table / legacy inline)
                 removed += 1
         # drop expired manifests (keep the retained chain intact)
         for mf in glob.glob(os.path.join(self._meta_dir, "v*.json")):

@@ -175,8 +175,9 @@ def _lt(a, b) -> bool:
 # stays ~1e-3 regardless of file size: 2 KiB floor, 8 KiB at the 4k-row
 # bench files, 128 KiB cap ≈ 87k rows before fp degrades) lets an
 # equality conjunct drop almost every file driver-side, same as
-# Iceberg/Parquet bloom skipping but at manifest granularity: no file
-# is even opened. The bitmap's own length carries its size, so files
+# Iceberg/Parquet bloom skipping but at planning granularity: no data
+# file is even opened (only its tiny bloom sidecar — see the sidecar
+# section below). The bitmap's own length carries its size, so files
 # written under different sizing coexist in one manifest. Collection
 # reads the column's DATA at commit time (not just the footer) —
 # opt-in via create(bloom_columns=[...]) for exactly that reason.
@@ -185,7 +186,7 @@ def _lt(a, b) -> bool:
 # the same key/non-key MOR split as for bounds.
 
 _BLOOM_MIN_M = 16384  # bits -> 2 KiB floor per file per column
-_BLOOM_MAX_M = 1 << 20  # 128 KiB cap — manifests stay metadata-sized
+_BLOOM_MAX_M = 1 << 20  # 128 KiB cap per sidecar (fp degrades past ~87k rows)
 _BLOOM_BITS_PER_ROW = 12  # k=7 at 12 bits/value -> fp ~6e-4
 _BLOOM_K = 7
 
@@ -295,6 +296,76 @@ def collect_parquet_bloom(path: str, columns: "list[str]") -> "dict[str, dict]":
     return out
 
 
+# ---------------------------------------------------------------------------
+# bloom sidecars (out-of-line bitmaps: manifests stay metadata-sized)
+# ---------------------------------------------------------------------------
+#
+# Row-count-sized bitmaps inline in the manifest don't survive scale:
+# at the design point (10^5+ files, 128 KiB cap, +33% base64) the JSON
+# manifest that every commit loads, scrubs, and deep-copies would grow
+# to GBs. So the bitmaps live OUT-OF-LINE, one sidecar per data file at
+# ``<file>.parquet.bloom`` — the Iceberg puffin-file analog at per-file
+# granularity. The manifest entry carries only ``bloom_ref`` (the list
+# of bloomed columns, a few bytes); the read path loads a sidecar
+# lazily, only for files that survived bounds/null pruning AND only
+# when an equality/IN conjunct actually names a bloomed column, with an
+# mtime-keyed cache so repeated point lookups pay the IO once. The
+# sidecar shares the data file's lifecycle exactly: written (atomic
+# tmp+rename) by the same task that collects the file's metadata,
+# deleted by expire_snapshots alongside its data file, orphaned copies
+# swept with their orphaned data files. A missing/corrupt sidecar
+# degrades to "keep the file" — same keep-on-doubt contract as every
+# other skipping layer. Legacy manifests with inline ``bloom`` entries
+# keep working unchanged.
+
+
+def bloom_sidecar_path(data_path: str) -> str:
+    return data_path + ".bloom"
+
+
+def write_bloom_sidecar(data_path: str, blooms: "dict[str, dict]") -> None:
+    """Atomically publish one data file's bloom bitmaps next to it.
+    tmp+rename so a concurrent reader never sees a torn sidecar."""
+    import json
+    import os
+
+    final = bloom_sidecar_path(data_path)
+    tmp = f"{final}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(blooms, f)
+    os.replace(tmp, final)
+
+
+@lru_cache(maxsize=4096)
+def _load_bloom_sidecar_cached(
+    sidecar: str, mtime_ns: int, size: int
+) -> "dict[str, dict]":
+    import json
+
+    try:
+        with open(sidecar) as f:
+            out = json.load(f)
+        return out if isinstance(out, dict) else {}
+    except Exception:  # noqa: BLE001 — unreadable sidecar: keep the file
+        return {}
+
+
+def load_bloom_sidecar(data_path: str) -> "dict[str, dict]":
+    """One data file's bloom bitmaps from its sidecar, ``{}`` when the
+    sidecar is absent or unreadable (absence means "never prune").
+    Cached on (path, mtime, size): sidecars are immutable once
+    published, so a planning walk probing many literals against the
+    same files pays the read once."""
+    import os
+
+    sidecar = bloom_sidecar_path(data_path)
+    try:
+        st = os.stat(sidecar)
+    except OSError:
+        return {}
+    return _load_bloom_sidecar_cached(sidecar, st.st_mtime_ns, st.st_size)
+
+
 def collect_entry_metadata(
     path: str, stats_cols: "list[str]", bloom_cols: "list[str]"
 ) -> dict:
@@ -333,7 +404,14 @@ def collect_entry_metadata(
         except Exception:  # noqa: BLE001
             bl = {}
         if bl:
-            meta["bloom"] = bl
+            try:
+                # bitmaps go out-of-line: the manifest carries only the
+                # bloomed-column list, and (task-side) the bitmap bytes
+                # never cross to the driver at all
+                write_bloom_sidecar(path, bl)
+                meta["bloom_ref"] = sorted(bl)
+            except Exception:  # noqa: BLE001 — unwritable sidecar:
+                meta["bloom"] = bl  # fall back inline (sound, legacy form)
     return meta
 
 
@@ -344,7 +422,8 @@ def collect_metadata_distributed(
     one Spark job, one task per group of files, each task running
     :func:`collect_entry_metadata` against files it reads LOCALLY
     (shared storage on a cluster) and returning only the small JSON
-    metadata blob (~2 KiB/bloom column + bounds). The driver assembles
+    metadata blob (bounds + the bloomed-column list — bloom bitmaps are
+    published to per-file sidecars task-side). The driver assembles
     manifests from the collected blobs and never touches column data —
     the Iceberg writer-collects-stats model. At the design point (10^8-
     event epochs with ``bloom_columns=['commit']``) the old driver loop
@@ -516,17 +595,25 @@ def entry_may_match(
 ) -> bool:
     """Every skipping layer over one manifest file entry: min/max
     bounds, null counts, then the bloom. Same keep-on-doubt contract
-    as each."""
-    return (
-        file_may_match(
-            entry.get("stats") or {},
-            conjuncts,
-            ts_utc_session,
-            nan_counts=entry.get("nan") or {},
-        )
-        and nulls_may_match(entry.get("nulls") or {}, conjuncts)
-        and bloom_may_match(entry.get("bloom") or {}, conjuncts)
-    )
+    as each. Blooms are resolved inline (legacy manifests) or from the
+    file's sidecar — loaded only when the cheaper layers kept the file
+    AND an equality/IN conjunct names a bloomed column, so a scan with
+    no bloomable predicate never touches a sidecar."""
+    if not file_may_match(
+        entry.get("stats") or {},
+        conjuncts,
+        ts_utc_session,
+        nan_counts=entry.get("nan") or {},
+    ) or not nulls_may_match(entry.get("nulls") or {}, conjuncts):
+        return False
+    blooms = entry.get("bloom") or {}
+    if not blooms:
+        ref = entry.get("bloom_ref")
+        if ref and any(
+            op in ("=", "in") and col in ref for col, op, _lit in conjuncts
+        ):
+            blooms = load_bloom_sidecar(entry["path"])
+    return bloom_may_match(blooms, conjuncts)
 
 
 # ---------------------------------------------------------------------------

@@ -134,11 +134,11 @@ def test_bloom_alter_and_status(spark, tmpdir_path):
     table = _make(spark, path, bloom_columns=None)
     table.overwrite(_rows_df(spark, n=100), batch_id="seed")
     entries = [e for es in table.manifest["buckets"].values() for e in es]
-    assert not any(e.get("bloom") for e in entries)
+    assert not any(e.get("bloom") or e.get("bloom_ref") for e in entries)
     assert table.alter_properties(bloom_columns=["commit"]) is True
     table.compact(only_dirty=False)
     entries = [e for es in table.manifest["buckets"].values() for e in es]
-    assert all(e.get("bloom", {}).get("commit") for e in entries)
+    assert all("commit" in (e.get("bloom_ref") or []) for e in entries)
 
     class Args:
         pass
@@ -215,7 +215,7 @@ def test_cli_ingest_layout_flags(spark, tmpdir_path):
     assert table.bloom_columns == ["commit"]
     assert table.max_records_per_file == 500
     entries = [e for es in table.manifest["buckets"].values() for e in es]
-    assert any(e.get("bloom", {}).get("commit") for e in entries)
+    assert any("commit" in (e.get("bloom_ref") or []) for e in entries)
 
     # explicit flags on re-ingest of an EXISTING table apply as an alter
     main([
@@ -261,3 +261,73 @@ def test_bloom_no_false_negatives_property():
                     assert bloom_may_match(blooms, [(name, "=", v)])
 
     run()
+
+
+def test_bloom_sidecars_keep_manifest_small_and_share_lifecycle(
+    spark, tmpdir_path
+):
+    """Bitmaps live OUT-OF-LINE (per-file ``.bloom`` sidecars): the
+    manifest JSON carries only the bloomed-column list at any file
+    count, a lost/corrupt sidecar degrades to keep-the-file (identity
+    law intact), and expire_snapshots removes sidecars with their data
+    files."""
+    import glob
+    import json
+    import os
+
+    table = _make(spark, f"{tmpdir_path}/t")
+    table.overwrite(_rows_df(spark), batch_id="seed")
+
+    with open(table._manifest_path(table.version)) as f:
+        text = f.read()
+    assert '"bloom_ref"' in text and '"b":' not in text
+    data_files = glob.glob(f"{tmpdir_path}/t/data/*/__bucket=*/*.parquet")
+    assert data_files
+    assert all(os.path.exists(p + ".bloom") for p in data_files)
+    with open(data_files[0] + ".bloom") as f:
+        sc = json.load(f)
+    assert sc["commit"]["t"] == "s" and sc["commit"]["b"]
+
+    # a corrupt or missing sidecar keeps the file — results unchanged
+    with open(data_files[0] + ".bloom", "w") as f:
+        f.write("{not json")
+    os.remove(data_files[1] + ".bloom")
+    needle = _sha(77)
+    w = f"commit = '{needle}'"
+    assert sorted(map(tuple, table.read(where=w).collect())) == sorted(
+        map(tuple, table.read().where(w).collect())
+    )
+
+    # expiry deletes each removed data file's sidecar alongside it
+    table.overwrite(_rows_df(spark, n=100), batch_id="again")
+    assert table.expire_snapshots(keep_last=1) > 0
+    live = set(glob.glob(f"{tmpdir_path}/t/data/*/__bucket=*/*.parquet"))
+    for s in glob.glob(f"{tmpdir_path}/t/data/*/__bucket=*/*.parquet.bloom"):
+        assert s[: -len(".bloom")] in live, f"orphaned sidecar {s}"
+
+
+def test_bloom_sidecar_loaded_lazily(spark, tmpdir_path, monkeypatch):
+    """The read path touches a sidecar only when an equality/IN
+    conjunct names a bloomed column — a range scan never pays the
+    sidecar IO."""
+    import sap_spark.plans.stats as stats
+
+    table = _make(spark, f"{tmpdir_path}/t", num_buckets=1)
+    table.overwrite(_rows_df(spark, n=500), batch_id="seed")
+    entries = [e for es in table.manifest["buckets"].values() for e in es]
+    assert entries and all(e.get("bloom_ref") == ["commit"] for e in entries)
+
+    calls = {"n": 0}
+    real = stats.load_bloom_sidecar
+
+    def counting(p):
+        calls["n"] += 1
+        return real(p)
+
+    monkeypatch.setattr(stats, "load_bloom_sidecar", counting)
+    for e in entries:
+        entry_may_match(e, [("content", ">=", "zzz")], True)
+        entry_may_match(e, [("commit", ">=", "zzz")], True)  # not equality
+    assert calls["n"] == 0
+    assert entry_may_match(entries[0], [("commit", "=", _sha(1))], True)
+    assert calls["n"] == 1

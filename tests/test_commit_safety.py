@@ -114,3 +114,23 @@ def test_stale_handle_conflict_then_reload_retry(spark, tmpdir_path):
     assert _state(LakeTable(spark, path)) == {
         ("r", "a"): "v2", ("r", "d"): "v4",
     }
+
+
+def test_overwrite_replayed_batch_id_is_noop(spark, tmpdir_path):
+    """overwrite shares merge_cdc's exactly-once contract: a restarted
+    backfill re-running an already-committed epoch must not burn a
+    version or re-spill the table."""
+    table = _make(spark, f"{tmpdir_path}/t")
+    df = spark.createDataFrame(
+        [("r1", "p1", "body")], "repo string, path string, content string"
+    )
+    table.overwrite(df, batch_id="seed")
+    v1 = table.version
+    files1 = sorted(e["path"] for es in table.manifest["buckets"].values() for e in es)
+    table.overwrite(df, batch_id="seed")  # replay: no-op
+    assert table.version == v1
+    files2 = sorted(e["path"] for es in table.manifest["buckets"].values() for e in es)
+    assert files1 == files2
+    # a NEW batch_id still overwrites
+    table.overwrite(df, batch_id="seed2")
+    assert table.version == v1 + 1

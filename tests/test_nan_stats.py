@@ -299,4 +299,4 @@ def test_write_path_is_task_side_for_bloom_tables(spark, tmpdir_path, monkeypatc
     # and the blooms landed
     t = LakeTable(spark, tmpdir_path)
     entries = [e for es in t.manifest["buckets"].values() for e in es]
-    assert all("bloom" in e for e in entries)
+    assert all("bloom_ref" in e for e in entries)  # bitmaps in sidecars

@@ -329,6 +329,10 @@ def test_dedup_embedding_cosine(spark):
     got = {r["id"]: r["group_id"] for r in dedup_embedding_cosine(df, "id", "v", 16, threshold=0.99).collect()}
     assert got[1] == got[2] == 1
     assert got[3] == 3
+    # a zero band/plane count would silently disable dedup — reject it
+    for bad in (dict(n_bands=0), dict(n_planes=0), dict(n_bands=-1)):
+        with pytest.raises(ValueError, match="must be >= 1"):
+            dedup_embedding_cosine(df, "id", "v", 16, **bad)
 
 
 def test_dedup_embedding_cosine_banding_recall(spark):
