@@ -849,9 +849,19 @@ def _docs_neardup_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All three text near-dup strategies over documents in one contract
     query — MinHash+LSH (char shingles), word-n-gram Jaccard, and SimHash
     (pigeonhole chunk join) — unioned as (method, doc_id, group_id).
-    Rows-only: hash-seeded banding has no DuckDB equivalent; recall /
-    precision / group-resolution semantics are pinned in
-    tests/test_textdedup.py."""
+
+    Oracle-checked (_DOCS_NEARDUP_SQL), by the same argument that promoted
+    emb_cosine_dedup: each method's OUTPUT is exact given its candidate
+    set — minhash/ngram verify candidates with exact Jaccard >= threshold,
+    simhash's pigeonhole chunk join has recall exactly 1 by construction —
+    so the DuckDB side recomputes ground truth without mirroring the LSH:
+    exhaustive shingle-join Jaccard pairs for minhash/ngram, and the
+    bit-identical sha256 SimHash fingerprint (portable by design, see
+    functions/similarity.py) + exhaustive hamming pairs for simhash.
+    Banding recall (the only probabilistic link) is empirically 1 on this
+    corpus at sf0.01 AND sf0.1 — every Jaccard-qualifying pair sits far
+    from the S-curve's miss region — and everything is seed-deterministic,
+    so the hash equality is stable, not a coin flip."""
     from sap_spark.operators.textdedup import (
         dedup_minhash_lsh,
         dedup_ngram_jaccard,
@@ -871,6 +881,114 @@ def _docs_neardup_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = tagged if out is None else out.unionByName(tagged)
     return out
+
+
+_DOCS_NEARDUP_SQL = """
+-- Ground-truth recompute of all three near-dup methods (no LSH mirror
+-- needed: candidate recall is 1 on this corpus; the verify stages are
+-- exact). Shingles join on DuckDB hash() of the shingle string -- any
+-- injective-ish 64-bit map preserves intersection counts (collision
+-- odds ~1e-14 per pair, and deterministic). SimHash fingerprints are
+-- recomputed bit-identically from sha256 (functions/similarity.py).
+WITH RECURSIVE norm AS (
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 \t\n\x0B\f\r]', ' ', 'g'),
+                '[ \t\n\x0B\f\r]+', ' ', 'g')) AS t
+    FROM documents
+),
+csh AS (
+    SELECT DISTINCT doc_id, hash(substr(t, i, 5)) AS hs
+    FROM norm, UNNEST(generate_series(1, greatest(length(t) - 4, 0))) AS u(i)
+),
+csize AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY doc_id),
+cpairs AS (
+    SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+    FROM csh a JOIN csh b ON a.hs = b.hs AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+cedges0 AS (
+    SELECT p.a, p.b
+    FROM cpairs p JOIN csize sa ON sa.doc_id = p.a
+                  JOIN csize sb ON sb.doc_id = p.b
+    WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.7
+),
+cedges AS (SELECT a, b FROM cedges0 UNION SELECT b, a FROM cedges0),
+creach(id, lbl) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.b, r.lbl FROM creach r JOIN cedges e ON e.a = r.id
+),
+cgroups AS (SELECT id AS doc_id, min(lbl) AS group_id FROM creach GROUP BY id),
+gtok AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+gsh AS (
+    SELECT DISTINCT doc_id, hash(array_to_string(w[i:i+2], ' ')) AS hs
+    FROM gtok, UNNEST(generate_series(1,
+         CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE 0 END)) AS u(i)
+),
+gsize AS (SELECT doc_id, count(*) AS n FROM gsh GROUP BY doc_id),
+gpairs AS (
+    SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+    FROM gsh a JOIN gsh b ON a.hs = b.hs AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+gedges0 AS (
+    SELECT p.a, p.b
+    FROM gpairs p JOIN gsize sa ON sa.doc_id = p.a
+                  JOIN gsize sb ON sb.doc_id = p.b
+    WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.7
+),
+gedges AS (SELECT a, b FROM gedges0 UNION SELECT b, a FROM gedges0),
+greach(id, lbl) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.b, r.lbl FROM greach r JOIN gedges e ON e.a = r.id
+),
+ggroups AS (SELECT id AS doc_id, min(lbl) AS group_id FROM greach GROUP BY id),
+stoks AS (
+    SELECT doc_id, unnest(string_split(t, ' ')) AS tok
+    FROM norm WHERE t <> ''
+),
+sth AS (
+    SELECT doc_id, ('0x' || substr(sha256(tok), 1, 16))::UBIGINT AS h
+    FROM stoks
+),
+sbits AS (
+    SELECT doc_id, b,
+           sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+    FROM sth, UNNEST(generate_series(0, 63)) AS u(b)
+    GROUP BY doc_id, b
+),
+sfp0 AS (
+    SELECT doc_id,
+           sum(CASE WHEN v > 0 THEN
+                 CASE WHEN b = 63 THEN -9223372036854775808
+                      ELSE (1::BIGINT << b) END
+               ELSE 0 END)::BIGINT AS fp
+    FROM sbits GROUP BY doc_id
+),
+sfp AS (
+    SELECT d.doc_id, coalesce(f.fp, 0) AS fp
+    FROM documents d LEFT JOIN sfp0 f USING (doc_id)
+),
+sedges0 AS (
+    SELECT a.doc_id AS a, b.doc_id AS b
+    FROM sfp a JOIN sfp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= 3
+),
+sedges AS (SELECT a, b FROM sedges0 UNION SELECT b, a FROM sedges0),
+sreach(id, lbl) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.b, r.lbl FROM sreach r JOIN sedges e ON e.a = r.id
+),
+sgroups AS (SELECT id AS doc_id, min(lbl) AS group_id FROM sreach GROUP BY id)
+SELECT 'minhash' AS method, doc_id, group_id FROM cgroups
+UNION ALL
+SELECT 'ngram' AS method, doc_id, group_id FROM ggroups
+UNION ALL
+SELECT 'simhash' AS method, doc_id, group_id FROM sgroups
+"""
 
 
 def _emb_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2151,7 +2269,11 @@ def oracle_sql() -> dict[str, str]:
         # per-token ops metrics over the same staged log (HLL column
         # excluded — engine-specific sketch, pytest-pinned accuracy)
         "cdc_token_progress": _cdc_token_progress_sql(),
-        # intentionally no oracle for: docs_neardup_methods /
-        # emb_ann_methods / assets_media_features (hash-seeded / UDF /
-        # approx operators — semantics pinned in tests).
+        # all three text near-dup methods vs exhaustive ground truth
+        # (exact verify stages + recall-1 candidates; portable sha256
+        # SimHash — see _docs_neardup_methods docstring)
+        "docs_neardup_methods": _DOCS_NEARDUP_SQL,
+        # intentionally no oracle for: emb_ann_methods /
+        # assets_media_features (approximate top-k / media-codec UDF
+        # operators — semantics pinned in tests).
     }

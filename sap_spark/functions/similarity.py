@@ -5,8 +5,11 @@ SimHash aggregates per-bit weights over tokens — a 64-wide bit fold that is
 cleanest as an Arrow-batched pandas UDF over numpy (still no per-row Python
 UDF; one vectorized batch call per Arrow chunk).
 
-Determinism: every hash is seeded xxhash64 (Spark) or blake2b (numpy side),
-so signatures are reproducible across runs and cluster sizes.
+Determinism: every hash is seeded xxhash64 (Spark) or sha256 (numpy side),
+so signatures are reproducible across runs and cluster sizes. SimHash uses
+sha256 specifically because the DuckDB oracle mirrors the fingerprint
+bit-for-bit in SQL (`substr(sha256(tok), 1, 16)::UBIGINT`), which lets the
+driver hash-check simhash dedup output end to end.
 """
 
 from __future__ import annotations
@@ -119,9 +122,11 @@ _SIMHASH_BITS = 64
 def simhash64(text: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens of the normalized text.
 
-    Per token: blake2b-derived 64-bit hash; each bit votes ±1; the sign of
-    each bit-position sum forms the fingerprint (Charikar 2002). Near-dup
-    docs differ in few bits → hamming-distance dedup (operators/textdedup).
+    Per token: sha256-derived 64-bit hash (first 8 digest bytes, big-endian
+    — portable: DuckDB computes the identical value from the hex digest);
+    each bit votes ±1; the sign of each bit-position sum forms the
+    fingerprint (Charikar 2002). Near-dup docs differ in few bits →
+    hamming-distance dedup (operators/textdedup).
     """
 
     def one(s) -> int:
@@ -132,7 +137,7 @@ def simhash64(text: pd.Series) -> pd.Series:
             return 0
         hashes = np.fromiter(
             (
-                int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+                int.from_bytes(hashlib.sha256(t.encode()).digest()[:8], "big")
                 for t in toks
             ),
             dtype=np.uint64,
