@@ -330,6 +330,7 @@ def run_status(args, spark=None) -> dict:
     deltas = table.delta_file_counts()
     out: dict = {
         "table_version": table.version,
+        "last_commit_at": hist[0].get("committed_at"),
         "merge_mode": table.merge_mode,
         "num_buckets": table.num_buckets,
         "key_columns": table.key_columns,

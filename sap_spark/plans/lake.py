@@ -120,10 +120,23 @@ def derive_num_buckets(
 class LakeTable:
     """Handle to one table directory. See module docstring for semantics."""
 
-    def __init__(self, spark: SparkSession, path: str, version: int | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        version: int | None = None,
+        as_of_timestamp: "float | str | None" = None,
+    ):
         self.spark = spark
         self.path = path
         self._meta_dir = os.path.join(path, "_meta")
+        if as_of_timestamp is not None:
+            if version is not None:
+                raise ValueError(
+                    "pass version OR as_of_timestamp, not both — they both "
+                    "pin the snapshot to read"
+                )
+            version = self.version_as_of(as_of_timestamp)
         self.version = self._current_version() if version is None else version
         self.manifest = self._load_manifest(self.version)
 
@@ -211,6 +224,11 @@ class LakeTable:
         new_version = self.version + 1
         manifest["version"] = new_version
         manifest["parent"] = self.version
+        # commit wall-clock: powers timestamp time travel (version_as_of /
+        # as_of_timestamp — the Iceberg FOR TIMESTAMP AS OF analog). Purely
+        # informational for every other code path; commit ORDER is the
+        # version chain, never this clock
+        manifest["committed_at"] = time.time()
         if op is None:
             manifest.pop("op", None)
         else:
@@ -359,6 +377,7 @@ class LakeTable:
                 "bloom_columns": list(bloom_columns or []),
             },
         }
+        manifest["committed_at"] = time.time()
         mpath = os.path.join(meta_dir, "v00000000.json")
         with open(mpath, "w") as f:
             json.dump(manifest, f)
@@ -1430,9 +1449,9 @@ class LakeTable:
         return removed
 
     def history(self) -> list[dict]:
-        """Commit history (version, parent, commits count, schema id, and
-        the commit's ``op`` annotation when one was recorded — e.g. a
-        compaction's rewritten buckets)."""
+        """Commit history (version, parent, commit wall-clock, commits
+        count, schema id, and the commit's ``op`` annotation when one was
+        recorded — e.g. a compaction's rewritten buckets)."""
         out = []
         v = self.version
         while v is not None:
@@ -1441,6 +1460,7 @@ class LakeTable:
                 {
                     "version": m["version"],
                     "parent": m["parent"],
+                    "committed_at": m.get("committed_at"),
                     "n_commits": len(m["commits"]),
                     "schema_id": m["current_schema_id"],
                     "op": m.get("op"),
@@ -1448,3 +1468,74 @@ class LakeTable:
             )
             v = m["parent"]
         return out
+
+    # -- timestamp time travel --------------------------------------------
+
+    @staticmethod
+    def _as_epoch_seconds(ts: "float | int | str | object") -> float:
+        """Epoch seconds from a float/int, :class:`datetime.datetime`, or
+        ISO-8601 string. A naive datetime/string is taken as UTC — the
+        session timezone is pinned UTC (sap_spark.config.get_spark), so
+        rendered timestamps round-trip."""
+        from datetime import datetime, timezone
+
+        if isinstance(ts, bool):  # bool is an int subclass; reject it
+            raise TypeError("as-of timestamp must be epoch seconds, "
+                            "datetime, or ISO-8601 string")
+        if isinstance(ts, (int, float)):
+            return float(ts)
+        if isinstance(ts, datetime):
+            dt = ts
+        elif isinstance(ts, str):
+            dt = datetime.fromisoformat(ts)
+        else:
+            raise TypeError(
+                f"as-of timestamp must be epoch seconds, datetime, or "
+                f"ISO-8601 string, got {type(ts).__name__}"
+            )
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return dt.timestamp()
+
+    def committed_at(self, version: int | None = None) -> float:
+        """Commit wall-clock (epoch seconds) of a retained version.
+        Manifests written before the ``committed_at`` stamp existed fall
+        back to the manifest file's mtime (best effort: maintenance
+        rewrites — e.g. expire's parent-chain trim — refresh an mtime but
+        never drop a recorded stamp)."""
+        v = self.version if version is None else version
+        ca = self._load_manifest(v).get("committed_at")
+        if ca is not None:
+            return float(ca)
+        return os.path.getmtime(self._manifest_path(v))
+
+    def version_as_of(self, ts: "float | str | object") -> int:
+        """Highest retained version committed at or before ``ts`` — the
+        Iceberg ``FOR TIMESTAMP AS OF`` semantics (its
+        ``SnapshotUtil.snapshotIdAsOfTime`` walks the snapshot log in
+        commit order and keeps the last entry with timestamp ≤ ts): the
+        VERSION chain, not the wall clock, orders commits, so a clock
+        regression between commits can never hide a later commit, and a
+        future ``ts`` always resolves to the current head. Resolution is
+        monotone in ``ts``. Raises :class:`ValueError` when ``ts``
+        predates every retained snapshot (earlier history may have been
+        removed by :meth:`expire_snapshots`). The Iceberg binding gets
+        this natively from the catalog (``FOR SYSTEM_TIME AS OF``)."""
+        target = self._as_epoch_seconds(ts)
+        oldest: "tuple[float, int] | None" = None
+        v: int | None = self._current_version()
+        while v is not None:
+            ca = self.committed_at(v)
+            oldest = (ca, v)
+            if ca <= target:
+                return v  # chain walk is newest-first: first hit wins
+            v = self._load_manifest(v)["parent"]
+        detail = (
+            f"oldest retained snapshot is v{oldest[1]} committed at "
+            f"{oldest[0]:.6f}" if oldest else "no snapshots retained"
+        )
+        raise ValueError(
+            f"as-of timestamp {ts!r} predates the retained history "
+            f"({detail}); earlier snapshots may have been removed by "
+            "expire_snapshots"
+        )
