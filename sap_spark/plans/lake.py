@@ -1052,9 +1052,12 @@ class LakeTable:
 
     def changes_between(
         self,
-        from_version: int,
+        from_version: int | None = None,
         to_version: int | None = None,
         incremental: "bool | None" = None,
+        *,
+        from_timestamp: "float | str | object | None" = None,
+        to_timestamp: "float | str | object | None" = None,
     ) -> DataFrame:
         """Row-level change feed between two snapshots (Iceberg
         changelog-read analog): the I/U/D events that transform the
@@ -1077,9 +1080,24 @@ class LakeTable:
         that is the difference between scanning two bucket images and
         scanning the epoch. Results are identical to the snapshot diff
         (property-tested); ``incremental=False`` forces the snapshot
-        path, ``True`` raises if the range is not pure-append."""
+        path, ``True`` raises if the range is not pure-append.
+
+        Either end of the range may be given as a timestamp instead of a
+        version (``from_timestamp`` / ``to_timestamp``, resolved through
+        :meth:`version_as_of` — "changes since yesterday's 02:00 run"
+        without bookkeeping version numbers)."""
         from sap_spark.operators.snapshot import snapshot_diff
 
+        if from_timestamp is not None:
+            if from_version is not None:
+                raise ValueError("pass from_version OR from_timestamp, not both")
+            from_version = self.version_as_of(from_timestamp)
+        if from_version is None:
+            raise TypeError("changes_between needs from_version or from_timestamp")
+        if to_timestamp is not None:
+            if to_version is not None:
+                raise ValueError("pass to_version OR to_timestamp, not both")
+            to_version = self.version_as_of(to_timestamp)
         to_version = self.version if to_version is None else to_version
         old_t = LakeTable(self.spark, self.path, version=from_version)
         new_t = LakeTable(self.spark, self.path, version=to_version)

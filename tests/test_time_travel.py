@@ -186,6 +186,27 @@ def test_expire_trims_the_resolvable_range(spark, clocked_table):
         fresh.version_as_of(1500.0)
 
 
+def test_changes_between_timestamps(spark, clocked_table):
+    """The incremental change feed accepts timestamps on either end,
+    resolving them through version_as_of — identical output to the
+    version form."""
+    table, _, _ = clocked_table
+    by_version = sorted(map(tuple, table.changes_between(1, 2).collect()))
+    by_ts = sorted(
+        map(
+            tuple,
+            table.changes_between(
+                from_timestamp=2500.0, to_timestamp=3000.0
+            ).collect(),
+        )
+    )
+    assert by_ts == by_version and len(by_ts) > 0
+    with pytest.raises(ValueError, match="not both"):
+        table.changes_between(1, from_timestamp=2500.0)
+    with pytest.raises(TypeError, match="from_version or from_timestamp"):
+        table.changes_between()
+
+
 def test_history_carries_the_stamp(spark, clocked_table):
     table, _, _ = clocked_table
     stamps = {h["version"]: h["committed_at"] for h in table.history()}
