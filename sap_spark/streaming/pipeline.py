@@ -361,7 +361,13 @@ class CdcPipeline:
         self.pipeline_id = pipeline_id or "cdc-" + hashlib.sha256(
             os.path.abspath(checkpoint_dir).encode()
         ).hexdigest()[:12]
-        self.lineage_path = os.path.join(table.path, "_meta", "lineage.jsonl")
+        # table is None only for the multi-table router subclass
+        # (streaming/multitable.py), which sets its own lineage path
+        self.lineage_path = (
+            os.path.join(table.path, "_meta", "lineage.jsonl")
+            if table is not None
+            else os.path.join(checkpoint_dir, "sap_spark_lineage.jsonl")
+        )
         self._deferred_dir = os.path.join(checkpoint_dir, "sap_spark_deferred")
 
     # -- lineage ---------------------------------------------------------
@@ -560,17 +566,18 @@ class CdcPipeline:
                 deferred.extend(sorted(fs))
         return complete, deferred
 
-    def _process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
-        """Apply one epoch. The micro-batch is re-rooted onto a fresh batch
-        scan of its exact files (from the checkpoint source log): a
-        foreachBatch DataFrame carries streaming lineage, which disables AQE
-        on every derived job; re-reading the pinned file set as a plain
-        batch source is identical on retry while restoring the adaptive
-        planner. Token atomicity (see __init__) filters the file set to
-        fully-delivered delta tokens first. The file source hands out whole
-        files but not necessarily in token order — the merge is event_seq-
-        version-gated and delete-tombstoned, so out-of-order delta units
-        still converge to the exact sequential-fold state."""
+    def _prepare_batch(
+        self, batch_df: DataFrame, epoch_id: int
+    ) -> "tuple[DataFrame | None, int, int]":
+        """Shared epoch front half: re-root the micro-batch onto a fresh
+        batch scan of its exact files, enforce delta-token atomicity,
+        apply the envelope-level ``transform``, and split off the DLQ.
+        Returns ``(events, n_deferred, n_quarantined)``; ``events`` is
+        None when every file of the epoch was deferred (nothing to
+        apply — the caller records the deferred lineage record). Used by
+        both the single-table fold tail below and the multi-table router
+        (streaming/multitable.py), so the two paths cannot drift on
+        re-rooting or atomicity semantics."""
         cfg = self.cfg
         if self.dead_letter_dir is not None and epoch_id == 0:
             # fresh checkpoint ⇒ fresh epoch numbering: clear this
@@ -619,16 +626,7 @@ class CdcPipeline:
                 self._save_deferred(epoch_id, deferred)
                 n_deferred = len(deferred)
                 if not complete:
-                    self._record_lineage(
-                        {
-                            "pipeline_id": self.pipeline_id,
-                            "epoch_id": epoch_id,
-                            "applied": False,
-                            "deferred_files": n_deferred,
-                            "wall_time": time.time(),
-                        }
-                    )
-                    return
+                    return None, n_deferred, 0
             else:
                 complete = local
             batch_df = (
@@ -658,6 +656,34 @@ class CdcPipeline:
             n_quarantined = write_dead_letters(
                 quarantined, self._dlq_namespace, epoch_id
             )
+        return batch_df, n_deferred, n_quarantined
+
+    def _process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        """Apply one epoch. The micro-batch is re-rooted onto a fresh batch
+        scan of its exact files (from the checkpoint source log): a
+        foreachBatch DataFrame carries streaming lineage, which disables AQE
+        on every derived job; re-reading the pinned file set as a plain
+        batch source is identical on retry while restoring the adaptive
+        planner. Token atomicity (see __init__) filters the file set to
+        fully-delivered delta tokens first. The file source hands out whole
+        files but not necessarily in token order — the merge is event_seq-
+        version-gated and delete-tombstoned, so out-of-order delta units
+        still converge to the exact sequential-fold state."""
+        cfg = self.cfg
+        batch_df, n_deferred, n_quarantined = self._prepare_batch(
+            batch_df, epoch_id
+        )
+        if batch_df is None:
+            self._record_lineage(
+                {
+                    "pipeline_id": self.pipeline_id,
+                    "epoch_id": epoch_id,
+                    "applied": False,
+                    "deferred_files": n_deferred,
+                    "wall_time": time.time(),
+                }
+            )
+            return
         t0 = time.monotonic()
         obs = Observation(f"lineage-{epoch_id}")
         observed = batch_df.observe(
