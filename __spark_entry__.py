@@ -17,6 +17,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1330,6 +1331,179 @@ _CDC_REPLAY_SQL = f"""
 """
 
 
+_REPLAY_TARGET_SCHEMA = StructType(
+    [
+        StructField("repo", StringType(), False),
+        StructField("path", StringType(), False),
+        StructField("commit", StringType(), True),
+        StructField("lang", StringType(), True),
+        StructField("content", StringType(), True),
+    ]
+)
+
+
+def _contract_workdir(prefix: str) -> str:
+    """Fresh private workdir for a contract query that materializes
+    pipeline state (log, lake table, checkpoint). Per-call (mkdtemp) so
+    concurrent driver/check runs can never share a checkpoint; siblings
+    from finished runs are swept once they are an hour old — the same
+    hygiene contract as the staged-log dir."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    root = tempfile.gettempdir()
+    now = time.time()
+    for d in os.listdir(root):
+        if not d.startswith(prefix):
+            continue
+        full = os.path.join(root, d)
+        try:
+            if now - os.lstat(full).st_mtime > 3600:
+                shutil.rmtree(full, ignore_errors=True)
+        except OSError:
+            pass
+    return tempfile.mkdtemp(prefix=prefix)
+
+
+def _cdc_pipeline_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star metric end-to-end through the ENGINE, not just the
+    fold operator: the staged synthetic log is written out as a
+    token-partitioned change log, consumed by the real checkpointed
+    Structured Streaming :class:`CdcPipeline` (multiple AvailableNow
+    micro-batches → exactly-once MERGE into a bucketed LakeTable), and
+    the final TABLE STATE is returned under the content-sha256
+    invariant (BASELINE.json metric). Oracle: the same independent
+    DuckDB replay as ``cdc_replay_synthetic`` — so the driver
+    hash-checks that log → streaming engine → lake table equals one
+    declarative fold of the log. Complements the batch-fold query
+    (which pins the operator) by pinning checkpointing, epoch slicing,
+    delta-token atomicity and the MERGE sink as well."""
+    from sap_spark.config import EngineConfig
+    from sap_spark.plans.lake import LakeTable
+    from sap_spark.sources.datagen import write_change_log
+    from sap_spark.streaming.pipeline import CdcPipeline
+
+    cfg = EngineConfig().validate()
+    events = _staged_replay_log(spark)  # also points the oracle symlink
+    base = _contract_workdir("sap_spark_contract_pipeline-")
+    write_change_log(events, f"{base}/log")
+    table = LakeTable.create(
+        spark, f"{base}/repos", _REPLAY_TARGET_SCHEMA,
+        key_columns=["repo", "path"], num_buckets=8,
+    )
+    CdcPipeline(
+        spark, cfg, table, f"{base}/log",
+        checkpoint_dir=f"{base}/ckpt",
+        max_files_per_trigger=4,  # >1 epoch: resume/slicing in the loop
+        pipeline_id="contract-replay",
+    ).run_available_now(timeout_sec=600)
+    return LakeTable(spark, table.path).read().select(
+        "repo", "path", "commit", "lang",
+        F.sha2("content", 256).alias("content_sha"),
+    )
+
+
+def _cdc_multitable_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLT mass-transfer semantics driver-checked end-to-end: ONE
+    ordered change log carries two tables' events ('repos' = full
+    payload; 'meta' = narrower payload, no content, keys disjoint via
+    the m/ prefix), consumed ONCE by the checkpointed
+    :class:`MultiTableCdcPipeline` (route → per-table projection →
+    per-table fold/MERGE with per-table commit markers), and both final
+    table states are returned tagged by table. Oracle: one DuckDB fold
+    of the shared log emitted twice under each table's projection — a
+    routing leak, drop, or cross-table payload bleed hash-mismatches.
+    Reference contrast: SapODataConfig.java:66-69 reads exactly one
+    entity set per pipeline, so N tables cost N passes over the queue;
+    here N tables cost one."""
+    from sap_spark.config import EngineConfig
+    from sap_spark.plans.lake import LakeTable
+    from sap_spark.sources.datagen import write_change_log
+    from sap_spark.streaming.multitable import (
+        MultiTableCdcPipeline,
+        TableTarget,
+    )
+
+    events = _staged_replay_log(spark)  # also points the oracle symlink
+    log = events.withColumn("table_name", F.lit("repos")).unionByName(
+        events.withColumn("table_name", F.lit("meta"))
+        .withColumn("repo", F.concat(F.lit("m/"), F.col("repo")))
+        .drop("content"),
+        allowMissingColumns=True,
+    )
+    base = _contract_workdir("sap_spark_contract_multitable-")
+    write_change_log(log, f"{base}/log")
+    meta_schema = StructType(
+        [f for f in _REPLAY_TARGET_SCHEMA.fields if f.name != "content"]
+    )
+    t_repos = LakeTable.create(
+        spark, f"{base}/repos", _REPLAY_TARGET_SCHEMA,
+        key_columns=["repo", "path"], num_buckets=8,
+    )
+    t_meta = LakeTable.create(
+        spark, f"{base}/meta", meta_schema,
+        key_columns=["repo", "path"], num_buckets=4,
+    )
+    targets = {
+        "repos": TableTarget(t_repos, EngineConfig().validate()),
+        "meta": TableTarget(
+            t_meta, EngineConfig(payload_columns=("commit", "lang")).validate()
+        ),
+    }
+    MultiTableCdcPipeline(
+        spark, targets, f"{base}/log",
+        checkpoint_dir=f"{base}/ckpt",
+        max_files_per_trigger=4,
+        pipeline_id="contract-multitable",
+    ).run_available_now(timeout_sec=600)
+    rep = LakeTable(spark, t_repos.path).read().select(
+        F.lit("repos").alias("table_name"), "repo", "path", "commit", "lang",
+        F.sha2("content", 256).alias("content_sha"),
+    )
+    met = LakeTable(spark, t_meta.path).read().select(
+        F.lit("meta").alias("table_name"), "repo", "path", "commit", "lang",
+        F.lit(None).cast("string").alias("content_sha"),
+    )
+    return rep.unionByName(met)
+
+
+_CDC_MULTITABLE_SQL = f"""
+    WITH log AS (
+        SELECT * FROM read_parquet('{_cdc_replay_glob()}')
+    ),
+    cancelled AS (
+        SELECT DISTINCT cancel_seq AS event_seq FROM log
+        WHERE rocancel AND cancel_seq IS NOT NULL
+    ),
+    survivors AS (
+        SELECT l.* FROM log l
+        LEFT JOIN cancelled c USING (event_seq)
+        WHERE NOT l.rocancel AND c.event_seq IS NULL
+    ),
+    latest AS (
+        SELECT repo, path, commit, lang, content, op,
+               row_number() OVER (
+                   PARTITION BY repo, path
+                   ORDER BY event_seq DESC, delta_token DESC
+               ) AS rn
+        FROM survivors
+    ),
+    final AS (
+        SELECT repo, path, commit, lang, content
+        FROM latest WHERE rn = 1 AND op <> 'D'
+    )
+    SELECT 'repos' AS table_name, repo, path, commit, lang,
+           sha256(content) AS content_sha
+    FROM final
+    UNION ALL
+    SELECT 'meta' AS table_name, 'm/' || repo AS repo, path, commit, lang,
+           CAST(NULL AS VARCHAR) AS content_sha
+    FROM final
+"""
+
+
 def _events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of (point-in-time) join: each event looks up the latest
     'checkpoint' event (event_id % 5 == 0) of the same user at or before
@@ -2202,6 +2376,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "odata2_feed_decode": _odata2_feed_decode,
         "odata4_feed_decode": _odata4_feed_decode,
         "decode_kernels": _decode_kernels,
+        "cdc_pipeline_replay": _cdc_pipeline_replay,
+        "cdc_multitable_replay": _cdc_multitable_replay,
         # rows-only (non-SQL-expressible; pytest-verified semantics)
         "cdc_replay_synthetic": _cdc_replay_synthetic,
         "docs_quality_lang": _docs_quality_lang,
@@ -2264,6 +2440,13 @@ def oracle_sql() -> dict[str, str]:
         # DuckDB fold of the same staged log (requires the Spark query to
         # have run first — it stages the log parquet the SQL reads)
         "cdc_replay_synthetic": _CDC_REPLAY_SQL,
+        # the same independent DuckDB replay, but the Spark side runs the
+        # full checkpointed streaming engine into a lake table (requires
+        # the Spark query to have run first — it stages the log)
+        "cdc_pipeline_replay": _CDC_REPLAY_SQL,
+        # one shared log routed to two tables: the fold emitted under
+        # each table's projection
+        "cdc_multitable_replay": _CDC_MULTITABLE_SQL,
         # banded-LSH near-dup vs exhaustive-pair + recursive-CTE components
         "emb_cosine_dedup": _EMB_COSINE_DEDUP_SQL,
         # per-token ops metrics over the same staged log (HLL column
