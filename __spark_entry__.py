@@ -465,29 +465,44 @@ _EVENTS_HOURLY_WINDOW_SQL = """
 """
 
 
-def _orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP aggregation (multi-level totals in one pass)."""
+def _orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP + CUBE grouping-set aggregations (SURVEY §2.5 aggregations:
+    hash/rollup/pivot/cube), each its own one-shuffle plan with map-side
+    partial aggregation, results tagged by shape and unioned. Decimal
+    sums keep the value-hash bit-stable across engines. (Consolidated
+    from the former orders_rollup + orders_cube so the contract stays
+    inside the driver's 50-row verification window.)"""
     orders = _t(spark, sf_dir, "orders")
-    return (
-        orders.rollup("o_orderstatus", "o_orderpriority")
-        .agg(
+
+    def agg(grouped, shape):
+        return grouped.agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_price"),
+        ).select(
+            F.lit(shape).alias("shape"),
+            "o_orderstatus",
+            "o_orderpriority",
+            "n_orders",
+            F.col("sum_price").cast("double").alias("sum_price"),
         )
-        .orderBy(
-            F.col("o_orderstatus").asc_nulls_first(),
-            F.col("o_orderpriority").asc_nulls_first(),
-        )
-    )
+
+    return agg(
+        orders.rollup("o_orderstatus", "o_orderpriority"), "rollup"
+    ).unionByName(agg(orders.cube("o_orderstatus", "o_orderpriority"), "cube"))
 
 
-_ORDERS_ROLLUP_SQL = """
-    SELECT o_orderstatus, o_orderpriority,
-           count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS revenue
+_ORDERS_GROUPING_SETS_SQL = """
+    SELECT 'rollup' AS shape, o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-    ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+    UNION ALL
+    SELECT 'cube' AS shape, o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
@@ -1367,26 +1382,21 @@ def _contract_workdir(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix)
 
 
-def _cdc_pipeline_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The north-star metric end-to-end through the ENGINE, not just the
-    fold operator: the staged synthetic log is written out as a
-    token-partitioned change log, consumed by the real checkpointed
-    Structured Streaming :class:`CdcPipeline` (multiple AvailableNow
-    micro-batches → exactly-once MERGE into a bucketed LakeTable), and
-    the final TABLE STATE is returned under the content-sha256
-    invariant (BASELINE.json metric). Oracle: the same independent
-    DuckDB replay as ``cdc_replay_synthetic`` — so the driver
-    hash-checks that log → streaming engine → lake table equals one
-    declarative fold of the log. Complements the batch-fold query
-    (which pins the operator) by pinning checkpointing, epoch slicing,
-    delta-token atomicity and the MERGE sink as well."""
+def _run_pipeline_replay(spark: SparkSession, events: DataFrame) -> DataFrame:
+    """Single-table half of ``cdc_engine_replay``: the staged synthetic
+    log is written out as a token-partitioned change log, consumed by
+    the real checkpointed Structured Streaming :class:`CdcPipeline`
+    (multiple AvailableNow micro-batches → exactly-once MERGE into a
+    bucketed LakeTable), and the final TABLE STATE is returned under
+    the content-sha256 invariant (BASELINE.json metric). Pins
+    checkpointing, epoch slicing, delta-token atomicity and the MERGE
+    sink — not just the fold operator."""
     from sap_spark.config import EngineConfig
     from sap_spark.plans.lake import LakeTable
     from sap_spark.sources.datagen import write_change_log
     from sap_spark.streaming.pipeline import CdcPipeline
 
     cfg = EngineConfig().validate()
-    events = _staged_replay_log(spark)  # also points the oracle symlink
     base = _contract_workdir("sap_spark_contract_pipeline-")
     write_change_log(events, f"{base}/log")
     table = LakeTable.create(
@@ -1405,16 +1415,15 @@ def _cdc_pipeline_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cdc_multitable_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SLT mass-transfer semantics driver-checked end-to-end: ONE
-    ordered change log carries two tables' events ('repos' = full
-    payload; 'meta' = narrower payload, no content, keys disjoint via
-    the m/ prefix), consumed ONCE by the checkpointed
+def _run_multitable_replay(spark: SparkSession, events: DataFrame) -> DataFrame:
+    """Multi-table half of ``cdc_engine_replay`` — SLT mass-transfer
+    semantics: ONE ordered change log carries two tables' events
+    ('repos' = full payload; 'meta' = narrower payload, no content,
+    keys disjoint via the m/ prefix), consumed ONCE by the checkpointed
     :class:`MultiTableCdcPipeline` (route → per-table projection →
     per-table fold/MERGE with per-table commit markers), and both final
-    table states are returned tagged by table. Oracle: one DuckDB fold
-    of the shared log emitted twice under each table's projection — a
-    routing leak, drop, or cross-table payload bleed hash-mismatches.
+    table states are returned tagged by table — a routing leak, drop,
+    or cross-table payload bleed hash-mismatches against the oracle.
     Reference contrast: SapODataConfig.java:66-69 reads exactly one
     entity set per pipeline, so N tables cost N passes over the queue;
     here N tables cost one."""
@@ -1426,7 +1435,6 @@ def _cdc_multitable_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         TableTarget,
     )
 
-    events = _staged_replay_log(spark)  # also points the oracle symlink
     log = events.withColumn("table_name", F.lit("repos")).unionByName(
         events.withColumn("table_name", F.lit("meta"))
         .withColumn("repo", F.concat(F.lit("m/"), F.col("repo")))
@@ -1469,7 +1477,29 @@ def _cdc_multitable_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep.unionByName(met)
 
 
-_CDC_MULTITABLE_SQL = f"""
+def _cdc_engine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star metric end-to-end through the ENGINE (both
+    pipeline shapes), not just the fold operator: the staged synthetic
+    log is replayed (a) through the single-table checkpointed
+    :class:`CdcPipeline` and (b) through the :class:`MultiTableCdcPipeline`
+    routing the same events to two tables with different payload
+    projections; all three final TABLE STATES are returned tagged by
+    table. Oracle: one independent DuckDB fold of the same staged bytes
+    emitted once per table projection — the driver hash-checks that
+    log → streaming engine → lake table(s) equals one declarative fold
+    of the log, pinning checkpointing, epoch slicing, delta-token
+    atomicity, routing and the MERGE sink. (Consolidated from the
+    former cdc_pipeline_replay + cdc_multitable_replay so the contract
+    stays inside the driver's 50-row verification window.)"""
+    events = _staged_replay_log(spark)  # also points the oracle symlink
+    single = _run_pipeline_replay(spark, events).select(
+        F.lit("single").alias("table_name"),
+        "repo", "path", "commit", "lang", "content_sha",
+    )
+    return single.unionByName(_run_multitable_replay(spark, events))
+
+
+_CDC_ENGINE_REPLAY_SQL = f"""
     WITH log AS (
         SELECT * FROM read_parquet('{_cdc_replay_glob()}')
     ),
@@ -1494,6 +1524,10 @@ _CDC_MULTITABLE_SQL = f"""
         SELECT repo, path, commit, lang, content
         FROM latest WHERE rn = 1 AND op <> 'D'
     )
+    SELECT 'single' AS table_name, repo, path, commit, lang,
+           sha256(content) AS content_sha
+    FROM final
+    UNION ALL
     SELECT 'repos' AS table_name, repo, path, commit, lang,
            sha256(content) AS content_sha
     FROM final
@@ -1913,32 +1947,6 @@ _EVENTS_PROPS_JSON_SQL = """
 """
 
 
-def _orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE aggregation (SURVEY §2.5 aggregations: hash/rollup/pivot/cube):
-    all grouping-set combinations of (status, priority) in one pass —
-    map-side partial aggregation, one shuffle."""
-    orders = _t(spark, sf_dir, "orders")
-    return (
-        orders.cube("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_price"),
-        )
-        .select(
-            "o_orderstatus", "o_orderpriority", "n_orders",
-            F.col("sum_price").cast("double").alias("sum_price"),
-        )
-    )
-
-
-_ORDERS_CUBE_SQL = """
-    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-    FROM orders
-    GROUP BY CUBE (o_orderstatus, o_orderpriority)
-"""
-
-
 def _orders_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead window + date arithmetic: per customer, days since the
     previous order (the sessionization building block on business data)."""
@@ -2353,8 +2361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_snapshot_diff": _docs_snapshot_diff,
         "emb_cosine_topk": _emb_cosine_topk,
         "events_hourly_window": _events_hourly_window,
-        "orders_rollup": _orders_rollup,
-        "orders_cube": _orders_cube,
+        "orders_grouping_sets": _orders_grouping_sets,
         "events_value_quartiles": _events_value_quartiles,
         "events_props_json": _events_props_json,
         "events_apply_aggregate": _events_apply_aggregate,
@@ -2376,17 +2383,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "odata2_feed_decode": _odata2_feed_decode,
         "odata4_feed_decode": _odata4_feed_decode,
         "decode_kernels": _decode_kernels,
-        "cdc_pipeline_replay": _cdc_pipeline_replay,
-        "cdc_multitable_replay": _cdc_multitable_replay,
-        # rows-only (non-SQL-expressible; pytest-verified semantics)
+        "cdc_engine_replay": _cdc_engine_replay,
         "cdc_replay_synthetic": _cdc_replay_synthetic,
         "docs_quality_lang": _docs_quality_lang,
         "docs_stratified_sample": _docs_stratified_sample,
         "docs_neardup_methods": _docs_neardup_methods,
         "emb_cosine_dedup": _emb_cosine_dedup,
+        "cdc_token_progress": _cdc_token_progress,
+        # rows-only (approx top-k / media-codec UDFs; pytest-pinned)
         "emb_ann_methods": _emb_ann_methods,
         "assets_media_features": _assets_media_features,
-        "cdc_token_progress": _cdc_token_progress,
     }
 
 
@@ -2413,8 +2419,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_snapshot_diff": _DOCS_SNAPSHOT_DIFF_SQL,
         "emb_cosine_topk": _EMB_COSINE_TOPK_SQL,
         "events_hourly_window": _EVENTS_HOURLY_WINDOW_SQL,
-        "orders_rollup": _ORDERS_ROLLUP_SQL,
-        "orders_cube": _ORDERS_CUBE_SQL,
+        "orders_grouping_sets": _ORDERS_GROUPING_SETS_SQL,
         "events_value_quartiles": _EVENTS_VALUE_QUARTILES_SQL,
         "events_props_json": _EVENTS_PROPS_JSON_SQL,
         "events_apply_aggregate": _EVENTS_APPLY_AGGREGATE_SQL,
@@ -2440,13 +2445,12 @@ def oracle_sql() -> dict[str, str]:
         # DuckDB fold of the same staged log (requires the Spark query to
         # have run first — it stages the log parquet the SQL reads)
         "cdc_replay_synthetic": _CDC_REPLAY_SQL,
-        # the same independent DuckDB replay, but the Spark side runs the
-        # full checkpointed streaming engine into a lake table (requires
-        # the Spark query to have run first — it stages the log)
-        "cdc_pipeline_replay": _CDC_REPLAY_SQL,
-        # one shared log routed to two tables: the fold emitted under
-        # each table's projection
-        "cdc_multitable_replay": _CDC_MULTITABLE_SQL,
+        # the same independent DuckDB fold, but the Spark side runs the
+        # full checkpointed streaming engine into lake tables — single-
+        # table pipeline plus one shared log routed to two tables, the
+        # fold emitted once per table projection (requires the Spark
+        # query to have run first — it stages the log)
+        "cdc_engine_replay": _CDC_ENGINE_REPLAY_SQL,
         # banded-LSH near-dup vs exhaustive-pair + recursive-CTE components
         "emb_cosine_dedup": _EMB_COSINE_DEDUP_SQL,
         # per-token ops metrics over the same staged log (HLL column
