@@ -1212,6 +1212,31 @@ def _cdc_token_progress_sql() -> str:
 # fingerprint of the generated frame (one tiny job over 10k slim rows),
 # so a change to the generator can never silently replay stale bytes,
 # and concurrent runs of the same code converge on one identical dir.
+def _sweep_stale(root: str, prefixes: "tuple[str, ...]", skip=()) -> None:
+    """Remove hour-old siblings matching ``prefixes`` under ``root`` —
+    the shared hygiene contract for every /tmp dir a contract query
+    materializes (staged oracle log, pipeline workdirs): never touch
+    anything younger than an hour (a just-finished concurrent run might
+    still be reading it), never touch ``skip`` entries."""
+    import os
+    import shutil
+    import time
+
+    now = time.time()
+    for d in os.listdir(root):
+        if d in skip or not d.startswith(prefixes):
+            continue
+        full = os.path.join(root, d)
+        try:
+            if now - os.lstat(full).st_mtime > 3600:
+                if os.path.islink(full):
+                    os.unlink(full)
+                else:
+                    shutil.rmtree(full, ignore_errors=True)
+        except OSError:
+            pass
+
+
 def _replay_stage_dir(events: DataFrame) -> str:
     import getpass
 
@@ -1245,7 +1270,6 @@ def _staged_replay_log(spark: SparkSession) -> DataFrame:
     a just-finished run might still be reading)."""
     import os
     import shutil
-    import time
 
     from sap_spark.sources.datagen import gen_change_events
 
@@ -1271,21 +1295,9 @@ def _staged_replay_log(spark: SparkSession) -> DataFrame:
         if os.path.exists(tmplink):
             os.unlink(tmplink)
     # hygiene: sweep hour-old stages from other generator versions
-    now = time.time()
-    for d in os.listdir(root):
-        full = os.path.join(root, d)
-        if d in (this, "current") or not d.startswith(
-            ("cdc_replay_log-", "current.tmp-")
-        ):
-            continue
-        try:
-            if now - os.lstat(full).st_mtime > 3600:
-                if os.path.islink(full):
-                    os.unlink(full)
-                else:
-                    shutil.rmtree(full, ignore_errors=True)
-        except OSError:
-            pass
+    _sweep_stale(
+        root, ("cdc_replay_log-", "current.tmp-"), skip=(this, "current")
+    )
     return spark.read.parquet(stage)
 
 
@@ -1362,23 +1374,10 @@ def _contract_workdir(prefix: str) -> str:
     pipeline state (log, lake table, checkpoint). Per-call (mkdtemp) so
     concurrent driver/check runs can never share a checkpoint; siblings
     from finished runs are swept once they are an hour old — the same
-    hygiene contract as the staged-log dir."""
-    import os
-    import shutil
+    hygiene contract as the staged-log dir (shared ``_sweep_stale``)."""
     import tempfile
-    import time
 
-    root = tempfile.gettempdir()
-    now = time.time()
-    for d in os.listdir(root):
-        if not d.startswith(prefix):
-            continue
-        full = os.path.join(root, d)
-        try:
-            if now - os.lstat(full).st_mtime > 3600:
-                shutil.rmtree(full, ignore_errors=True)
-        except OSError:
-            pass
+    _sweep_stale(tempfile.gettempdir(), (prefix,))
     return tempfile.mkdtemp(prefix=prefix)
 
 

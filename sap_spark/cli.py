@@ -330,7 +330,9 @@ def run_status(args, spark=None) -> dict:
     deltas = table.delta_file_counts()
     out: dict = {
         "table_version": table.version,
-        "last_commit_at": hist[0].get("committed_at"),
+        # committed_at() falls back to manifest mtime for pre-stamp
+        # manifests, so legacy tables report a time instead of null
+        "last_commit_at": table.committed_at(),
         "merge_mode": table.merge_mode,
         "num_buckets": table.num_buckets,
         "key_columns": table.key_columns,

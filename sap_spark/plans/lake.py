@@ -1543,11 +1543,20 @@ class LakeTable:
         oldest: "tuple[float, int] | None" = None
         v: int | None = self._current_version()
         while v is not None:
-            ca = self.committed_at(v)
+            # one manifest parse per step (manifests carry per-bucket
+            # file lists — large at 10^5+ files; committed_at() would
+            # re-parse for the stamp the manifest in hand already has)
+            m = self._load_manifest(v)
+            ca = m.get("committed_at")
+            ca = (
+                float(ca)
+                if ca is not None
+                else os.path.getmtime(self._manifest_path(v))
+            )
             oldest = (ca, v)
             if ca <= target:
                 return v  # chain walk is newest-first: first hit wins
-            v = self._load_manifest(v)["parent"]
+            v = m["parent"]
         detail = (
             f"oldest retained snapshot is v{oldest[1]} committed at "
             f"{oldest[0]:.6f}" if oldest else "no snapshots retained"

@@ -49,21 +49,18 @@ unchanged per table.
 
 from __future__ import annotations
 
+import dataclasses
 import time
 from dataclasses import dataclass
 from typing import Callable
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from sap_spark.config import ConfigError, EngineConfig
 from sap_spark.plans.lake import LakeTable
-from sap_spark.streaming.pipeline import (
-    CdcPipeline,
-    ingest_batch,
-    read_lineage_file,
-)
+from sap_spark.streaming.pipeline import CdcPipeline, read_lineage_file
 
 _UNROUTED = "<unrouted>"
 
@@ -174,6 +171,29 @@ class MultiTableCdcPipeline(CdcPipeline):
                 *(kwargs.get("dead_letter_rules") or []),
                 rule,
             ]
+        if kwargs.get("dead_letter_dir") is not None:
+            # Per-table null-key rules, scoped by routing value. The
+            # union log legitimately carries NULL in OTHER tables' key
+            # columns, so the single-table null_key rules (driven by
+            # cfg.key_columns — see violation_rules) would quarantine
+            # every row of every other target; conversely a target whose
+            # keys differ from the envelope cfg's would never have ITS
+            # null keys caught. Scoping by (routing == table) keeps both
+            # correct: a NULL routing value makes the equality 3VL-false,
+            # so the unrouted rule/policy owns that row. _dlq_cfg is
+            # key-stripped below so the unscoped rules never fire.
+            route = F.col(table_column)
+            kwargs["dead_letter_rules"] = [
+                *(kwargs.get("dead_letter_rules") or []),
+                *(
+                    (
+                        f"null_key:{k}@{tname}",
+                        (route == tname) & F.col(k).isNull(),
+                    )
+                    for tname, tgt in targets.items()
+                    for k in tgt.cfg.key_columns
+                ),
+            ]
         if kwargs.get("stream_schema") is None:
             kwargs["stream_schema"] = self._derive_stream_schema(
                 targets, envelope_cfg, table_column
@@ -189,6 +209,10 @@ class MultiTableCdcPipeline(CdcPipeline):
         self.targets = dict(targets)
         self.table_column = table_column
         self.on_unrouted = on_unrouted
+        # strip key columns from the DLQ config: null-key detection is
+        # per-table (scoped rules above); envelope rules (seq/token/op/
+        # rocancel) stay shared — they are the log's contract
+        self._dlq_cfg = dataclasses.replace(envelope_cfg, key_columns=())
 
     @staticmethod
     def _derive_stream_schema(
@@ -369,68 +393,25 @@ class MultiTableCdcPipeline(CdcPipeline):
         ).select(*cols)
         if tgt.transform is not None:
             slice_df = tgt.transform(slice_df)
-        t0 = time.monotonic()
-        obs = Observation(f"lineage-{epoch_id}-{name}")
-        observed = slice_df.observe(
-            obs,
-            F.count(F.lit(1)).alias("n_events"),
-            F.min(cfg.token_column).alias("min_token"),
-            F.max(cfg.token_column).alias("max_token"),
-            F.max(cfg.order_column).alias("max_seq"),
+        stats = self._apply_epoch_slice(
+            slice_df,
+            tgt.table,
+            cfg,
+            f"{self.pipeline_id}-epoch-{epoch_id}-t-{name}",
+            f"lineage-{epoch_id}-{name}",
+            tgt.auto_compact_delta_files,
         )
-        batch_id = f"{self.pipeline_id}-epoch-{epoch_id}-t-{name}"
-        fold_metrics: dict = {}
-        applied = ingest_batch(
-            observed, tgt.table, cfg, batch_id, self.strategy,
-            metrics_out=fold_metrics,
-        )
-        elapsed = time.monotonic() - t0
-        compacted = compact_sec = None
-        if applied and tgt.auto_compact_delta_files:
-            over = [
-                b
-                for b, n in tgt.table.delta_file_counts().items()
-                if n >= tgt.auto_compact_delta_files
-            ]
-            if over:
-                t_c = time.monotonic()
-                compacted = tgt.table.compact(
-                    purge_tombstones=False, buckets=over
-                )
-                compact_sec = round(time.monotonic() - t_c, 4)
-        metrics = obs.get if applied else {}
-        n = int(metrics.get("n_events") or 0)
-        bucket_offsets = fold_metrics.pop("bucket_offsets", None)
         self._record_table_lineage(
             name,
             {
                 "pipeline_id": self.pipeline_id,
                 "table": name,
                 "epoch_id": epoch_id,
-                "batch_id": batch_id,
-                "applied": applied,
-                "n_events": n,
-                "min_token": metrics.get("min_token"),
-                "max_token": metrics.get("max_token"),
-                "max_seq": metrics.get("max_seq"),
-                "elapsed_sec": round(elapsed, 4),
-                "fold": fold_metrics or None,
-                "bucket_offsets": bucket_offsets,
-                "merge_phases": getattr(
-                    tgt.table, "last_merge_metrics", None
-                ),
-                "compacted_buckets": compacted,
-                "compact_sec": compact_sec,
-                "events_per_sec": round(n / elapsed, 1)
-                if elapsed > 0 and n
-                else None,
-                "table_version": tgt.table.version,
+                **stats,
                 "wall_time": time.time(),
             },
         )
         return {
-            "applied": applied,
-            "n_events": n,
-            "elapsed_sec": round(elapsed, 4),
-            "table_version": tgt.table.version,
+            k: stats[k]
+            for k in ("applied", "n_events", "elapsed_sec", "table_version")
         }

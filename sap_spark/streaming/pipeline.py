@@ -337,7 +337,18 @@ class CdcPipeline:
         self.enforce_token_atomicity = enforce_token_atomicity
         self.dead_letter_dir = dead_letter_dir
         self.dead_letter_rules = dead_letter_rules
+        # the config whose key_columns drive the DLQ null-key rules; the
+        # multi-table router overrides this (its union log legitimately
+        # carries nulls in other tables' key columns — it scopes per-table
+        # null-key rules by routing value instead)
+        self._dlq_cfg = cfg
         if auto_compact_delta_files is not None:
+            if table is None:
+                raise ValueError(
+                    "auto_compact_delta_files applies to a single-table "
+                    "pipeline; for MultiTableCdcPipeline set it per target "
+                    "via TableTarget(auto_compact_delta_files=...)"
+                )
             if auto_compact_delta_files < 1:
                 raise ValueError("auto_compact_delta_files must be >= 1")
             if table.merge_mode != "mor":
@@ -651,7 +662,7 @@ class CdcPipeline:
             )
 
             batch_df, quarantined = split_quarantine(
-                batch_df, cfg, self.dead_letter_rules
+                batch_df, self._dlq_cfg, self.dead_letter_rules
             )
             n_quarantined = write_dead_letters(
                 quarantined, self._dlq_namespace, epoch_id
@@ -684,36 +695,70 @@ class CdcPipeline:
                 }
             )
             return
+        stats = self._apply_epoch_slice(
+            batch_df,
+            self.table,
+            cfg,
+            f"{self.pipeline_id}-epoch-{epoch_id}",
+            f"lineage-{epoch_id}",
+            self.auto_compact_delta_files,
+        )
+        self._record_lineage(
+            {
+                "pipeline_id": self.pipeline_id,
+                "epoch_id": epoch_id,
+                **stats,
+                "deferred_files": n_deferred,
+                "quarantined": n_quarantined,
+                "wall_time": time.time(),
+            }
+        )
+
+    def _apply_epoch_slice(
+        self,
+        events: DataFrame,
+        table,
+        cfg,
+        batch_id: str,
+        obs_name: str,
+        auto_compact_delta_files: "int | None",
+    ) -> dict:
+        """Shared epoch tail: observe the lineage metrics, fold + MERGE
+        one batch into one table (exactly-once on ``batch_id``), and
+        optionally auto-compact over-threshold MOR buckets. Returns the
+        lineage fields common to the single-table record and the
+        multi-table per-table record — both paths call this, so the
+        observation fields, compaction trigger and metrics shape cannot
+        drift between them (streaming/multitable.py::_apply_table)."""
         t0 = time.monotonic()
-        obs = Observation(f"lineage-{epoch_id}")
-        observed = batch_df.observe(
+        obs = Observation(obs_name)
+        observed = events.observe(
             obs,
             F.count(F.lit(1)).alias("n_events"),
             F.min(cfg.token_column).alias("min_token"),
             F.max(cfg.token_column).alias("max_token"),
             F.max(cfg.order_column).alias("max_seq"),
         )
-        batch_id = f"{self.pipeline_id}-epoch-{epoch_id}"
         fold_metrics: dict = {}
         applied = ingest_batch(
-            observed, self.table, cfg, batch_id, self.strategy,
+            observed, table, cfg, batch_id, self.strategy,
             metrics_out=fold_metrics,
         )
         elapsed = time.monotonic() - t0
         compacted: list[int] | None = None
         compact_sec = None
-        if applied and self.auto_compact_delta_files:
+        if applied and auto_compact_delta_files:
             # driver-side manifest probe, no Spark job: buckets at/over
             # the delta-file threshold fold now (tombstones retained —
             # safe mid-stream); the rest wait for their own threshold
             over = [
                 b
-                for b, n in self.table.delta_file_counts().items()
-                if n >= self.auto_compact_delta_files
+                for b, n in table.delta_file_counts().items()
+                if n >= auto_compact_delta_files
             ]
             if over:
                 t_c = time.monotonic()
-                compacted = self.table.compact(
+                compacted = table.compact(
                     purge_tombstones=False, buckets=over
                 )
                 compact_sec = round(time.monotonic() - t_c, 4)
@@ -724,29 +769,24 @@ class CdcPipeline:
         # field: {bucket: {max_seq, n_rows}} for every bucket this epoch
         # touched (north_rule "per-partition lineage offsets")
         bucket_offsets = fold_metrics.pop("bucket_offsets", None)
-        self._record_lineage(
-            {
-                "pipeline_id": self.pipeline_id,
-                "epoch_id": epoch_id,
-                "batch_id": batch_id,
-                "applied": applied,
-                "n_events": n,
-                "min_token": metrics.get("min_token"),
-                "max_token": metrics.get("max_token"),
-                "max_seq": metrics.get("max_seq"),
-                "elapsed_sec": round(elapsed, 4),
-                "deferred_files": n_deferred,
-                "quarantined": n_quarantined,
-                "fold": fold_metrics or None,
-                "bucket_offsets": bucket_offsets,
-                "merge_phases": getattr(self.table, "last_merge_metrics", None),
-                "compacted_buckets": compacted,
-                "compact_sec": compact_sec,
-                "events_per_sec": round(n / elapsed, 1) if elapsed > 0 and n else None,
-                "table_version": self.table.version,
-                "wall_time": time.time(),
-            }
-        )
+        return {
+            "batch_id": batch_id,
+            "applied": applied,
+            "n_events": n,
+            "min_token": metrics.get("min_token"),
+            "max_token": metrics.get("max_token"),
+            "max_seq": metrics.get("max_seq"),
+            "elapsed_sec": round(elapsed, 4),
+            "fold": fold_metrics or None,
+            "bucket_offsets": bucket_offsets,
+            "merge_phases": getattr(table, "last_merge_metrics", None),
+            "compacted_buckets": compacted,
+            "compact_sec": compact_sec,
+            "events_per_sec": round(n / elapsed, 1)
+            if elapsed > 0 and n
+            else None,
+            "table_version": table.version,
+        }
 
     # -- run --------------------------------------------------------------
 

@@ -300,3 +300,92 @@ def test_multitable_config_validation(spark, tmpdir_path):
             spark, targets, f"{tmpdir_path}/log", f"{tmpdir_path}/c4",
             table_column="commit",
         )
+
+
+def test_multitable_heterogeneous_keys_dlq_scoped(spark, tmpdir_path):
+    """Targets with DIFFERENT key columns + a dead-letter sink: the
+    null-key quarantine rules must be scoped per table. The union log
+    legitimately carries NULL in OTHER tables' key columns — an
+    unscoped rule set (the single-table cfg's key_columns) would
+    quarantine every 'docs' row for its null repo/path and miss a
+    'docs' row whose OWN key (doc_id) is null."""
+    docs_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("val", T.StringType(), True),
+        ]
+    )
+    t_repos = LakeTable.create(
+        spark, f"{tmpdir_path}/repos", REPOS_SCHEMA,
+        key_columns=["repo", "path"], num_buckets=4,
+    )
+    t_docs = LakeTable.create(
+        spark, f"{tmpdir_path}/docs", docs_schema,
+        key_columns=["doc_id"], num_buckets=2,
+    )
+    targets = {
+        "repos": TableTarget(t_repos, REPOS_CFG),
+        "docs": TableTarget(
+            t_docs,
+            EngineConfig(
+                key_columns=("doc_id",), payload_columns=("val",)
+            ).validate(),
+        ),
+    }
+    cols = (
+        "delta_token", "event_seq", "op", "rocancel", "cancel_seq",
+        "table_name", "repo", "path", "commit", "lang", "content",
+        "doc_id", "val",
+    )
+    rows = [
+        # three repos inserts: doc_id/val are null (docs' columns)
+        *[
+            ("t0", i, "I", False, None, "repos",
+             "r1", f"p{i}", f"c{i}", "py", f"body{i}", None, None)
+            for i in range(3)
+        ],
+        # three docs inserts: repo/path are null (repos' keys)
+        *[
+            ("t0", 10 + i, "I", False, None, "docs",
+             None, None, None, None, None, f"d{i}", f"v{i}")
+            for i in range(3)
+        ],
+        # poison: a docs event with ITS OWN key null → quarantine
+        ("t0", 20, "I", False, None, "docs",
+         None, None, None, None, None, None, "bad"),
+    ]
+    ddl = (
+        "delta_token string, event_seq long, op string, rocancel boolean,"
+        " cancel_seq long, table_name string, repo string, path string,"
+        " commit string, lang string, content string, doc_id string,"
+        " val string"
+    )
+    assert [f.strip().split(" ")[0] for f in ddl.split(",")] == list(cols)
+    log = spark.createDataFrame(rows, schema=ddl)
+    log_dir = f"{tmpdir_path}/log"
+    write_change_log(log, log_dir)
+    pipe = MultiTableCdcPipeline(
+        spark, targets, log_dir,
+        checkpoint_dir=f"{tmpdir_path}/ckpt", pipeline_id="mt-het",
+        dead_letter_dir=f"{tmpdir_path}/dlq",
+    )
+    pipe.run_available_now(timeout_sec=300)
+    # every valid row of BOTH tables applied
+    assert LakeTable(spark, t_repos.path).read().count() == 3
+    got_docs = LakeTable(spark, t_docs.path).read().orderBy("doc_id")
+    assert [r["doc_id"] for r in got_docs.collect()] == ["d0", "d1", "d2"]
+    # exactly the poison row quarantined, under its scoped reason
+    dead = pipe.dead_letters()
+    assert dead.count() == 1
+    assert dead.first()["dlq_reasons"] == "null_key:doc_id@docs"
+
+
+def test_multitable_rejects_pipeline_level_auto_compact(spark, tmpdir_path):
+    """auto_compact_delta_files is per-target in the multi-table API;
+    passing the single-table kwarg must fail with a pointer to
+    TableTarget, not an AttributeError on table=None."""
+    with pytest.raises(ValueError, match="TableTarget"):
+        MultiTableCdcPipeline(
+            spark, _targets(spark, tmpdir_path), f"{tmpdir_path}/log",
+            f"{tmpdir_path}/ckpt", auto_compact_delta_files=4,
+        )
