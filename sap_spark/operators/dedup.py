@@ -124,7 +124,13 @@ def drop_cancelled(
         return events
     if cancelled is None:
         cancelled = cancelled_seqs(events, cfg)
-    return events.where(~F.col(rc)).join(
+    # coalesce: a NULL rocancel flag means NOT-a-cancel here, instead of
+    # the row silently vanishing under 3VL (~NULL is NULL). The envelope
+    # schema declares the column non-null and the streaming path
+    # quarantines NULL flags before the fold when a DLQ is configured
+    # (streaming/quality.violation_rules); this keeps the batch entry
+    # points (fold_changes/replay) loss-free on lax foreign logs too.
+    return events.where(~F.coalesce(F.col(rc), F.lit(False))).join(
         F.broadcast(cancelled), on=seq, how="left_anti"
     )
 
@@ -209,19 +215,22 @@ def lww_fetch(events: DataFrame, cfg: EngineConfig) -> DataFrame:
     measured memory-bandwidth-bound, not CPU-bound. This variant never
     aggregates or shuffles payloads:
 
-    phase A  winners = groupBy(key).agg(max(struct(event_seq, delta_token)))
-             — buffers are (key, long, short string); the payload columns
-             are never referenced, so the parquet scan prunes them and the
-             content pages are not even decompressed;
-    phase B  inner join events ⋈ broadcast(winners) on
-             (key…, event_seq, delta_token) — a map-side hash probe that
-             materializes exactly the winning deliveries, payload included.
+    phase A  winners = groupBy(key).agg(max(event_seq)) — a long-only
+             buffer that stays in whole-stage-codegen HashAggregate (see
+             lww_winners for why NOT max(struct(seq, token))); the payload
+             columns are never referenced, so the parquet scan prunes them
+             and the content pages are not even decompressed;
+    phase B  inner join events ⋈ broadcast(winners) on (key…, event_seq)
+             — a map-side hash probe that materializes the winning
+             deliveries, payload included — followed by a per-key max_by
+             guard that collapses multi-token redeliveries of the winning
+             event to the max-token delivery (fetch_winner_payloads; the
+             guard is load-bearing, not dead code).
 
-    Correctness: (delta_token, event_seq) identifies one delivery — SLT
-    redelivers whole delta units under new tokens and event ids are unique
-    within a unit, so the winner matches exactly one row. Duplicate
-    deliveries of an event tie on event_seq and the struct max picks the
-    lexicographically-largest (zero-padded ⇒ latest) token, deterministic.
+    Correctness: event_seq identifies the winning *event*; SLT may
+    redeliver it under several delta tokens with identical payloads, and
+    the phase-B guard picks the largest token deterministically — the
+    same delivery the old max(struct(seq, token)) phase A encoded.
 
     Scale: the winner set is O(distinct keys per batch) of ~100 B rows. A
     micro-batch in steady state touches a bounded key set, so the explicit
@@ -232,7 +241,17 @@ def lww_fetch(events: DataFrame, cfg: EngineConfig) -> DataFrame:
     if cfg.token_column not in events.columns:
         # no delivery id available → single-pass agg stays exact
         return lww_agg(drop_cancelled(events, cfg), cfg)
-    return fetch_winner_payloads(events, lww_winners(events, cfg), cfg)
+    # build the cancelled-seq set ONCE and share it across both phases —
+    # each would otherwise run its own broadcast-build scan of the batch
+    # (the sharing contract cancelled_seqs' docstring states; the
+    # streaming path additionally persists the batch first)
+    cancelled = cancelled_seqs(events, cfg)
+    return fetch_winner_payloads(
+        events,
+        lww_winners(events, cfg, cancelled=cancelled),
+        cfg,
+        cancelled=cancelled,
+    )
 
 
 def lww_winners(

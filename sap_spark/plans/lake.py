@@ -235,24 +235,29 @@ class LakeTable:
             manifest["op"] = op
         mpath = self._manifest_path(new_version)
         tmp = mpath + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            # allow_nan=False: a non-finite stat bound would serialize as
-            # the bare non-RFC token `NaN`/`Infinity`, corrupting the
-            # manifest for strict parsers — stats collection drops such
-            # bounds (plans/stats._encode_bound), so any one reaching
-            # here is a bug that must fail the commit loudly, not land
-            json.dump(manifest, f, allow_nan=False)
         try:
-            os.link(tmp, mpath)  # the commit point: one writer wins
-        except FileExistsError:
-            raise ConcurrentCommitError(
-                f"version {new_version} of {self.path} already exists — "
-                "another writer committed from the same base version. "
-                "Reload the table and retry: committed batch ids replay "
-                "as no-ops."
-            ) from None
+            with open(tmp, "w") as f:
+                # allow_nan=False: a non-finite stat bound would serialize
+                # as the bare non-RFC token `NaN`/`Infinity`, corrupting
+                # the manifest for strict parsers — stats collection drops
+                # such bounds (plans/stats._encode_bound), so any one
+                # reaching here is a bug that must fail the commit loudly
+                json.dump(manifest, f, allow_nan=False)
+            try:
+                os.link(tmp, mpath)  # the commit point: one writer wins
+            except FileExistsError:
+                raise ConcurrentCommitError(
+                    f"version {new_version} of {self.path} already exists — "
+                    "another writer committed from the same base version. "
+                    "Reload the table and retry: committed batch ids replay "
+                    "as no-ops."
+                ) from None
         finally:
-            os.unlink(tmp)
+            # covers the dump raising too (the tmp must never accumulate)
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
         vtmp = self._version_file() + f".tmp-{uuid.uuid4().hex}"
         with open(vtmp, "w") as f:
             f.write(str(new_version))
@@ -356,6 +361,18 @@ class LakeTable:
         _check_layout_columns(known, "bloom_columns", bloom_columns)
         if num_buckets is None:
             num_buckets = derive_num_buckets(expected_payload_bytes or 0)
+        if num_buckets < 1:
+            # pmod(hash, 0) is NULL: every row would land in the Hive
+            # default partition and the first merge would corrupt the
+            # bucket map — the same guard rebucket() already applies
+            raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+        if not key_columns:
+            raise ValueError("key_columns must be non-empty")
+        missing_keys = [k for k in key_columns if k not in known]
+        if missing_keys:
+            raise ValueError(
+                f"key_columns {missing_keys} are not in the table schema"
+            )
         os.makedirs(meta_dir, exist_ok=True)
         manifest = {
             "version": 0,
@@ -814,9 +831,17 @@ class LakeTable:
         exactly-once contract as :meth:`merge_cdc`: a replayed
         ``batch_id`` that already committed is a no-op (a restarted
         backfill driver re-running its epoch must not burn a version
-        or re-spill the table)."""
+        or re-spill the table). Runs the same schema-evolution gate as
+        :meth:`merge_cdc` first — a backfill frame carrying a column the
+        stored schema lacks evolves the schema rather than silently
+        dropping the column's data (compat violations raise, as ever)."""
         if batch_id is not None and batch_id in self.committed_batches():
             return
+        self.evolve_schema(
+            T.StructType(
+                [f for f in df.schema.fields if f.name not in INTERNAL_COLS]
+            )
+        )
         user_cols = [f.name for f in self.schema.fields]
         prepared = (
             apply_cast_plan(df, self.schema)
@@ -1037,6 +1062,20 @@ class LakeTable:
         finally:
             if persisted is not None:
                 persisted.unpersist()
+        stray = set(new_files) - {str(b) for b in affected}
+        if stray:
+            # a caller-supplied affected list that misses a bucket the
+            # batch actually touched would have its existing rows absent
+            # from the target read above, and the wholesale bucket-entry
+            # replacement below would drop them — fail loudly instead of
+            # losing data (the commit has NOT happened yet; files from
+            # this write are unreferenced debris expire_snapshots sweeps)
+            raise ValueError(
+                f"merge_cdc: batch rows landed in buckets {sorted(stray)} "
+                f"outside the caller-supplied affected_buckets "
+                f"{sorted(affected)}; the affected list must cover every "
+                "bucket the folded batch touches"
+            )
         phases["merge_write_sec"] = round(time.monotonic() - t_phase, 4)
         t_phase = time.monotonic()
         manifest = json.loads(json.dumps(self.manifest))
@@ -1433,6 +1472,42 @@ class LakeTable:
                 "expire_snapshots aborted: retained manifests reference "
                 f"files absent from the data scan (first: {sorted(missing)[0]})"
             )
+        # Mutation order is crash-window-sound: (1) trim the oldest kept
+        # manifest's parent pointer FIRST — from that instant every chain
+        # walk (history, version_as_of, the next expiry's keep walk) ends
+        # inside the retained set, so a crash at any later step leaves
+        # only harmless unreferenced debris the next expiry sweeps; then
+        # (2) drop expired manifests; then (3) delete data files. The old
+        # order (delete manifests, then trim) left a window where the
+        # retained chain dangled into a removed manifest, wedging every
+        # walk with FileNotFoundError.
+        oldest = min(keep_versions)
+        m = self._load_manifest(oldest)
+        if m["parent"] is not None:
+            if m.get("committed_at") is None:
+                # legacy stamp-less manifest: the rewrite below resets the
+                # file mtime that version_as_of's fallback reads — freeze
+                # the pre-rewrite mtime as the stamp so retained legacy
+                # snapshots stay reachable by timestamp
+                m["committed_at"] = os.path.getmtime(
+                    self._manifest_path(oldest)
+                )
+            m["parent"] = None
+            tmp = self._manifest_path(oldest) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(m, f)
+            os.replace(tmp, self._manifest_path(oldest))
+        # drop expired manifests (keep the retained chain intact); skip
+        # non-numeric v*.json matches the same way _current_version does —
+        # a stray operator file the read path tolerates must not crash
+        # maintenance mid-run
+        for mf in glob.glob(os.path.join(self._meta_dir, "v*.json")):
+            try:
+                ver = int(os.path.basename(mf)[1:-5])
+            except ValueError:
+                continue
+            if ver not in keep_versions:
+                os.remove(mf)
         removed = 0
         now = time.time()
         for key, f in scanned.items():
@@ -1450,20 +1525,6 @@ class LakeTable:
                 except OSError:
                     pass  # no sidecar (bloom-less table / legacy inline)
                 removed += 1
-        # drop expired manifests (keep the retained chain intact)
-        for mf in glob.glob(os.path.join(self._meta_dir, "v*.json")):
-            ver = int(os.path.basename(mf)[1:-5])
-            if ver not in keep_versions:
-                os.remove(mf)
-        # retained chain now ends at the oldest kept version
-        oldest = min(keep_versions)
-        m = self._load_manifest(oldest)
-        if m["parent"] is not None:
-            m["parent"] = None
-            tmp = self._manifest_path(oldest) + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(m, f)
-            os.replace(tmp, self._manifest_path(oldest))
         return removed
 
     def history(self) -> list[dict]:

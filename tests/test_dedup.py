@@ -188,3 +188,25 @@ def test_strategies_agree_with_duplicate_deliveries(spark):
         assert len(out) == 2, strategy
         outs.append(out)
     assert outs[0] == outs[1] == outs[2] == outs[3]
+
+
+def test_null_rocancel_is_not_a_cancel(spark):
+    """A NULL rocancel flag on a lax foreign log means not-a-cancel —
+    the event must survive the batch fold, not vanish under 3VL
+    (~NULL filters the row with no trace). The streaming path
+    quarantines such rows first when a DLQ is configured; the public
+    batch entry points must be loss-free regardless."""
+    rows = [
+        ("t0", 1, "I", None, None, "r", "p", "c1", "py", "body1"),
+        ("t0", 2, "U", False, None, "r", "p", "c2", "py", "body2"),
+    ]
+    ddl = (
+        "delta_token string, event_seq long, op string, rocancel boolean,"
+        " cancel_seq long, repo string, path string, commit string,"
+        " lang string, content string"
+    )
+    ev = spark.createDataFrame(rows, schema=ddl)
+    surviving = drop_cancelled(ev, CFG)
+    assert surviving.count() == 2  # the NULL-flag event is retained
+    final = fold_changes(ev, CFG)
+    assert final.count() == 1 and final.first()["commit"] == "c2"

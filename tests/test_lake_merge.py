@@ -192,3 +192,72 @@ def test_time_travel_and_compaction(spark, tmpdir_path):
     assert table.read().count() == 0
     assert table.read_internal().count() == 0  # tombstone gone
     assert len(table.history()) >= 4
+
+
+def test_create_validates_buckets_and_keys(spark, tmpdir_path):
+    """num_buckets=0 would send every row to pmod(hash, 0) = NULL (the
+    Hive default partition) and the second merge would silently replace
+    the bucket map — reject at create, like rebucket() already does.
+    Key columns must be non-empty and present in the schema."""
+    with pytest.raises(ValueError, match="num_buckets"):
+        LakeTable.create(
+            spark, f"{tmpdir_path}/b0", TARGET_SCHEMA,
+            key_columns=["repo", "path"], num_buckets=0,
+        )
+    with pytest.raises(ValueError, match="key_columns"):
+        LakeTable.create(
+            spark, f"{tmpdir_path}/k0", TARGET_SCHEMA,
+            key_columns=[], num_buckets=4,
+        )
+    with pytest.raises(ValueError, match="not in the table schema"):
+        LakeTable.create(
+            spark, f"{tmpdir_path}/k1", TARGET_SCHEMA,
+            key_columns=["repo", "nope"], num_buckets=4,
+        )
+
+
+def test_merge_rejects_stale_affected_buckets(spark, tmpdir_path):
+    """A caller-supplied affected_buckets list that misses a bucket the
+    batch touches must fail loudly BEFORE the commit — the old behavior
+    silently replaced the missed bucket's entry with batch-only rows,
+    dropping every pre-existing row of that bucket."""
+    events = gen_change_events(spark, n_events=400, n_keys=50).cache()
+    table = make_table(spark, tmpdir_path)
+    all_buckets = table.affected_buckets(events)
+    assert len(all_buckets) > 1  # the scenario needs a missed bucket
+    folded = fold = None
+    from sap_spark.operators.dedup import fold_changes
+
+    fold = fold_changes(events, CFG)
+    before = table.version
+    with pytest.raises(ValueError, match="outside the caller-supplied"):
+        table.merge_cdc(fold, batch_id="stale", affected_buckets=all_buckets[:1])
+    # nothing committed, batch id not burned
+    assert table.version == before
+    assert "stale" not in table.committed_batches()
+    # the correct list still applies
+    assert table.merge_cdc(fold, batch_id="ok", affected_buckets=all_buckets)
+
+
+def test_overwrite_evolves_schema_like_merge(spark, tmpdir_path):
+    """A backfill frame carrying a column the stored schema lacks must
+    evolve the schema (merge_cdc parity), not silently drop the data."""
+    table = LakeTable.create(
+        spark, f"{tmpdir_path}/evo",
+        T.StructType(
+            [
+                T.StructField("repo", T.StringType(), False),
+                T.StructField("path", T.StringType(), False),
+                T.StructField("commit", T.StringType(), True),
+            ]
+        ),
+        key_columns=["repo", "path"], num_buckets=2,
+    )
+    df = spark.createDataFrame(
+        [("r", "p", "c1", "py")],
+        schema="repo string, path string, commit string, lang string",
+    )
+    table.overwrite(df, batch_id="backfill-1")
+    got = LakeTable(spark, table.path).read()
+    assert "lang" in got.columns
+    assert got.first()["lang"] == "py"

@@ -253,3 +253,68 @@ def test_maintenance_ops_invisible_under_live_replay(spark, tmpdir_path):
         where=f"repo = '{probe['repo']}' AND path = '{probe['path']}'"
     ).collect()
     assert len(hit) == 1 and hit[0]["commit"] == probe["commit"]
+
+
+def _table_with_history(spark, tmpdir_path, n_tokens=4):
+    """A small table with one commit per delta token (several versions)."""
+    events = gen_change_events(
+        spark, n_events=1200, n_keys=120, events_per_token=300
+    )
+    table = LakeTable.create(
+        spark, f"{tmpdir_path}/hist", SCHEMA, ["repo", "path"], 4
+    )
+    toks = sorted(r[0] for r in events.select("delta_token").distinct().collect())
+    for tok in toks[:n_tokens]:
+        ingest_batch(
+            events.where(F.col("delta_token") == tok), table, CFG, f"b-{tok}"
+        )
+    return table
+
+
+def test_expire_tolerates_stray_manifest_names(spark, tmpdir_path):
+    """A stray operator file matching the v*.json glob (e.g. a manual
+    v1-copy.json backup) is tolerated by the read path
+    (_current_version skips it) — maintenance must not crash on it
+    mid-run either."""
+    import os
+    import shutil
+
+    table = _table_with_history(spark, tmpdir_path)
+    meta = os.path.join(table.path, "_meta")
+    src = os.path.join(meta, f"v{1:08d}.json")
+    stray = os.path.join(meta, f"v{1:08d}-copy.json")
+    shutil.copy(src, stray)
+    before = table.read().count()
+    table.expire_snapshots(keep_last=1)
+    assert os.path.exists(stray)  # skipped, untouched
+    assert LakeTable(spark, table.path).read().count() == before
+
+
+def test_expire_preserves_legacy_timestamp_resolvability(spark, tmpdir_path):
+    """Legacy (stamp-less) manifests resolve by file mtime; the expiry
+    parent-trim rewrite must freeze that mtime as a committed_at stamp,
+    or the rewrite's fresh mtime pushes the snapshot into the future
+    and version_as_of rejects timestamps that should resolve."""
+    import json
+    import os
+    import time
+
+    table = _table_with_history(spark, tmpdir_path)
+    meta = os.path.join(table.path, "_meta")
+    # strip the stamps => legacy table; backdate the files
+    for name in os.listdir(meta):
+        if name.startswith("v") and name.endswith(".json"):
+            p = os.path.join(meta, name)
+            with open(p) as f:
+                m = json.load(f)
+            m.pop("committed_at", None)
+            with open(p, "w") as f:
+                json.dump(m, f)
+            os.utime(p, (time.time() - 3600, time.time() - 3600))
+    table = LakeTable(spark, table.path)
+    head = table.version
+    table.expire_snapshots(keep_last=2)
+    table = LakeTable(spark, table.path)
+    # a timestamp just after the (backdated) commits resolves to the
+    # oldest retained version, not ValueError
+    assert table.version_as_of(time.time() - 3500) in (head, head - 1)
