@@ -72,6 +72,21 @@ def _payload_cols(df: DataFrame, cfg: EngineConfig) -> list[str]:
     return [c for c in df.columns if c not in reserved]
 
 
+def fold_output_columns(events: DataFrame, cfg: EngineConfig) -> list[str]:
+    """The fold's output projection: keys + order + op + payload — the
+    token/rocancel/cancel-seq envelope columns are checkpoint labels,
+    not state, and must be stripped BEFORE the merge's schema-evolution
+    gate sees the frame. One definition shared by :func:`fold_changes`
+    and the pipeline's fetch/auto path (streaming/pipeline.ingest_batch)
+    so the kept-column set cannot drift between them."""
+    return [
+        *cfg.key_columns,
+        cfg.order_column,
+        cfg.op_column,
+        *_payload_cols(events, cfg),
+    ]
+
+
 def salted_repartition(
     events: DataFrame, cfg: EngineConfig, num_partitions: int | None = None
 ) -> DataFrame:
@@ -360,7 +375,7 @@ def fold_changes(
         out = lww_window(drop_cancelled(events, cfg), cfg, salted=True)
     else:
         raise ValueError(f"unknown LWW strategy: {strategy!r}")
-    keep = [*cfg.key_columns, cfg.order_column, cfg.op_column, *_payload_cols(events, cfg)]
+    keep = fold_output_columns(events, cfg)
     return out.select(*[c for c in keep if c in out.columns])
 
 

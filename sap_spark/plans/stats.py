@@ -115,18 +115,20 @@ def decode_bound(v):
     return v
 
 
-def collect_parquet_stats(path: str, columns: "list[str]") -> dict:
+def collect_parquet_stats(path: str, columns: "list[str]", pf=None) -> dict:
     """``{column: [min, max]}`` from one parquet file's footer, for the
     requested columns only. A column is omitted when any row group
     lacks exact min/max (all-null chunks, unsupported physical types,
     writer-truncated bounds) — absence means "never prune on this".
-    """
+    ``pf``: a pre-opened :class:`pyarrow.parquet.ParquetFile` — the
+    collectors share one footer parse per file (collect_entry_metadata)
+    instead of four metadata reads per file per commit."""
     import pyarrow.parquet as pq
 
     wanted = set(columns)
     if not wanted:
         return {}
-    md = pq.ParquetFile(path).metadata
+    md = (pf if pf is not None else pq.ParquetFile(path)).metadata
     mins: dict = {}
     maxs: dict = {}
     dead: set = set()
@@ -257,7 +259,9 @@ def _bloom_hashes(value, m: int = _BLOOM_MIN_M) -> "list[int] | None":
     return _bloom_indexes(*_bloom_pair_cached(*canon), m)
 
 
-def collect_parquet_bloom(path: str, columns: "list[str]") -> "dict[str, dict]":
+def collect_parquet_bloom(
+    path: str, columns: "list[str]", pf=None
+) -> "dict[str, dict]":
     """``{column: {"t": type-tag, "b": base64 bloom}}`` built from one
     parquet file's column DATA. A column is omitted when any value
     isn't bloomable (floats, nested types) — absence means "never
@@ -269,7 +273,8 @@ def collect_parquet_bloom(path: str, columns: "list[str]") -> "dict[str, dict]":
 
     if not columns:
         return {}
-    pf = pq.ParquetFile(path)
+    if pf is None:
+        pf = pq.ParquetFile(path)
     present = [c for c in columns if c in set(pf.schema_arrow.names)]
     m = _bloom_m_for_rows(pf.metadata.num_rows)
     out: dict[str, dict] = {}
@@ -375,23 +380,32 @@ def collect_entry_metadata(
     Shared verbatim by the driver-side footer walk and the task-side
     distributed pass (plans/lake.py), so the manifests both produce are
     identical by construction. Per-layer failures are swallowed: stats
-    are an optimization and must never fail the commit."""
+    are an optimization and must never fail the commit. The file's
+    footer is parsed ONCE and shared by all four collectors — on remote
+    storage the uncached form was four metadata GETs per file per
+    commit, the very cost manifest stats exist to eliminate."""
+    import pyarrow.parquet as pq
+
     meta: dict = {}
+    try:
+        pf = pq.ParquetFile(path)
+    except Exception:  # noqa: BLE001 — unreadable file: no metadata
+        return meta
     if stats_cols:
         try:
-            st = collect_parquet_stats(path, stats_cols)
+            st = collect_parquet_stats(path, stats_cols, pf=pf)
         except Exception:  # noqa: BLE001
             st = {}
         if st:
             meta["stats"] = st
         try:
-            nl = collect_parquet_nulls(path, stats_cols)
+            nl = collect_parquet_nulls(path, stats_cols, pf=pf)
         except Exception:  # noqa: BLE001
             nl = {}
         if nl.get("counts"):
             meta["nulls"] = nl
         try:
-            nn = collect_parquet_nans(path, stats_cols)
+            nn = collect_parquet_nans(path, stats_cols, pf=pf)
         except Exception:  # noqa: BLE001
             nn = {}
         if nn:
@@ -400,7 +414,7 @@ def collect_entry_metadata(
             meta["nan"] = nn
     if bloom_cols:
         try:
-            bl = collect_parquet_bloom(path, bloom_cols)
+            bl = collect_parquet_bloom(path, bloom_cols, pf=pf)
         except Exception:  # noqa: BLE001
             bl = {}
         if bl:
@@ -503,13 +517,13 @@ def bloom_may_match(
     return True
 
 
-def collect_parquet_nulls(path: str, columns: "list[str]") -> dict:
+def collect_parquet_nulls(path: str, columns: "list[str]", pf=None) -> dict:
     """``{"rows": <file rows>, "counts": {column: null_count}}`` from one
     parquet file's footer. A column is omitted when any row group lacks
     an exact null count — absence means "never prune on this"."""
     import pyarrow.parquet as pq
 
-    md = pq.ParquetFile(path).metadata
+    md = (pf if pf is not None else pq.ParquetFile(path)).metadata
     wanted = set(columns)
     counts: dict = {}
     dead: set = set()
@@ -531,7 +545,9 @@ def collect_parquet_nulls(path: str, columns: "list[str]") -> dict:
     }
 
 
-def collect_parquet_nans(path: str, columns: "list[str]") -> "dict[str, int]":
+def collect_parquet_nans(
+    path: str, columns: "list[str]", pf=None
+) -> "dict[str, int]":
     """``{column: NaN count}`` for the float/double columns among
     ``columns`` — the Iceberg ``nan_value_counts`` analog. Spec-compliant
     parquet writers OMIT NaN from min/max stats, so a file can carry
@@ -547,7 +563,8 @@ def collect_parquet_nans(path: str, columns: "list[str]") -> "dict[str, int]":
 
     if not columns:
         return {}
-    pf = pq.ParquetFile(path)
+    if pf is None:
+        pf = pq.ParquetFile(path)
     arrow_schema = pf.schema_arrow
     float_cols = [
         c

@@ -101,10 +101,10 @@ def ingest_batch(
     rewrites an unchanged bucket, never corrupts.
     """
     from sap_spark.operators.dedup import (
-        _payload_cols,
         cancelled_seqs,
         drop_cancelled,
         fetch_winner_payloads,
+        fold_output_columns,
         lww_window,
         lww_winners,
     )
@@ -112,54 +112,55 @@ def ingest_batch(
     chosen = strategy
     hot = None
     winners_full = cancelled = None
-    keep = [
-        *cfg.key_columns, cfg.order_column, cfg.op_column,
-        *_payload_cols(events, cfg),
-    ]
-    if strategy in ("fetch", "auto") and cfg.token_column in events.columns:
-        # the cancel set feeds both fold phases — persist so its pruned
-        # scan of the batch runs once, not once per phase
-        cancelled = cancelled_seqs(events, cfg)
-        if cancelled is not None:
-            cancelled = cancelled.persist()
-        winners_full = lww_winners(
-            events, cfg, cancelled=cancelled, with_counts=(strategy == "auto")
-        ).persist()
-        winners = winners_full
-        if strategy == "auto":
-            winners = winners_full.select(*cfg.key_columns, cfg.order_column)
-            hot = winners_full.agg(F.max("__n_events")).collect()[0][0] or 0
-            chosen = (
-                "window_salted" if hot >= cfg.hot_key_threshold else "fetch"
-            )
-        affected, bucket_offsets = _discover_buckets(
-            table, winners, cfg, exact=True
-        )
-        if chosen == "fetch":
-            folded = fetch_winner_payloads(
-                events, winners, cfg, cancelled=cancelled
-            )
-        else:
-            folded = lww_window(
-                drop_cancelled(events, cfg, cancelled=cancelled),
-                cfg,
-                salted=True,
-            )
-        folded = folded.select(*[c for c in keep if c in folded.columns])
-    else:
-        if strategy == "auto":
-            chosen = "fetch"  # no delivery id → lww_fetch's exact agg path
-        folded = fold_changes(events, cfg, strategy=chosen)
-        affected, bucket_offsets = _discover_buckets(
-            table, events, cfg, exact=False
-        )
-    if metrics_out is not None:
-        metrics_out["strategy"] = chosen
-        if hot is not None:
-            metrics_out["hot_key_count"] = int(hot)
-        if bucket_offsets is not None:
-            metrics_out["bucket_offsets"] = bucket_offsets
+    keep = fold_output_columns(events, cfg)
+    # the try spans from the FIRST persist: a probe/discovery/fold
+    # failure mid-epoch (foreachBatch retries the epoch) must not leak
+    # cached blocks — retried persists would otherwise accumulate in
+    # executor storage memory for the session's lifetime
     try:
+        if strategy in ("fetch", "auto") and cfg.token_column in events.columns:
+            # the cancel set feeds both fold phases — persist so its
+            # pruned scan of the batch runs once, not once per phase
+            cancelled = cancelled_seqs(events, cfg)
+            if cancelled is not None:
+                cancelled = cancelled.persist()
+            winners_full = lww_winners(
+                events, cfg, cancelled=cancelled, with_counts=(strategy == "auto")
+            ).persist()
+            winners = winners_full
+            if strategy == "auto":
+                winners = winners_full.select(*cfg.key_columns, cfg.order_column)
+                hot = winners_full.agg(F.max("__n_events")).collect()[0][0] or 0
+                chosen = (
+                    "window_salted" if hot >= cfg.hot_key_threshold else "fetch"
+                )
+            affected, bucket_offsets = _discover_buckets(
+                table, winners, cfg, exact=True
+            )
+            if chosen == "fetch":
+                folded = fetch_winner_payloads(
+                    events, winners, cfg, cancelled=cancelled
+                )
+            else:
+                folded = lww_window(
+                    drop_cancelled(events, cfg, cancelled=cancelled),
+                    cfg,
+                    salted=True,
+                )
+            folded = folded.select(*[c for c in keep if c in folded.columns])
+        else:
+            if strategy == "auto":
+                chosen = "fetch"  # no delivery id → lww_fetch's exact agg path
+            folded = fold_changes(events, cfg, strategy=chosen)
+            affected, bucket_offsets = _discover_buckets(
+                table, events, cfg, exact=False
+            )
+        if metrics_out is not None:
+            metrics_out["strategy"] = chosen
+            if hot is not None:
+                metrics_out["hot_key_count"] = int(hot)
+            if bucket_offsets is not None:
+                metrics_out["bucket_offsets"] = bucket_offsets
         # crash-restart needs no special handling here: the manifest
         # link is the SINGLE commit step (lake.py _commit), so a dead
         # driver either committed (the replayed epoch no-ops on its
@@ -379,6 +380,8 @@ class CdcPipeline:
             if table is not None
             else os.path.join(checkpoint_dir, "sap_spark_lineage.jsonl")
         )
+        # parsed source-log entries, per log filename (see _seen_before)
+        self._source_log_cache: "dict[str, list[tuple[int, str]]]" = {}
         self._deferred_dir = os.path.join(checkpoint_dir, "sap_spark_deferred")
 
     # -- lineage ---------------------------------------------------------
@@ -467,14 +470,20 @@ class CdcPipeline:
     def _local_path(uri: str) -> str | None:
         """Local filesystem path for a file: URI; None for other schemes
         (object stores can't be listed with os.listdir — enforcement then
-        relies on the source's own batching)."""
+        relies on the source's own batching). URI paths are percent-
+        DECODED: Spark records source-log entries as Path.toUri strings,
+        so a space in a directory name arrives as %20 and a partition
+        value's escaped ':' as %253A — without unquote the returned
+        string names a nonexistent file and every epoch's atomicity
+        listing would fail. A schemeless entry is a plain path, never
+        encoded — returned verbatim."""
         if "://" not in uri and ":" not in uri.split("/", 1)[0]:
             return uri
-        from urllib.parse import urlparse
+        from urllib.parse import unquote, urlparse
 
         parsed = urlparse(uri)
         if parsed.scheme in ("", "file"):
-            return parsed.path
+            return unquote(parsed.path)
         return None
 
     def _load_deferred(self, epoch_id: int) -> set[str]:
@@ -526,23 +535,43 @@ class CdcPipeline:
     def _seen_before(self, epoch_id: int) -> set[str]:
         """Every file the source delivered in epochs before this one, from
         the checkpoint source log (handles .compact entries, which keep the
-        original batchId per line)."""
+        original batchId per line).
+
+        Source-log files are immutable once visible (Spark publishes each
+        by atomic rename; compaction adds a new .compact and removes old
+        files), so parsed entries are cached per log filename on the
+        pipeline object: each epoch parses only the log files it has not
+        seen, instead of re-reading the WHOLE history — the uncached form
+        was O(total delivered files) driver work per epoch, quadratic
+        over a long-running stream. Entries for vanished (compacted-away)
+        filenames are dropped; the epoch_id filter stays per-call so a
+        retried epoch reads the same state its first attempt saw."""
         src_dir = os.path.join(self.checkpoint_dir, "sources", "0")
         seen: set[str] = set()
         if not os.path.isdir(src_dir):
             return seen
-        for fn in os.listdir(src_dir):
-            if fn.startswith("."):
-                continue
-            with open(os.path.join(src_dir, fn)) as f:
-                for line in f:
-                    line = line.strip()
-                    if line.startswith("{"):
-                        e = json.loads(line)
-                        if e.get("batchId", 1 << 62) < epoch_id:
+        cache = self._source_log_cache
+        present = {fn for fn in os.listdir(src_dir) if not fn.startswith(".")}
+        for gone in set(cache) - present:
+            del cache[gone]
+        for fn in sorted(present):
+            entries = cache.get(fn)
+            if entries is None:
+                entries = []
+                with open(os.path.join(src_dir, fn)) as f:
+                    for line in f:
+                        line = line.strip()
+                        if line.startswith("{"):
+                            e = json.loads(line)
                             p = self._local_path(e["path"])
                             if p:
-                                seen.add(p)
+                                entries.append(
+                                    (e.get("batchId", 1 << 62), p)
+                                )
+                cache[fn] = entries
+            for bid, p in entries:
+                if bid < epoch_id:
+                    seen.add(p)
         return seen
 
     def _split_complete_tokens(
@@ -597,15 +626,11 @@ class CdcPipeline:
             # double-count. Runs before the token-atomicity deferral
             # return so even a fully-deferred epoch 0 clears it; a
             # retried epoch 0 just re-clears.
-            from urllib.parse import urlparse
-
-            ns = urlparse(self._dlq_namespace)
-            if ns.scheme in ("", "file"):
+            ns = self._local_path(self._dlq_namespace)
+            if ns is not None:
                 import shutil
 
-                shutil.rmtree(
-                    ns.path or self._dlq_namespace, ignore_errors=True
-                )
+                shutil.rmtree(ns, ignore_errors=True)
         files = self._batch_files(epoch_id)
         local = (
             [self._local_path(f) for f in files] if files is not None else None

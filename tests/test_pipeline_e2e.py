@@ -499,3 +499,40 @@ def test_window_strategy_records_no_bucket_offsets(spark, tmpdir_path):
     table = LakeTable(spark, table.path)
     got = table.read().orderBy("repo", "path").toPandas().reset_index(drop=True)
     assert got.equals(fold_to_frame(events.toPandas()))
+
+
+def test_local_path_percent_decodes_uris():
+    """Spark records source-log entries as Path.toUri strings — a space
+    in a directory name arrives percent-encoded. _local_path must decode
+    or every atomicity listing on such a path names a nonexistent file."""
+    lp = CdcPipeline._local_path
+    assert lp("file:///tmp/my%20log/delta_token=t%253A1/f.parquet") == (
+        "/tmp/my log/delta_token=t%3A1/f.parquet"
+    )
+    assert lp("/plain/path/f.parquet") == "/plain/path/f.parquet"
+    assert lp("s3://bucket/k") is None
+
+
+def test_pipeline_log_dir_with_space(spark, tmpdir_path):
+    """End-to-end replay from a log directory whose name Spark
+    URI-encodes: token atomicity (default on) must list and re-root the
+    decoded paths."""
+    events = gen_change_events(
+        spark, n_events=800, n_keys=80, events_per_token=200
+    ).cache()
+    log_dir = f"{tmpdir_path}/my log"   # space => %20 in the source log
+    write_change_log(events, log_dir)
+    table = LakeTable.create(
+        spark, f"{tmpdir_path}/repos", TARGET_SCHEMA,
+        key_columns=["repo", "path"], num_buckets=4,
+    )
+    CdcPipeline(
+        spark, EngineConfig().validate(), table, log_dir,
+        checkpoint_dir=f"{tmpdir_path}/ckpt", max_files_per_trigger=2,
+        pipeline_id="space-log",
+    ).run_available_now(timeout_sec=300)
+    got = (
+        LakeTable(spark, table.path).read()
+        .orderBy("repo", "path").toPandas().reset_index(drop=True)
+    )
+    assert got.equals(fold_to_frame(events.toPandas()))
