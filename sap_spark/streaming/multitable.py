@@ -178,17 +178,20 @@ class MultiTableCdcPipeline(CdcPipeline):
             # cfg.key_columns — see violation_rules) would quarantine
             # every row of every other target; conversely a target whose
             # keys differ from the envelope cfg's would never have ITS
-            # null keys caught. Scoping by (routing == table) keeps both
-            # correct: a NULL routing value makes the equality 3VL-false,
-            # so the unrouted rule/policy owns that row. _dlq_cfg is
-            # key-stripped below so the unscoped rules never fire.
+            # null keys caught. Scoping by eqNullSafe(routing, table)
+            # keeps both correct: a NULL routing value makes the match
+            # FALSE (plain == would yield NULL, and NULL & <null key:
+            # TRUE> = NULL — a predicate that fails BOTH sides of the
+            # quarantine split, vanishing the row), so the unrouted
+            # rule/policy owns that row. _dlq_cfg is key-stripped below
+            # so the unscoped rules never fire.
             route = F.col(table_column)
             kwargs["dead_letter_rules"] = [
                 *(kwargs.get("dead_letter_rules") or []),
                 *(
                     (
                         f"null_key:{k}@{tname}",
-                        (route == tname) & F.col(k).isNull(),
+                        route.eqNullSafe(F.lit(tname)) & F.col(k).isNull(),
                     )
                     for tname, tgt in targets.items()
                     for k in tgt.cfg.key_columns

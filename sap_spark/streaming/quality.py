@@ -101,9 +101,17 @@ def split_quarantine(
     rules = violation_rules(df, cfg, extra_rules)
     if not rules:
         return df, df.limit(0).withColumn("dlq_reasons", F.lit(""))
-    bad = reduce(lambda a, b: a | b, (c for _, c in rules))
+    # Defense against a non-null-safe extra rule: a NULL predicate is
+    # treated as "rule doesn't fire". Raw NULL in the OR would make
+    # ``bad`` NULL for the row, which fails BOTH filter(~bad) and
+    # filter(bad) — the row would silently vanish from valid AND
+    # quarantined sides, the one outcome a quarantine must never
+    # produce. Coalesced-to-false, the row stays on the VALID side
+    # where downstream checks (fold, routing policy) still see it.
+    safe = [(n, F.coalesce(c, F.lit(False))) for n, c in rules]
+    bad = reduce(lambda a, b: a | b, (c for _, c in safe))
     reasons = F.concat_ws(
-        ",", F.array_compact(F.array(*[F.when(c, F.lit(n)) for n, c in rules]))
+        ",", F.array_compact(F.array(*[F.when(c, F.lit(n)) for n, c in safe]))
     )
     return (
         df.filter(~bad),

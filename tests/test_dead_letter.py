@@ -239,3 +239,26 @@ def test_extra_rules_compose(spark):
     assert ok.count() == 1
     (row,) = dlq.collect()
     assert row["path"] == "p2" and row["dlq_reasons"] == "content_too_big"
+
+
+def test_null_predicate_extra_rule_cannot_vanish_rows(spark):
+    """A non-null-safe extra rule (its predicate NULLs on some row)
+    breaks the contract — but the split must degrade to "rule doesn't
+    fire", never to silent row loss. Raw NULL in the OR fails BOTH
+    filter(bad) and filter(~bad); pre-fix such rows vanished from both
+    sides."""
+    df = spark.createDataFrame(
+        [("r", "p", 1, "I", 0, "x"), ("r", "p2", 2, "I", 0, None)],
+        "repo string, path string, event_seq long, op string, "
+        "delta_token long, routing string",
+    )
+    ok, dlq = split_quarantine(
+        df, CFG, extra_rules=[
+            # NULL routing ⇒ (NULL == 'a') & TRUE = NULL, not false
+            ("scoped", (F.col("routing") == "a") & F.col("repo").isNotNull()),
+        ],
+    )
+    assert ok.count() + dlq.count() == df.count()
+    # the NULL-predicate row stays on the VALID side (observable
+    # downstream), it is not quarantined with an empty reason
+    assert ok.where(F.col("path") == "p2").count() == 1

@@ -389,3 +389,38 @@ def test_multitable_rejects_pipeline_level_auto_compact(spark, tmpdir_path):
             spark, _targets(spark, tmpdir_path), f"{tmpdir_path}/log",
             f"{tmpdir_path}/ckpt", auto_compact_delta_files=4,
         )
+
+
+def test_multitable_null_route_with_null_keys_not_vanished(spark, tmpdir_path):
+    """A garbage row with a NULL routing value AND null key columns —
+    the common shape of upstream corruption — must be owned by the
+    unrouted policy, with the dead-letter sink configured. Pre-fix the
+    scoped null-key rule evaluated (NULL == table) & TRUE = NULL, which
+    failed BOTH sides of the quarantine split: the row vanished, the
+    'error' policy never fired, and 'ignore' counted nothing."""
+    ev, log = _two_table_log(spark, n_events=1000, n_keys=100)
+    ghosts = (
+        ev.limit(5)
+        .withColumn("table_name", F.lit(None).cast("string"))
+        .withColumn("path", F.lit(None).cast("string"))
+    )
+    log = log.unionByName(ghosts, allowMissingColumns=True)
+    log_dir = f"{tmpdir_path}/log"
+    write_change_log(log, log_dir)
+
+    targets = _targets(spark, tmpdir_path)
+    pipe = MultiTableCdcPipeline(
+        spark, targets, log_dir,
+        checkpoint_dir=f"{tmpdir_path}/ckpt", pipeline_id="mt-nullroute",
+        on_unrouted="ignore",
+        dead_letter_dir=f"{tmpdir_path}/dlq",
+    )
+    pipe.run_available_now(timeout_sec=300)
+    recs = pipe.lineage()
+    assert sum(r.get("unrouted", 0) for r in recs) == 5
+    assert sum(r.get("quarantined", 0) for r in recs) == 0
+    got = (
+        LakeTable(spark, targets["repos"].table.path).read()
+        .orderBy("repo", "path").toPandas().reset_index(drop=True)
+    )
+    assert got.equals(_expected(ev.toPandas()))
