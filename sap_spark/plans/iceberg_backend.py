@@ -553,8 +553,24 @@ class IcebergTable:
         return True
 
     def overwrite(self, df: DataFrame, batch_id: str | None = None) -> None:
-        full = df.select(
-            *df.columns,
+        """Replace the whole table (initial load / backfill). Same
+        exactly-once contract as :meth:`merge_cdc` — a replayed
+        ``batch_id`` that already committed is a no-op (the wap.id
+        snapshot property stamped below is what committed_batches()
+        discovers it by) — and the same evolution gate: a backfill frame
+        carrying a column the stored schema lacks evolves the schema
+        instead of silently dropping the column's data. Mirrors
+        LakeTable.overwrite (lake.py) so the backends cannot drift."""
+        if batch_id is not None and batch_id in self.committed_batches():
+            return
+        self.evolve_schema(
+            T.StructType(
+                [f for f in df.schema.fields if f.name not in INTERNAL_COLS]
+            )
+        )
+        user_cols = [f.name for f in self.schema.fields]
+        full = apply_cast_plan(df, self.schema).select(*user_cols).select(
+            "*",
             F.lit(0).cast("long").alias(SEQ_COL),
             F.lit(False).alias(DELETED_COL),
             bucket_expr(self.key_columns, self.num_buckets).alias(BUCKET_COL),

@@ -244,3 +244,18 @@ def test_compact_is_one_rewrite_call(spark):
     assert stmts == [
         _sql_rewrite_data_files("ice", "cdc.repos", ["repo", "path"])
     ]
+
+
+def test_overwrite_replay_is_statement_free(spark):
+    """Law 2 applies to the backfill path too: a replayed overwrite
+    batch_id (already in the ledger or a live wap.id summary) must not
+    reach the catalog — LakeTable.overwrite no-ops identically, so a
+    restarted backfill driver re-running its epoch burns no snapshot on
+    either backend."""
+    t, fake = _table(spark)
+    t._props[PROP_BATCHES] = json.dumps(["seed"])
+    df = spark.createDataFrame(
+        [("r1", "f1", "body")], "repo string, path string, content string"
+    )
+    t.overwrite(df, batch_id="seed")
+    assert fake.log == []
