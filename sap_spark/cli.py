@@ -412,6 +412,36 @@ def run_status(args, spark=None) -> dict:
     return out
 
 
+def run_doctor(args, spark=None) -> dict:
+    """Read-only integrity audit (plans/doctor.check_table): manifest
+    chain, schema/bucket map, referenced files, stats/bloom soundness,
+    batch-ledger uniqueness, orphan census. The default audit is a
+    driver-side metadata walk (no Spark session, safe next to a live
+    pipeline); ``--deep`` adds the two distributed verification jobs
+    (footer row counts + key-column bucket re-hash)."""
+    from sap_spark.plans.doctor import check_table
+
+    own_session = False
+    if args.deep and spark is None:
+        from pyspark.sql import SparkSession
+
+        from sap_spark.config import tuned_builder
+
+        own_session = SparkSession.getActiveSession() is None
+        spark = tuned_builder(
+            app_name="sap_spark-doctor", master=args.master,
+            shuffle_partitions=args.shuffle_partitions,
+        ).getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+    try:
+        return check_table(
+            args.table, spark=spark, version=args.version, deep=args.deep
+        )
+    finally:
+        if own_session:
+            spark.stop()
+
+
 def run_changes(args, spark=None) -> dict:
     """Change-feed read-out: the net I/U/D rows between two table
     versions (LakeTable.changes_between), counted and optionally
@@ -511,6 +541,22 @@ def main(argv: list[str] | None = None) -> None:
     st.add_argument("--master", default=None)
     st.add_argument("--shuffle-partitions", type=int, default=None)
 
+    dr = sub.add_parser(
+        "doctor",
+        help="read-only integrity audit: manifest chain, bucket map, "
+             "referenced files, stats/bloom soundness, batch ledger "
+             "(driver-side metadata only; --deep adds distributed "
+             "footer + bucket-assignment verification)",
+    )
+    dr.add_argument("--table", required=True)
+    dr.add_argument("--version", type=int, default=None,
+                    help="audit this snapshot (default: current)")
+    dr.add_argument("--deep", action="store_true",
+                    help="also run the two distributed verify jobs "
+                         "(starts a Spark session)")
+    dr.add_argument("--master", default=None)
+    dr.add_argument("--shuffle-partitions", type=int, default=None)
+
     ch = sub.add_parser(
         "changes",
         help="net I/U/D feed between two table versions "
@@ -602,6 +648,13 @@ def main(argv: list[str] | None = None) -> None:
         import json
 
         print(json.dumps(run_changes(args)))
+    elif args.cmd == "doctor":
+        import json
+
+        report = run_doctor(args)
+        print(json.dumps(report))
+        if not report["ok"]:
+            raise SystemExit(1)
     else:
         summary = run_ingest(args)
         import json
