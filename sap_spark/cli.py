@@ -419,10 +419,11 @@ def run_doctor(args, spark=None) -> dict:
     driver-side metadata walk (no Spark session, safe next to a live
     pipeline); ``--deep`` adds the two distributed verification jobs
     (footer row counts + key-column bucket re-hash)."""
-    from sap_spark.plans.doctor import check_table
+    from sap_spark.plans.doctor import check_table, table_fingerprint
 
+    fingerprint = getattr(args, "fingerprint", False)
     own_session = False
-    if args.deep and spark is None:
+    if (args.deep or fingerprint) and spark is None:
         from pyspark.sql import SparkSession
 
         from sap_spark.config import tuned_builder
@@ -434,9 +435,18 @@ def run_doctor(args, spark=None) -> dict:
         ).getOrCreate()
         spark.sparkContext.setLogLevel("WARN")
     try:
-        return check_table(
+        report = check_table(
             args.table, spark=spark, version=args.version, deep=args.deep
         )
+        if fingerprint:
+            cols = getattr(args, "fingerprint_columns", None)
+            report["fingerprint"] = table_fingerprint(
+                spark,
+                args.table,
+                columns=cols.split(",") if cols else None,
+                version=args.version,
+            )
+        return report
     finally:
         if own_session:
             spark.stop()
@@ -554,6 +564,14 @@ def main(argv: list[str] | None = None) -> None:
     dr.add_argument("--deep", action="store_true",
                     help="also run the two distributed verify jobs "
                          "(starts a Spark session)")
+    dr.add_argument("--fingerprint", action="store_true",
+                    help="also compute the orderless live-row fingerprint "
+                         "(one scan, O(1) driver bytes) — equal across "
+                         "layouts/merge modes iff the row multisets agree; "
+                         "the distributed replay-parity check")
+    dr.add_argument("--fingerprint-columns", default=None,
+                    help="comma-separated column subset to fingerprint "
+                         "(default: full public schema)")
     dr.add_argument("--master", default=None)
     dr.add_argument("--shuffle-partitions", type=int, default=None)
 

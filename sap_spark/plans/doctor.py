@@ -368,6 +368,75 @@ def check_table(
     }
 
 
+def table_fingerprint(
+    spark,
+    path_or_table,
+    columns: "list[str] | None" = None,
+    version: "int | None" = None,
+) -> dict:
+    """Orderless, layout-independent fingerprint of a table's LIVE rows —
+    the distributed form of the north-star parity check ("final table
+    state matches row-for-row under the content-sha256 invariant",
+    BASELINE.json metric) that works at 10^10 rows: one column-pruned
+    scan, O(1) bytes back to the driver, no collect, no sort.
+
+    Two tables fingerprint equal iff their live-row multisets agree on
+    ``columns`` (default: the full public schema) — regardless of bucket
+    count, merge mode (COW vs MOR), compaction state, file layout, or row
+    order. Construction: each row is canonicalized to JSON with fields in
+    sorted column order (`to_json` — deterministic escaping; null fields
+    are omitted, which is canonical within one schema), sha256-hashed,
+    and two independent 64-bit halves of the digest are SUMMED as
+    decimal(38,0) (sum is commutative ⇒ order-free, and unlike XOR it is
+    duplicate-sensitive). The fingerprint is the sha256 of
+    ``rows:sum1:sum2``, so a single changed/missing/extra row flips it.
+
+    Uses: replay parity between an engine table and an independently
+    built reference table; N vs 4N scale-out runs producing identical
+    state; pre/post rebucket-compact-expire invariance.
+    """
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from sap_spark.plans.lake import LakeTable
+
+    table = (
+        path_or_table
+        if isinstance(path_or_table, LakeTable)
+        else LakeTable(spark, path_or_table, version=version)
+    )
+    cols = columns or table.schema.fieldNames()
+    unknown = [c for c in cols if c not in table.schema.fieldNames()]
+    if unknown:
+        raise ValueError(f"fingerprint columns not in schema: {unknown}")
+    digest = F.sha2(
+        F.to_json(F.struct(*[F.col(c) for c in sorted(cols)])), 256
+    )
+    # two independent 60-bit halves of the digest, summed exactly:
+    # 10^10 rows * 2^60 ≈ 10^28 fits decimal(38,0) with headroom
+    half = lambda off: F.conv(F.substring(digest, off, 15), 16, 10).cast(  # noqa: E731
+        "decimal(38,0)"
+    )
+    agg = (
+        table.read()
+        .select(half(1).alias("h1"), half(20).alias("h2"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("h1").alias("s1"),
+            F.sum("h2").alias("s2"),
+        )
+        .collect()[0]
+    )
+    material = f"{agg['rows']}:{agg['s1']}:{agg['s2']}"
+    return {
+        "version": table.version,
+        "rows": agg["rows"],
+        "columns": sorted(cols),
+        "fingerprint": hashlib.sha256(material.encode()).hexdigest(),
+    }
+
+
 def _deep_checks(spark, table, entries_all, scanned) -> list[dict]:
     """Two distributed verification jobs over the current snapshot.
 

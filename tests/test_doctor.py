@@ -132,11 +132,17 @@ def test_missing_bloom_sidecar_is_a_warning_not_failure(spark, tmpdir_path):
     table = _built_table(
         spark, tmpdir_path, bloom_columns=["commit"], stats_columns=["commit"]
     )
-    sidecars = glob.glob(
-        os.path.join(table.path, "data", "*", "__bucket=*", "*.parquet.bloom")
-    )
-    assert sidecars, "expected bloom sidecars on a bloom-opted table"
-    os.remove(sidecars[0])
+    # the audit covers the CURRENT snapshot: remove a sidecar the current
+    # manifest actually references (the glob would also see prior
+    # versions' sidecars, which the audit rightly ignores)
+    current = [
+        e["path"] + ".bloom"
+        for es in table.manifest["buckets"].values()
+        for e in es
+        if e.get("bloom_ref")
+    ]
+    assert current, "expected bloom sidecars on a bloom-opted table"
+    os.remove(current[0])
     report = check_table(table.path)
     assert report["ok"]  # skipping degrades; data is intact
     bloom = _by_name(report)["bloom_layers"]
@@ -179,3 +185,90 @@ def test_cli_doctor_exits_nonzero_on_broken_table(spark, tmpdir_path, capsys):
     os.remove(victim)
     with pytest.raises(SystemExit):
         main(["doctor", "--table", table.path])
+
+
+def test_fingerprint_layout_independent_and_row_sensitive(spark, tmpdir_path):
+    """The north-star parity check, distributed: equal row multisets ⇒
+    equal fingerprints across bucket counts, merge modes, and
+    compaction; one changed row flips it."""
+    from sap_spark.plans.doctor import table_fingerprint
+
+    events = gen_change_events(
+        spark, n_events=1200, n_keys=150, events_per_token=400
+    ).cache()
+    tables = {}
+    for name, kwargs in (
+        ("a", dict(num_buckets=4, merge_mode="cow")),
+        ("b", dict(num_buckets=7, merge_mode="mor")),
+    ):
+        t = LakeTable.create(
+            spark,
+            f"{tmpdir_path}/{name}",
+            TARGET_SCHEMA,
+            key_columns=["repo", "path"],
+            **kwargs,
+        )
+        for tok in sorted(
+            r[0] for r in events.select("delta_token").distinct().collect()
+        ):
+            ingest_batch(
+                events.where(F.col("delta_token") == tok),
+                t, CFG, batch_id=f"b-{tok}",
+            )
+        tables[name] = t
+
+    fp_a = table_fingerprint(spark, tables["a"].path)
+    fp_b = table_fingerprint(spark, tables["b"].path)
+    assert fp_a["rows"] == fp_b["rows"] > 0
+    assert fp_a["fingerprint"] == fp_b["fingerprint"]
+
+    # physical maintenance must not move it: fold MOR deltas + expire
+    b = LakeTable(spark, tables["b"].path)
+    b.compact()
+    b.expire_snapshots(keep_last=1)
+    assert (
+        table_fingerprint(spark, tables["b"].path)["fingerprint"]
+        == fp_b["fingerprint"]
+    )
+
+    # one deleted row flips it
+    victim = tables["a"].read().select("repo", "path").limit(1).collect()[0]
+    delete = spark.createDataFrame(
+        [
+            (
+                "D9999999", 10**9, "D", False, None,
+                victim["repo"], victim["path"], None, None, None,
+            )
+        ],
+        "delta_token string, event_seq long, op string, rocancel boolean, "
+        "cancel_seq long, repo string, path string, commit string, "
+        "lang string, content string",
+    )
+    a = LakeTable(spark, tables["a"].path)
+    ingest_batch(delete, a, CFG, batch_id="del-1")
+    fp_a2 = table_fingerprint(spark, a.path)
+    assert fp_a2["rows"] == fp_a["rows"] - 1
+    assert fp_a2["fingerprint"] != fp_a["fingerprint"]
+
+    # column-subset fingerprints: key-only prints still agree between the
+    # (now diverged) tables only on the shared keys — and an unknown
+    # column fails loudly
+    with pytest.raises(ValueError, match="not in schema"):
+        table_fingerprint(spark, a.path, columns=["nope"])
+
+
+def test_cli_doctor_fingerprint_flag(spark, tmpdir_path, capsys):
+    from sap_spark.cli import main
+
+    table = _built_table(spark, tmpdir_path)
+    main(
+        [
+            "doctor", "--table", table.path,
+            "--fingerprint", "--fingerprint-columns", "repo,path,content",
+        ]
+    )
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["ok"]
+    fp = report["fingerprint"]
+    assert fp["columns"] == ["content", "path", "repo"]
+    assert fp["rows"] > 0 and len(fp["fingerprint"]) == 64
