@@ -159,11 +159,21 @@ def bench_cdc_replay(spark, cores: int, n_events: int, log_path: str | None = No
         window_end_ms = time.time() * 1000
         final_rows = LakeTable(spark, table.path).read().count()
         assert final_rows > 0
+        # orderless state fingerprint (untimed): every run over the same
+        # log must land the IDENTICAL final table, whatever the core
+        # count — run_scaling asserts the N and 4N prints agree, making
+        # the efficiency pair a correctness pair too (north_rule:
+        # "matching final table state" at two cluster sizes)
+        from sap_spark.plans.doctor import table_fingerprint
+
+        fp = table_fingerprint(spark, table.path)
+        assert fp["rows"] == final_rows
         return {
             "sec": round(elapsed, 3),
             "events": n_rows,
             "events_per_sec": round(n_rows / elapsed, 1),
             "final_rows": final_rows,
+            "state_fingerprint": fp["fingerprint"],
             # exact wall window of the replay (epoch ms) — the task-time
             # accounting filter, so utilization evidence counts replay
             # tasks only (not warmup / row-count scans / later queries)
@@ -289,6 +299,7 @@ def run_bench(
         "cdc_events": cdc["events"],
         "cdc_events_per_sec": cdc["events_per_sec"],
         "cdc_final_rows": cdc["final_rows"],
+        "cdc_state_fingerprint": cdc.get("state_fingerprint"),
         "cdc_task_run_sec": cdc.get("task_run_sec"),
         "cdc_core_busy_fraction": cdc.get("core_busy_fraction"),
         "cdc_replay_samples": [r["sec"] for r in replay_reps],
@@ -381,10 +392,20 @@ def run_scaling(
     all_tp = {
         c: [r["cdc_events_per_sec"] for r in rs] for c, rs in samples.items()
     }
+    # north_rule pairs the efficiency criterion with "matching final table
+    # state": every run at EITHER core count must land the identical
+    # orderless state fingerprint on this byte-identical log
+    prints = {
+        r.get("cdc_state_fingerprint") for rs in samples.values() for r in rs
+    }
+    assert len(prints) == 1 and None not in prints, (
+        f"final table state diverged across scaling runs: {prints}"
+    )
     eff = (r_hi["cdc_events_per_sec"] / r_lo["cdc_events_per_sec"]) / (n_hi / n_lo)
     report = {
         "n_events": n_events,
         "pair": list(pair),
+        "state_fingerprint_all_runs": prints.pop(),
         "throughput_n": r_lo["cdc_events_per_sec"],
         "throughput_4n": r_hi["cdc_events_per_sec"],
         "replay_sec_n": r_lo["queries"]["cdc_replay"],
