@@ -320,8 +320,12 @@ def check_table(
     # -- 8. committed-batch ledger: ids unique (a duplicate would mean two
     #       DISTINCT commits claimed the same (pipeline, epoch) — the
     #       exactly-once marker can no longer be trusted) ----------------
+    from collections import Counter
+
     commits = table.manifest.get("commits", [])
-    dupes = sorted({c for c in commits if commits.count(c) > 1})
+    # Counter, not commits.count-per-element: the ledger grows one marker
+    # per epoch, and the audit must stay O(markers) at 10^5+ epochs
+    dupes = sorted(c for c, n in Counter(commits).items() if n > 1)
     checks.append(
         _check("batch_ledger", "error", dupes, f"{len(commits)} batch markers")
     )
