@@ -65,7 +65,11 @@ from sap_spark.plans.stats import (
     parse_conjuncts,
     split_conjuncts_by_keys,
 )
-from sap_spark.schema.compat import apply_cast_plan, plan_evolution
+from sap_spark.schema.compat import (
+    SchemaCompatError,
+    apply_cast_plan,
+    plan_evolution,
+)
 
 # Internal columns (never exposed by read()).
 SEQ_COL = "_event_seq"
@@ -471,6 +475,23 @@ class LakeTable:
             [f for f in incoming.fields if f.name not in INTERNAL_COLS]
         )
         plan = plan_evolution(self.schema, incoming_user)
+        # KEY columns can never change dtype: xxhash64 is dtype-sensitive
+        # (an int and the equal long hash differently), so widening a key
+        # would silently invalidate every existing file's bucket placement
+        # — merges would look in the wrong buckets, point-lookup pruning
+        # would return empty for existing keys, and compaction would file
+        # rows under new-hash buckets while the manifest still references
+        # the old layout. Narrower incoming keys are fine (cast up before
+        # hashing, see _conformed_bucket_expr); a genuinely wider key
+        # domain needs a new table + backfill, not in-place evolution.
+        widened_keys = [c for c, _ in plan.widen_columns if c in self.key_columns]
+        if widened_keys:
+            raise SchemaCompatError(
+                f"cannot widen key column(s) {widened_keys}: the hash-bucket "
+                "layout is a function of the key dtype, so widening would "
+                "orphan every existing file's placement. Create a new table "
+                "with the wider key and backfill instead."
+            )
         if plan.is_noop:
             return False
         new_schema = plan.apply_to(self.schema)
@@ -857,6 +878,19 @@ class LakeTable:
             manifest["commits"].append(batch_id)
         self._commit(manifest)
 
+    def _conformed_bucket_expr(self, frame: DataFrame) -> F.Column:
+        """Bucket id over key columns CAST to the table's key dtypes.
+
+        xxhash64 is dtype-sensitive (an int and the equal long hash
+        differently), and merge_cdc hashes AFTER apply_cast_plan conforms
+        the batch to the table schema — so any discovery pass over a feed
+        frame must conform key dtypes the same way, or a narrower (but
+        castable) feed key dtype computes a different bucket set than the
+        merge write and every merge raises the stray-bucket guard."""
+        dtypes = {f.name: f.dataType for f in self.schema.fields}
+        cast = [F.col(k).cast(dtypes[k]) for k in self.key_columns]
+        return F.pmod(F.xxhash64(*cast), F.lit(self.num_buckets)).cast("int")
+
     def affected_buckets(self, events: DataFrame) -> list[int]:
         """Bucket ids touched by a batch of (raw or folded) change events.
 
@@ -866,7 +900,7 @@ class LakeTable:
         to prune the MERGE to touched buckets without materializing the
         folded batch twice.
         """
-        b = bucket_expr(self.key_columns, self.num_buckets)
+        b = self._conformed_bucket_expr(events)
         return sorted(
             r["__bucket"]
             for r in events.select(b.alias("__bucket")).distinct().collect()
@@ -885,7 +919,7 @@ class LakeTable:
         BOTH the exact merge-pruning set and the per-partition lineage
         offsets the pipeline records per epoch (north_rule). When
         ``seq_column`` is absent from the batch, ``max_seq`` is None."""
-        b = bucket_expr(self.key_columns, self.num_buckets)
+        b = self._conformed_bucket_expr(events)
         aggs = [F.count(F.lit(1)).alias("__n_rows")]
         with_seq = seq_column is not None and seq_column in events.columns
         if with_seq:
@@ -963,6 +997,13 @@ class LakeTable:
                 ),
             )
             .withColumn("__bucket", bucket_expr(keys, self.num_buckets))
+            # a null op expresses no change — keeping the row would
+            # materialize a live all-null row through the NOT-MATCHED leg
+            # of the full-outer merge below (keys from the source side,
+            # payload/seq all null, _deleted coalesced to false) and a
+            # null-_deleted delta in MOR. Malformed envelopes belong in
+            # the DLQ (streaming/quality.py); here they are inert.
+            .where(F.col(op_column).isNotNull())
         )
         # Bucket pruning: which buckets does this batch touch? When the
         # caller already knows (a cheap key-pruned scan of the raw events,
@@ -1307,11 +1348,11 @@ class LakeTable:
         # restrict the candidate universe FIRST so a selective compaction
         # never pays the tombstone key/flag scan over buckets outside the
         # requested subset (O(subset), not O(table))
-        if zorder:
-            known = {f.name for f in self.schema.fields} | set(INTERNAL_COLS)
-            unknown = [c for c in zorder if c not in known]
-            if unknown:
-                raise ValueError(f"zorder columns not in schema: {unknown}")
+        _check_layout_columns(
+            {f.name for f in self.schema.fields} | set(INTERNAL_COLS),
+            "zorder columns",
+            zorder,
+        )
         universe = {int(b) for b in self.manifest["buckets"]}
         if buckets is not None:
             universe &= set(buckets)
@@ -1401,11 +1442,11 @@ class LakeTable:
                 f"table already has {old} buckets — rebucket is a full "
                 "rewrite, a same-count call is almost certainly a bug"
             )
-        if zorder:
-            known = {f.name for f in self.schema.fields} | set(INTERNAL_COLS)
-            unknown = [c for c in zorder if c not in known]
-            if unknown:
-                raise ValueError(f"zorder columns not in schema: {unknown}")
+        _check_layout_columns(
+            {f.name for f in self.schema.fields} | set(INTERNAL_COLS),
+            "zorder columns",
+            zorder,
+        )
         live = self.read_internal()  # MOR-folded, tombstones + seq kept
         prepared = live.withColumn(
             "__bucket", bucket_expr(self.key_columns, new_num_buckets)
@@ -1436,11 +1477,25 @@ class LakeTable:
         indistinguishable from orphans; a maintenance job running next
         to a live pipeline must pass a grace comfortably above the
         longest write (orphans from dead writers age into the next
-        expiry). The default 0 is for exclusive maintenance windows."""
+        expiry). The default 0 is for exclusive maintenance windows.
+
+        The keep walk starts from the LATEST manifest on disk, not this
+        handle's pinned version — a handle loaded before a live
+        pipeline's commits (or pinned by time travel) must never expire
+        versions NEWER than itself, which would silently roll the table
+        back and orphan the newer versions' data files. The handle's own
+        pinned version is always retained too (the chain is kept
+        contiguous from latest down to it), and manifests newer than the
+        entry-time latest — concurrent commits landing mid-expiry — are
+        never touched."""
+        latest = self._current_version()
+        pinned = self.version
         keep_versions: list[int] = []
-        v: int | None = self.version
-        while v is not None and len(keep_versions) < keep_last:
+        v: int | None = latest
+        while v is not None:
             keep_versions.append(v)
+            if len(keep_versions) >= keep_last and v <= pinned:
+                break
             v = self._load_manifest(v)["parent"]
         # every file referenced by a retained manifest survives. Manifest
         # paths carry whatever spelling the table was created/merged
@@ -1506,7 +1561,10 @@ class LakeTable:
                 ver = int(os.path.basename(mf)[1:-5])
             except ValueError:
                 continue
-            if ver not in keep_versions:
+            # ver > latest: a writer committed AFTER our entry-time scan —
+            # that snapshot (and its files, grace-aged) is someone else's
+            # live state, never expiry's to remove
+            if ver not in keep_versions and ver <= latest:
                 os.remove(mf)
         removed = 0
         now = time.time()

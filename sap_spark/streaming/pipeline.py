@@ -109,6 +109,17 @@ def ingest_batch(
         lww_winners,
     )
 
+    # Replay fast path: a crash between the table commit and the
+    # checkpoint commit replays the epoch with the same batch_id —
+    # merge_cdc would no-op on its batch marker anyway, but only AFTER
+    # this function ran the persist/winner-scan/hot-probe/discovery jobs
+    # over the whole batch. One driver-side set lookup makes the replay
+    # near-free; last_merge_metrics mirrors merge_cdc's replay contract
+    # (reset so lineage never reports the previous merge's timings).
+    if batch_id in table.committed_batches():
+        table.last_merge_metrics = None
+        return False
+
     chosen = strategy
     hot = None
     winners_full = cancelled = None
@@ -594,7 +605,20 @@ class CdcPipeline:
             by_dir.setdefault(os.path.dirname(f), set()).add(f)
         complete: list[str] = []
         deferred: list[str] = []
+        log_root = self._local_path(self.log_path)
+        root_key = os.path.normpath(log_root) if log_root else None
         for tok_dir, fs in by_dir.items():
+            if root_key is not None and os.path.normpath(tok_dir) == root_key:
+                # FLAT layout: files sit directly in the log root, so
+                # there is no token directory to check completeness
+                # against — and treating the ever-growing root as one
+                # giant token would defer every epoch forever (zero
+                # progress on an appended log) or force a static backlog
+                # into a single unbounded final epoch. A flat log is one
+                # delivery unit per file; multi-file delta tokens require
+                # the delta_token=<tok>/ directory layout.
+                complete.extend(sorted(fs))
+                continue
             on_disk = {
                 os.path.join(tok_dir, fn)
                 for fn in os.listdir(tok_dir)
