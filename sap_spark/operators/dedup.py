@@ -135,8 +135,24 @@ def drop_cancelled(
     ever produced oversized cancel sets, drop the hint and AQE falls back.
     """
     rc, seq = cfg.rocancel_column, cfg.order_column
+    # op=NULL expresses no change (merge_cdc drops such rows before the
+    # MERGE). It must be inert at the FOLD too: a null-op event that wins
+    # LWW would otherwise erase the key's earlier valid state in a batch
+    # replay, while the incremental path — the same events split across
+    # epochs — would keep it, and the two north-star paths would diverge
+    # on lax foreign logs. Filtering SURVIVORS here lets the latest
+    # *valid* event win in every strategy. The filter deliberately sits
+    # AFTER the cancelled-seq derivation: a rocancel row is never applied
+    # regardless of its own op, but its cancel_seq must still erase its
+    # target even if a lax log left the rocancel row's op null. With a
+    # DLQ configured the quarantine removes all of these pre-fold.
+    def _live_ops(df: DataFrame) -> DataFrame:
+        if cfg.op_column in df.columns:
+            return df.where(F.col(cfg.op_column).isNotNull())
+        return df
+
     if rc not in events.columns:
-        return events
+        return _live_ops(events)
     if cancelled is None:
         cancelled = cancelled_seqs(events, cfg)
     # coalesce: a NULL rocancel flag means NOT-a-cancel here, instead of
@@ -145,7 +161,7 @@ def drop_cancelled(
     # quarantines NULL flags before the fold when a DLQ is configured
     # (streaming/quality.violation_rules); this keeps the batch entry
     # points (fold_changes/replay) loss-free on lax foreign logs too.
-    return events.where(~F.coalesce(F.col(rc), F.lit(False))).join(
+    return _live_ops(events.where(~F.coalesce(F.col(rc), F.lit(False)))).join(
         F.broadcast(cancelled), on=seq, how="left_anti"
     )
 

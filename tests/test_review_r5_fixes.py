@@ -174,6 +174,42 @@ def test_null_op_event_creates_no_ghost_row(spark, tmpdir_path, merge_mode):
     assert [(r["id"], r["v"]) for r in got] == [(1, "a"), (2, "b")]
 
 
+# -- null-op is inert at the FOLD too (batch replay ≡ incremental) ----------
+
+
+@pytest.mark.parametrize("strategy", ["fetch", "agg", "window", "window_salted"])
+def test_null_op_inert_in_fold(spark, tmpdir_path, strategy):
+    """A null-op event that would win LWW must not erase the key's earlier
+    valid state: batch replay (fold the whole log) and the incremental path
+    (the same events split across epochs, where merge_cdc drops null-op
+    rows) have to agree. Before the fix every strategy let the null-op win
+    and the key vanished from the one-shot replay."""
+    from sap_spark.operators.dedup import replay
+
+    full = T.StructType(
+        list(INT_KEY_SCHEMA.fields)
+        + [
+            T.StructField("op", T.StringType(), True),
+            T.StructField("event_seq", T.LongType(), True),
+            T.StructField("delta_token", T.StringType(), True),
+        ]
+    )
+    events = spark.createDataFrame(
+        [
+            (1, "a", "I", 10, "t0"),
+            (1, None, None, 11, "t0"),  # malformed, later — must be inert
+            (2, None, None, 12, "t0"),  # null-op only: key never exists
+        ],
+        full,
+    )
+    cfg = EngineConfig(
+        key_columns=("id",),
+        payload_columns=("v",),
+    ).validate()
+    got = replay(events, cfg, strategy=strategy).orderBy("id").collect()
+    assert [(r["id"], r["v"]) for r in got] == [(1, "a")]
+
+
 # -- expire_snapshots never destroys versions newer than the handle ---------
 
 
