@@ -907,7 +907,10 @@ class LakeTable:
         )
 
     def affected_bucket_offsets(
-        self, events: DataFrame, seq_column: "str | None" = None
+        self,
+        events: DataFrame,
+        seq_column: "str | None" = None,
+        count_column: "str | None" = None,
     ) -> "dict[int, dict]":
         """Bucket ids touched by a batch, each with its high-water offset:
         ``{bucket: {"max_seq": <max seq_column>, "n_rows": <count>}}``.
@@ -918,20 +921,36 @@ class LakeTable:
         row count in the same HashAggregate buffer, so one pass yields
         BOTH the exact merge-pruning set and the per-partition lineage
         offsets the pipeline records per epoch (north_rule). When
-        ``seq_column`` is absent from the batch, ``max_seq`` is None."""
+        ``seq_column`` is absent from the batch, ``max_seq`` is None.
+
+        ``count_column`` (a per-key event count riding ``events``, e.g.
+        lww_winners' ``__n_events``) adds ``max_key_events`` per bucket —
+        one more long in the same agg buffer. The global max over buckets
+        IS the batch's hottest-key count (max over keys distributes over
+        any key partition), which lets the pipeline's auto-skew probe
+        fuse into this discovery pass instead of running its own job;
+        per-bucket it doubles as skew observability in lineage."""
         b = self._conformed_bucket_expr(events)
         aggs = [F.count(F.lit(1)).alias("__n_rows")]
         with_seq = seq_column is not None and seq_column in events.columns
+        with_cnt = count_column is not None and count_column in events.columns
         if with_seq:
             aggs.append(F.max(F.col(seq_column)).alias("__max_seq"))
+        if with_cnt:
+            aggs.append(F.max(F.col(count_column)).alias("__max_cnt"))
         cols = [b.alias("__bucket")]
         if with_seq:
             cols.append(F.col(seq_column))
+        if with_cnt:
+            cols.append(F.col(count_column))
         rows = events.select(*cols).groupBy("__bucket").agg(*aggs).collect()
         return {
             r["__bucket"]: {
                 "max_seq": r["__max_seq"] if with_seq else None,
                 "n_rows": r["__n_rows"],
+                **(
+                    {"max_key_events": r["__max_cnt"]} if with_cnt else {}
+                ),
             }
             for r in rows
         }

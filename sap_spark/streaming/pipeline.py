@@ -26,7 +26,10 @@ throughput metrics"): each epoch appends a JSON line to
 timing (via ``DataFrame.observe`` during the merge job itself — no second
 pass over the batch), and ``bucket_offsets`` — the per-partition high-water
 offsets {bucket: {max_seq, n_rows}}, computed inside the same bucket-keyed
-agg that discovers the merge's affected buckets. ``bucket_high_water()``
+agg that discovers the merge's affected buckets (under the default auto
+strategy each bucket also carries ``max_key_events``, the bucket's
+hottest-key surviving-event count: the skew probe fuses into this agg, so
+probe + discovery are ONE job per epoch). ``bucket_high_water()``
 folds them across epochs for per-partition resume verification.
 """
 
@@ -139,15 +142,45 @@ def ingest_batch(
                 events, cfg, cancelled=cancelled, with_counts=(strategy == "auto")
             ).persist()
             winners = winners_full
+            fused = None
             if strategy == "auto":
                 winners = winners_full.select(*cfg.key_columns, cfg.order_column)
-                hot = winners_full.agg(F.max("__n_events")).collect()[0][0] or 0
+                # Fuse the hot-key probe into the bucket-discovery agg when
+                # the backend supports it: max(per-key count) rides the
+                # same per-bucket HashAggregate buffer, and max over
+                # buckets == max over keys — one job per epoch instead of
+                # two over the persisted winner set (per-epoch fixed
+                # driver costs are the bench-scale utilization ceiling,
+                # BENCH/UTILIZATION_r4.md). Lineage gains a per-bucket
+                # max_key_events column as free skew observability.
+                get_offsets = getattr(table, "affected_bucket_offsets", None)
+                if get_offsets is not None:
+                    import inspect
+
+                    if "count_column" in inspect.signature(get_offsets).parameters:
+                        fused = get_offsets(
+                            winners_full.select(
+                                *cfg.key_columns, cfg.order_column, "__n_events"
+                            ),
+                            seq_column=cfg.order_column,
+                            count_column="__n_events",
+                        )
+                if fused is not None:
+                    hot = max(
+                        (o.get("max_key_events") or 0 for o in fused.values()),
+                        default=0,
+                    )
+                else:  # backend without fused discovery: separate tiny job
+                    hot = winners_full.agg(F.max("__n_events")).collect()[0][0] or 0
                 chosen = (
                     "window_salted" if hot >= cfg.hot_key_threshold else "fetch"
                 )
-            affected, bucket_offsets = _discover_buckets(
-                table, winners, cfg, exact=True
-            )
+            if fused is not None:
+                affected, bucket_offsets = sorted(fused), fused
+            else:
+                affected, bucket_offsets = _discover_buckets(
+                    table, winners, cfg, exact=True
+                )
             if chosen == "fetch":
                 folded = fetch_winner_payloads(
                     events, winners, cfg, cancelled=cancelled
