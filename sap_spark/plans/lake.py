@@ -170,7 +170,40 @@ class LakeTable:
 
     def _load_manifest(self, version: int) -> dict:
         with open(self._manifest_path(version)) as f:
-            return self._scrub_nonfinite_stats(json.load(f))
+            return self._reroot_entry_paths(
+                self._scrub_nonfinite_stats(json.load(f))
+            )
+
+    def _reroot_entry_paths(self, manifest: dict) -> dict:
+        """Rewrite data-file entry paths onto THIS handle's table root.
+
+        Entries record the root spelling the writing handle used, and
+        every data file lives at the fixed layout
+        ``<root>/data/<commit-uuid>/__bucket=N/<file>.parquet`` (one
+        writer path, ``_write_bucket_files``). A restored backup, a
+        renamed directory, or simply a different spelling of the same
+        root (relative vs absolute) would otherwise make every read,
+        compaction payload sum and expiry walk chase files at the OLD
+        location — re-rooting at load time makes table directories
+        relocatable, Iceberg's LocationProvider-relative-path property.
+        O(entries) string work, no filesystem probes; idempotent (the
+        next commit persists the healed spelling); entries outside the
+        canonical layout are left untouched (there are none today —
+        conservative guard only). Bloom sidecars relocate for free:
+        their path is derived as ``<data file>.bloom`` after re-rooting.
+        """
+        root = self.path.rstrip("/")
+        for entries in (manifest.get("buckets") or {}).values():
+            for e in entries:
+                p = e.get("path")
+                if not p:
+                    continue
+                tail = p.replace("\\", "/").rstrip("/").split("/")[-4:]
+                if len(tail) == 4 and tail[0] == "data":
+                    expected = root + "/" + "/".join(tail)
+                    if p != expected:
+                        e["path"] = expected
+        return manifest
 
     @staticmethod
     def _scrub_nonfinite_stats(manifest: dict) -> dict:
