@@ -10,7 +10,11 @@ Rules:
 - a rocancel event is never applied; it erases the effect of the event
   whose event_seq == its cancel_seq (as if that event never happened);
   cancelling a rocancel event is a no-op;
-- op I/U upsert the key's payload; D deletes the key.
+- op I/U upsert the key's payload; D deletes the key;
+- a NULL op expresses no change (malformed envelope on a lax log): the
+  event is inert — the engine pins the same semantics in the fold
+  (drop_cancelled) and the merge (merge_cdc), so batch replay and the
+  epoch-split incremental path agree.
 """
 
 from __future__ import annotations
@@ -34,6 +38,8 @@ def sequential_fold(events: pd.DataFrame) -> dict[tuple[str, str], dict]:
     for row in df.itertuples(index=False):
         if row.rocancel or row.event_seq in cancelled:
             continue
+        if not isinstance(row.op, str):
+            continue  # null op: inert (see module docstring)
         key = (row.repo, row.path)
         if row.op == "D":
             state.pop(key, None)

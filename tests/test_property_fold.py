@@ -41,7 +41,12 @@ def event_logs(draw) -> pd.DataFrame:
     for seq in range(n_events):
         tok = seq // token_size
         key = draw(st.integers(0, n_keys - 1))
-        op = draw(st.sampled_from(["I", "U", "D"]))
+        # None = malformed null-op envelope (lax foreign log): must be
+        # inert in every strategy and in the incremental merge path —
+        # the oracle skips it (tests/oracle.py)
+        op = draw(
+            st.sampled_from(["I", "I", "U", "U", "D", "D", None])
+        )
         prior_same_token = [
             r for r in rows
             if r["_tok"] == tok and not r["rocancel"]
