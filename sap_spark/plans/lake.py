@@ -1008,6 +1008,14 @@ class LakeTable:
         Returns False (no-op) if batch_id was already committed — the
         exactly-once guarantee under foreachBatch retries.
 
+        Concurrency: losing the commit race to a COMPATIBLE concurrent
+        writer (disjoint COW buckets; any MOR merge — appends compose)
+        rebases automatically as a metadata-only retry, no Spark re-run
+        (see :meth:`_commit_merge`). A conflicting race — same-bucket
+        COW write, rebucket, diverged schema history — raises
+        :class:`ConcurrentCommitError`; reload the table and call again
+        to recompute against the new head.
+
         Scale: only buckets containing changed keys are read and rewritten;
         the join inside a bucket set is keys-vs-keys with AQE free to
         broadcast the (small) change side.
@@ -1103,16 +1111,13 @@ class LakeTable:
                     persisted.unpersist()
             phases["merge_write_sec"] = round(time.monotonic() - t_phase, 4)
             t_phase = time.monotonic()
-            manifest = json.loads(json.dumps(self.manifest))
-            for b, entries in new_files.items():
+            for entries in new_files.values():
                 for e in entries:
                     e["kind"] = "delta"
-                manifest["buckets"].setdefault(b, []).extend(entries)
-            manifest["commits"].append(batch_id)
-            self._commit(manifest)
+            committed = self._commit_merge(new_files, batch_id, mor=True)
             phases["commit_sec"] = round(time.monotonic() - t_phase, 4)
             phases["n_affected_buckets"] = len(affected)
-            return True
+            return committed
 
         target = self.read_internal(buckets=affected).withColumn(
             "__bucket", bucket_expr(keys, self.num_buckets)
@@ -1171,16 +1176,115 @@ class LakeTable:
             )
         phases["merge_write_sec"] = round(time.monotonic() - t_phase, 4)
         t_phase = time.monotonic()
-        manifest = json.loads(json.dumps(self.manifest))
-        for b in affected:
-            manifest["buckets"].pop(str(b), None)
-        for b, entries in new_files.items():
-            manifest["buckets"][b] = entries
-        manifest["commits"].append(batch_id)
-        self._commit(manifest)
+        committed = self._commit_merge(
+            new_files, batch_id, mor=False, replaced_buckets=affected
+        )
         phases["commit_sec"] = round(time.monotonic() - t_phase, 4)
         phases["n_affected_buckets"] = len(affected)
-        return True
+        return committed
+
+    _MAX_COMMIT_REBASES = 10  # runaway backstop, not a tuning knob
+
+    def _commit_merge(
+        self,
+        new_files: "dict[str, list[dict]]",
+        batch_id: str,
+        mor: bool,
+        replaced_buckets: "list[int] | None" = None,
+    ) -> bool:
+        """Commit a merge's bucket entries, with optimistic rebase-retry
+        on concurrent commits (the Iceberg/Delta commit-conflict loop).
+
+        The merge's data files were computed from the BASE content of
+        only the buckets it touches, so losing the commit race needs no
+        Spark re-run when the winner's commits are compatible — the
+        already-written files re-commit onto the new head as a pure
+        METADATA retry. Compatibility, checked structurally against the
+        latest manifest (no op-log inspection, so any future commit
+        kind is handled by construction):
+
+        - ``num_buckets`` unchanged (a concurrent rebucket re-routes
+          every key: our files' placement would be wrong);
+        - the schemas list only APPENDED (our entries' ``schema_id``
+          must keep indexing the schema they were written under);
+        - COW: every replaced bucket's entry list is IDENTICAL to the
+          base's — our rewrite consumed that exact content, so anything
+          else (a concurrent merge/compact of the same bucket) means
+          the rewrite is stale and the conflict is real;
+        - MOR: the base entries of every bucket we append to are a
+          PREFIX of the latest's — concurrent merges appending deltas
+          to the same bucket compose (the read-time fold orders by
+          event_seq, and seqs are globally unique), while a rewrite
+          (compact/overwrite) of the bucket breaks the prefix and
+          raises. (Tombstone-purging compaction is a documented
+          low-watermark-barrier, stop-ingest-first op — the guard here
+          rejects the race anyway.)
+
+        A conflicting race re-raises :class:`ConcurrentCommitError`
+        (the caller's recompute-after-reload contract is unchanged). A
+        racer that already committed THIS ``batch_id`` (a crash-retried
+        epoch racing its own successor) adopts the winner's state and
+        returns False — the exactly-once no-op; this merge's files are
+        unreferenced debris expire_snapshots sweeps."""
+        base_schemas = list(self.manifest.get("schemas", []))
+        base_num_buckets = self.num_buckets
+        touched = (
+            [str(b) for b in replaced_buckets]
+            if replaced_buckets is not None
+            else sorted(new_files)
+        )
+        base_buckets = {
+            b: list(self.manifest["buckets"].get(b, [])) for b in touched
+        }
+        for attempt in range(self._MAX_COMMIT_REBASES):
+            manifest = json.loads(json.dumps(self.manifest))
+            if mor:
+                for b, entries in new_files.items():
+                    manifest["buckets"].setdefault(b, []).extend(entries)
+            else:
+                for b in touched:
+                    manifest["buckets"].pop(b, None)
+                for b, entries in new_files.items():
+                    manifest["buckets"][b] = entries
+            manifest["commits"].append(batch_id)
+            try:
+                self._commit(manifest)
+                return True
+            except ConcurrentCommitError:
+                if attempt == self._MAX_COMMIT_REBASES - 1:
+                    raise
+                latest_version = self._current_version()
+                latest = self._load_manifest(latest_version)
+                if batch_id in latest["commits"]:
+                    self.version, self.manifest = latest_version, latest
+                    self.last_merge_metrics = None
+                    return False
+                if int(latest["num_buckets"]) != base_num_buckets:
+                    raise ConcurrentCommitError(
+                        f"batch {batch_id!r}: a concurrent rebucket changed "
+                        f"num_buckets — the merge must be recomputed against "
+                        "the new layout (reload and retry)"
+                    ) from None
+                if latest.get("schemas", [])[: len(base_schemas)] != base_schemas:
+                    raise ConcurrentCommitError(
+                        f"batch {batch_id!r}: the schema history diverged "
+                        "under a concurrent commit — reload and retry"
+                    ) from None
+                for b in touched:
+                    have = latest["buckets"].get(b, [])
+                    base = base_buckets[b]
+                    ok = (
+                        have[: len(base)] == base if mor else have == base
+                    )
+                    if not ok:
+                        raise ConcurrentCommitError(
+                            f"batch {batch_id!r}: bucket {b} changed under a "
+                            "concurrent commit — the merge consumed stale "
+                            "content for it; reload and retry (recompute)"
+                        ) from None
+                # compatible: rebase this merge's entries onto the new head
+                self.version, self.manifest = latest_version, latest
+        raise AssertionError("unreachable")  # pragma: no cover
 
     def changes_between(
         self,

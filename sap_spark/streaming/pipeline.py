@@ -208,8 +208,11 @@ def ingest_batch(
         # crash-restart needs no special handling here: the manifest
         # link is the SINGLE commit step (lake.py _commit), so a dead
         # driver either committed (the replayed epoch no-ops on its
-        # batch marker) or left nothing behind. ConcurrentCommitError
-        # therefore only ever means a genuinely concurrent writer.
+        # batch marker) or left nothing behind. A concurrent writer's
+        # commit rebases automatically when compatible (disjoint COW
+        # buckets / MOR appends — lake.py _commit_merge), so a raised
+        # ConcurrentCommitError means a genuinely CONFLICTING writer
+        # (same-bucket COW race, rebucket, schema divergence).
         return table.merge_cdc(
             folded,
             batch_id,

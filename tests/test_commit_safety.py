@@ -43,31 +43,54 @@ def _state(table):
     return {(r["repo"], r["path"]): r["content"] for r in table.read().collect()}
 
 
-def test_racing_writers_one_wins_one_fails_loudly(spark, tmpdir_path):
+def _keys_in_distinct_buckets(table, spark, n=2, probe=32):
+    """First `n` (repo, path) keys landing in pairwise-distinct buckets."""
+    picked, buckets = [], set()
+    for i in range(probe):
+        key = ("r", f"k{i}")
+        [b] = table.affected_buckets(
+            _changes(spark, [(*key, "x", "I", 1)])
+        )
+        if b not in buckets:
+            picked.append(key)
+            buckets.add(b)
+        if len(picked) == n:
+            return picked
+    raise AssertionError("probe space too small")
+
+
+def test_racing_writers_rebase_when_disjoint_conflict_raises_otherwise(
+    spark, tmpdir_path
+):
+    """The CAS loser REBASES automatically when the winner touched other
+    buckets (metadata-only retry — its files re-commit, no Spark re-run);
+    a same-bucket COW race is a real conflict and still fails loudly."""
     path = f"{tmpdir_path}/t"
-    _make(spark, path)
+    t = _make(spark, path)
+    key_a, key_b = _keys_in_distinct_buckets(t, spark)
     h1 = LakeTable(spark, path)
     h2 = LakeTable(spark, path)  # same base version as h1
     assert h1.version == h2.version
 
-    h1.merge_cdc(_changes(spark, [("r", "a", "v1", "I", 1)]), "b1")
-    with pytest.raises(ConcurrentCommitError, match="another writer"):
-        h2.merge_cdc(_changes(spark, [("r", "b", "v2", "I", 2)]), "b2")
-
-    # the winner's commit is intact: pointer, state, and batch marker
+    h1.merge_cdc(_changes(spark, [(*key_a, "v1", "I", 1)]), "b1")
+    # h2's commit races h1's: disjoint buckets → automatic rebase
+    assert h2.merge_cdc(_changes(spark, [(*key_b, "v2", "I", 2)]), "b2")
     fresh = LakeTable(spark, path)
-    assert fresh.version == h1.version
-    assert _state(fresh) == {("r", "a"): "v1"}
-    assert "b1" in fresh.committed_batches()
-    # no tmp litter from the failed claim
+    assert _state(fresh) == {key_a: "v1", key_b: "v2"}
+    assert {"b1", "b2"} <= fresh.committed_batches()
+    # no tmp litter from the raced first attempt
     assert not glob.glob(os.path.join(path, "_meta", "*.tmp-*"))
 
-    # the loser reloads and retries — both commits land
-    h2 = LakeTable(spark, path)
-    assert h2.merge_cdc(_changes(spark, [("r", "b", "v2", "I", 2)]), "b2")
-    assert _state(LakeTable(spark, path)) == {
-        ("r", "a"): "v1", ("r", "b"): "v2",
-    }
+    # a same-bucket COW race is a REAL conflict: fails loudly, winner intact
+    h3 = LakeTable(spark, path)
+    fresh.merge_cdc(_changes(spark, [(*key_a, "v3", "U", 3)]), "b3")
+    with pytest.raises(ConcurrentCommitError, match="stale content"):
+        h3.merge_cdc(_changes(spark, [(*key_a, "v4", "U", 4)]), "b4")
+    assert _state(LakeTable(spark, path)) == {key_a: "v3", key_b: "v2"}
+    # the conflicting loser reloads and retries — the documented recovery
+    retry = LakeTable(spark, path)
+    assert retry.merge_cdc(_changes(spark, [(*key_a, "v4", "U", 4)]), "b4")
+    assert _state(LakeTable(spark, path)) == {key_a: "v4", key_b: "v2"}
 
 
 def test_crash_after_link_is_simply_committed(spark, tmpdir_path):
@@ -96,24 +119,30 @@ def test_crash_after_link_is_simply_committed(spark, tmpdir_path):
         assert int(f.read()) == 3
 
 
-def test_stale_handle_conflict_then_reload_retry(spark, tmpdir_path):
-    """A handle pinned at an old version that tries to write reports the
-    conflict; reload-and-retry is the documented recovery."""
+def test_stale_handle_write_rebases_or_conflicts_by_bucket(spark, tmpdir_path):
+    """A handle pinned versions behind the head: writing a bucket the
+    newer commits never touched rebases onto the head (the stale read
+    of that bucket was still current); writing a bucket they DID touch
+    is a real conflict — reload-and-retry is the documented recovery."""
     path = f"{tmpdir_path}/t"
     table = _make(spark, path)
-    table.merge_cdc(_changes(spark, [("r", "a", "v1", "I", 1)]), "b1")
-    table.merge_cdc(_changes(spark, [("r", "a", "v2", "U", 2)]), "b2")
+    key_a, key_d = _keys_in_distinct_buckets(table, spark)
+    table.merge_cdc(_changes(spark, [(*key_a, "v1", "I", 1)]), "b1")
+    table.merge_cdc(_changes(spark, [(*key_a, "v2", "U", 2)]), "b2")
 
     stale = LakeTable(spark, path, version=1)
-    with pytest.raises(ConcurrentCommitError):
-        stale.merge_cdc(_changes(spark, [("r", "d", "v4", "I", 4)]), "b4")
-    # nothing was disturbed by the failed attempt
-    assert _state(LakeTable(spark, path)) == {("r", "a"): "v2"}
+    # key_d's bucket is untouched since v1 → the stale write rebases
+    assert stale.merge_cdc(_changes(spark, [(*key_d, "v4", "I", 4)]), "b4")
+    assert _state(LakeTable(spark, path)) == {key_a: "v2", key_d: "v4"}
+
+    # key_a's bucket changed after v1 → a real conflict from that handle
+    stale2 = LakeTable(spark, path, version=1)
+    with pytest.raises(ConcurrentCommitError, match="stale content"):
+        stale2.merge_cdc(_changes(spark, [(*key_a, "v5", "U", 5)]), "b5")
+    assert _state(LakeTable(spark, path)) == {key_a: "v2", key_d: "v4"}
     retry = LakeTable(spark, path)
-    assert retry.merge_cdc(_changes(spark, [("r", "d", "v4", "I", 4)]), "b4")
-    assert _state(LakeTable(spark, path)) == {
-        ("r", "a"): "v2", ("r", "d"): "v4",
-    }
+    assert retry.merge_cdc(_changes(spark, [(*key_a, "v5", "U", 5)]), "b5")
+    assert _state(LakeTable(spark, path)) == {key_a: "v5", key_d: "v4"}
 
 
 def test_overwrite_replayed_batch_id_is_noop(spark, tmpdir_path):
