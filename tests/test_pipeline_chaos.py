@@ -170,3 +170,113 @@ def test_random_crash_schedule_converges_to_oracle(spark, tmpdir_path, seed):
     # across the suite's seeds; individual seeds may legitimately draw zero
     # crashes only if the budget-probability draw never fired
     assert chaos.injected >= 1 or attempts == 1
+
+
+@pytest.mark.parametrize("seed", [7, 19])
+def test_multi_writer_chaos_converges_to_union_oracle(spark, tmpdir_path, seed):
+    """TWO concurrent streaming pipelines into one MOR table, with random
+    crashes injected into BOTH writers' commit paths (both failure
+    windows), each crashed writer resumed from its own checkpoint until
+    both complete. Every interleaving must compose: commit races rebase
+    (MOR appends), crashed epochs replay as no-ops, and the final state
+    equals the sequential fold of the UNION of both logs."""
+    import threading
+
+    import pyspark.sql.functions as F
+
+    rng = random.Random(seed)
+    feed1 = gen_change_events(
+        spark, n_events=2000, n_keys=150, events_per_token=500,
+        rocancel_rate=0.05, dup_rate=0.05,
+    ).cache()
+    feed2 = (
+        gen_change_events(
+            spark, n_events=2000, n_keys=150, events_per_token=500,
+            rocancel_rate=0.05, dup_rate=0.05,
+        )
+        .withColumn("event_seq", F.col("event_seq") + F.lit(10_000_000))
+        .withColumn("cancel_seq", F.col("cancel_seq") + F.lit(10_000_000))
+        .withColumn("repo", F.concat(F.lit("x-"), F.col("repo")))
+        .withColumn("delta_token", F.concat(F.lit("X"), F.col("delta_token")))
+        .cache()
+    )
+    expected = fold_to_frame(feed1.unionByName(feed2).toPandas())
+    logs = [f"{tmpdir_path}/log1", f"{tmpdir_path}/log2"]
+    write_change_log(feed1, logs[0])
+    write_change_log(feed2, logs[1])
+
+    table = LakeTable.create(
+        spark, f"{tmpdir_path}/repos", TARGET_SCHEMA,
+        key_columns=["repo", "path"], num_buckets=8, merge_mode="mor",
+    )
+
+    real_commit = LakeTable._commit
+    chaos = _CommitChaos(rng, real_commit)
+    lock = threading.Lock()
+
+    def locked_chaos(self, manifest, **kw):
+        # the draw must be serialized for determinism; the REAL commit runs
+        # outside the lock so the writers' commits still genuinely race
+        with lock:
+            site = None
+            if chaos.left > 0 and chaos.rng.random() < chaos.p:
+                chaos.left -= 1
+                chaos.injected += 1
+                site = chaos.rng.choice(["pre", "post"])
+        if site == "pre":
+            raise RuntimeError("chaos: crash before manifest pointer flip")
+        out = real_commit(self, manifest, **kw)
+        if site == "post":
+            raise RuntimeError("chaos: crash after commit, before checkpoint")
+        return out
+
+    LakeTable._commit = locked_chaos
+    done = [False, False]
+    attempts = 0
+    try:
+        while not all(done):
+            attempts += 1
+            assert attempts <= MAX_ATTEMPTS, "multi-writer chaos did not converge"
+            failures: dict[int, Exception] = {}
+
+            def run(i):
+                pipe = CdcPipeline(
+                    spark, CFG, LakeTable(spark, table.path), logs[i],
+                    checkpoint_dir=f"{tmpdir_path}/ckpt{i}",
+                    max_files_per_trigger=2,
+                    pipeline_id=f"mw-chaos-{i}",
+                )
+                try:
+                    pipe.run_available_now(timeout_sec=600)
+                    done[i] = True
+                except Exception as exc:  # noqa: BLE001 — must be OUR crash
+                    failures[i] = exc
+
+            threads = [
+                threading.Thread(target=run, args=(i,))
+                for i in range(2)
+                if not done[i]
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            for exc in failures.values():
+                assert "chaos:" in str(exc), f"non-injected failure: {exc!r}"
+            # crash-point invariant: readable at every interleaved stop
+            LakeTable(spark, table.path).read().count()
+    finally:
+        LakeTable._commit = real_commit
+
+    final = LakeTable(spark, table.path)
+    got = final.read().orderBy("repo", "path").toPandas().reset_index(drop=True)
+    assert got.equals(expected), (
+        f"seed={seed} diverged after {chaos.injected} injected crashes / "
+        f"{attempts} attempts"
+    )
+    final.expire_snapshots(keep_last=1)
+    still = (
+        LakeTable(spark, table.path).read()
+        .orderBy("repo", "path").toPandas().reset_index(drop=True)
+    )
+    assert still.equals(expected)
