@@ -3,6 +3,15 @@ on Spark and its oracle_sql() on DuckDB at sf0.01, compare row count, column
 names, and an order-insensitive value hash. Usage:
 
     python tools/check_oracle.py [sf_dir] [query ...]
+
+Scale note: the gate (and the driver's) runs at sf0.01. Most queries also
+verify at sf0.1, but the docs_neardup_methods ORACLE recomputes exact
+ground truth via an exhaustive shingle-hash self-join — inherently
+Ω(Σ doc-frequency²) pairs — and at sf0.1 DuckDB's spill for it can exceed
+~60 GB of temp disk; with insufficient free space the ORACLE side fails
+with an IO error while the Spark side (LSH-bucketed, never all-pairs) is
+unaffected. The DuckDB temp directory is pinned below so the spill lands
+on the big volume and is attributable.
 """
 
 from __future__ import annotations
@@ -52,6 +61,9 @@ def main() -> int:
 
     spark = get_spark(app_name="oracle_check", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
+    # pinned, attributable spill location (see module docstring); the
+    # default is a cwd-relative .tmp that survives crashes as mystery GBs
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_tmp'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
