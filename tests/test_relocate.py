@@ -29,10 +29,10 @@ FULL = T.StructType(
 )
 
 
-def _build(spark, path):
+def _build(spark, path, merge_mode="cow"):
     table = LakeTable.create(
         spark, path, SCHEMA, key_columns=["id"], num_buckets=4,
-        bloom_columns=["commit"],
+        bloom_columns=["commit"], merge_mode=merge_mode,
     )
     for i in range(2):
         batch = spark.createDataFrame(
@@ -43,10 +43,14 @@ def _build(spark, path):
     return table
 
 
-def test_moved_table_reads_merges_and_audits(spark, tmpdir_path):
+import pytest
+
+
+@pytest.mark.parametrize("merge_mode", ["cow", "mor"])
+def test_moved_table_reads_merges_and_audits(spark, tmpdir_path, merge_mode):
     src = f"{tmpdir_path}/orig"
     dst = f"{tmpdir_path}/restored"
-    table = _build(spark, src)
+    table = _build(spark, src, merge_mode)
     before = table_fingerprint(spark, table)
 
     shutil.move(src, dst)
