@@ -47,6 +47,16 @@ Contract laws (each has a test of the same name in the contract suite):
     ``affected_buckets`` routes by the new count (Iceberg
     ``REPLACE PARTITION FIELD`` analog; the bucket count a table was
     created with must not be forever).
+
+Concurrency is backend-native, outside the numbered laws: both
+implementations give snapshot-isolated optimistic commits, and a loser
+whose race is compatible retries without recomputation — ``LakeTable``
+via the disjoint-bucket/MOR-append metadata rebase
+(``plans/lake.py::_commit_merge``; tests/test_concurrent_commit.py),
+Iceberg via the catalog's own CAS + commit-retry machinery. What the
+pipeline may rely on across backends: a committed ``batch_id`` replays
+as False from ANY handle, and a genuinely conflicting race surfaces as
+an exception whose recovery is reload-and-retry.
 """
 
 from __future__ import annotations
