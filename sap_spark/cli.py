@@ -208,12 +208,24 @@ def run_maintain(args, spark=None) -> dict:
             # count chosen at creation was sized for day-one data
             from sap_spark.plans.lake import derive_num_buckets
 
-            payload = sum(
-                os.path.getsize(e["path"])
-                for entries in table.manifest["buckets"].values()
-                for e in entries
-                if os.path.exists(e["path"])
-            )
+            payload, missing = 0, 0
+            for entries in table.manifest["buckets"].values():
+                for e in entries:
+                    try:
+                        payload += os.path.getsize(e["path"])
+                    except OSError:
+                        missing += 1
+            if missing:
+                # entry paths are re-rooted onto this handle's root at
+                # load, so a missing file here is real corruption — an
+                # auto count derived from partial payload would silently
+                # undersize the reshard; make the operator run doctor
+                raise SystemExit(
+                    f"--rebucket auto: {missing} referenced data files "
+                    "are missing — run `cli doctor` and repair before "
+                    "resharding (a payload sum over the survivors would "
+                    "undersize the new bucket count)"
+                )
             rebucket_to = derive_num_buckets(payload)
             summary["rebucket_auto_payload_bytes"] = payload
             if rebucket_to == table.num_buckets:
