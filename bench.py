@@ -21,9 +21,11 @@ BENCH/QUERIES_r4.md). Raw samples ship alongside the medians in the JSON.
 
 Scaling evidence (north_rule, sandbox substitute for N vs 4N executors):
 
-    python bench.py --scaling
-      → runs the same replay at local[8] and local[32] in subprocesses,
-        prints both throughputs + efficiency, and rewrites BENCH/BASELINE.md.
+    python bench.py --scaling [--pair N,4N] [--scaling-out FILE.md]
+      → runs the same replay at local[N] and local[4N] in subprocesses
+        (default pair 1,4; interleaved medians of SPARK_GRAFT_SCALING_REPS),
+        prints both throughputs + efficiency, asserts identical final-state
+        fingerprints, and writes BENCH/<FILE>.md (default BASELINE.md).
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_EVENTS (default 4000000).
