@@ -502,6 +502,10 @@ class IcebergTable:
                 ]
             )
         )
+        # op=NULL expresses no change (LakeTable parity — merge_cdc and
+        # the fold both treat it as inert): kept, it would compute a NULL
+        # _deleted for a NOT NULL column and corrupt/fail the MERGE.
+        changes = changes.where(F.col(op_column).isNotNull())
         user_cols = [f.name for f in self.schema.fields]
         src = apply_cast_plan(
             changes.select(
@@ -587,6 +591,23 @@ class IcebergTable:
 
     def evolve_schema(self, incoming: T.StructType) -> bool:
         plan = plan_evolution(self.schema, incoming)  # law 4: same planner
+        # KEY columns can never change dtype (LakeTable parity): the
+        # stored identity `_bucket` values were computed by xxhash64 at
+        # the OLD dtype, so widening would route new batches' bucket
+        # pruning (`t._bucket IN (...)`) away from the partitions the
+        # existing rows live in — matched rows would stop matching and
+        # keys would silently duplicate across buckets.
+        widened_keys = [
+            c for c, _ in plan.widen_columns if c in self.key_columns
+        ]
+        if widened_keys:
+            from sap_spark.schema.compat import SchemaCompatError
+
+            raise SchemaCompatError(
+                f"cannot widen key column(s) {widened_keys}: the stored "
+                "_bucket routing is a function of the key dtype. Create a "
+                "new table with the wider key and backfill instead."
+            )
         if plan.is_noop:
             return False
         for stmt in evolution_ddl(self.path, plan):

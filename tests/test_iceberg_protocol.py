@@ -259,3 +259,104 @@ def test_overwrite_replay_is_statement_free(spark):
     )
     t.overwrite(df, batch_id="seed")
     assert fake.log == []
+
+
+def test_merge_cdc_null_op_rows_are_inert(spark):
+    """LakeTable parity: op=NULL expresses no change. Kept, such a row
+    would compute a NULL _deleted for the NOT NULL internal column and
+    corrupt (or fail) the MERGE. The staged source view must carry only
+    the valid rows, with no null _deleted."""
+
+    class _ViewInspectingSpark(FakeSpark):
+        def sql(self, q):
+            if q.startswith("MERGE INTO"):
+                # the temp view exists on the REAL session right now —
+                # snapshot what the binding actually staged
+                view = q.split(" USING ")[1].split(" ")[0].strip("`")
+                staged = self._real.table(view).collect()
+                self.log.append(
+                    (
+                        "staged",
+                        len(staged),
+                        sum(1 for r in staged if r["_deleted"] is None),
+                    )
+                )
+            return super().sql(q)
+
+    fake = _ViewInspectingSpark(spark)
+    t = IcebergTable.__new__(IcebergTable)
+    t.spark = fake
+    t.path = TABLE
+    t.catalog, t.namespace, t.table = TABLE.split(".")
+    t._ancestry = []
+    t.version = 0
+    t._props = {
+        PROP_KEYS: json.dumps(KEYS),
+        PROP_BUCKETS: "8",
+        PROP_BATCHES: "[]",
+    }
+    changes = spark.createDataFrame(
+        [
+            ("r1", "f1", "body", "I", 1),
+            ("r2", "f2", None, None, 2),  # malformed: no op — inert
+        ],
+        "repo string, path string, content string, op string, event_seq long",
+    )
+    assert t.merge_cdc(changes, "epoch-1", affected_buckets=[1, 2, 3]) is True
+    staged = next(e for e in fake.log if e[0] == "staged")
+    assert staged == ("staged", 1, 0)  # one valid row, zero null _deleted
+
+
+def test_evolve_schema_rejects_key_widening(spark):
+    """LakeTable parity: the stored identity _bucket values are a
+    function of the key dtype, so widening a key would route future
+    merges' bucket pruning away from existing rows. Must raise BEFORE
+    any DDL reaches the catalog."""
+    from sap_spark.schema.compat import SchemaCompatError
+
+    int_key_full = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), True),
+            T.StructField("v", T.StringType(), True),
+            T.StructField("_seq", T.LongType(), True),
+            T.StructField("_deleted", T.BooleanType(), True),
+            T.StructField("_bucket", T.IntegerType(), True),
+        ]
+    )
+
+    class _IntKeySpark(FakeSpark):
+        def table(self, name):
+            return self._real.createDataFrame([], int_key_full)
+
+    fake = _IntKeySpark(spark)
+    t = IcebergTable.__new__(IcebergTable)
+    t.spark = fake
+    t.path = TABLE
+    t.catalog, t.namespace, t.table = TABLE.split(".")
+    t._ancestry = []
+    t.version = 0
+    t._props = {
+        PROP_KEYS: json.dumps(["id"]),
+        PROP_BUCKETS: "8",
+        PROP_BATCHES: "[]",
+    }
+    wide = T.StructType(
+        [
+            T.StructField("id", T.LongType(), True),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    with pytest.raises(SchemaCompatError, match="key column"):
+        t.evolve_schema(wide)
+    assert fake.sqls() == []  # nothing reached the catalog
+
+    # widening a NON-key column still compiles to DDL
+    wide_payload = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), True),
+            T.StructField("v", T.StringType(), True),
+            T.StructField("n", T.LongType(), True),
+        ]
+    )
+    assert t.evolve_schema(wide_payload) is True
+    assert any("ADD COLUMNS" in s for s in fake.sqls())
