@@ -2,7 +2,10 @@
 
 ``LakeTable`` (plans/lake.py) proves the CDC sink contract over local
 parquet + JSON manifests; this module binds the SAME contract
-(plans/backend.py, laws 1-7) to Apache Iceberg via Spark SQL, so a
+(plans/backend.py, laws 1-9: the 1-7 mapping below, plus law 8 —
+``read(where=)`` applies the predicate over the snapshot read, with
+Iceberg's own manifest min/max skipping as the stats layer — and law 9
+via :meth:`rebucket`'s pending-marker bracket) to Apache Iceberg, so a
 deployment with Iceberg jars on the classpath swaps backends without
 touching the pipeline layer. It generalizes the reference's sink step —
 the CDAP plugin's pass-through ``emit`` (reference
