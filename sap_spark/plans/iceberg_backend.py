@@ -76,7 +76,7 @@ from sap_spark.schema.compat import (
     plan_evolution,
     validate_schema_types,
 )
-from sap_spark.plans.lake import bucket_expr
+from sap_spark.plans.lake import DEFAULT_BATCH_LEDGER_RETENTION, bucket_expr
 
 # Internal (non-user) columns, same names and meaning as LakeTable.
 SEQ_COL = "_seq"
@@ -93,6 +93,10 @@ PROP_REBUCKET_PENDING = "sap_spark.rebucket-pending"  # int: target count of
 #   an in-flight rebucket — set before the row UPDATE, cleared after the
 #   num-buckets flip, so a crash between the two commits is detectable
 #   (num_buckets then refuses to answer until the rebucket is re-run).
+PROP_LEDGER_RETENTION = "sap_spark.batch-ledger-retention"  # int, or the
+#   string "none" for unbounded — most-recent batch ids kept in the
+#   expired-batches mirror (LakeTable.batch_ledger_retention parity;
+#   engine-produced replays sit within a handful of epochs of the head).
 
 _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
@@ -421,6 +425,39 @@ class IcebergTable:
             ids |= {r["b"] for r in rows}
         return ids
 
+    def _ledger_retention(self) -> "int | None":
+        """Batch-ledger retention (LakeTable parity): most-recent ids
+        kept in the expired-batches mirror, None = unbounded."""
+        raw = self._props.get(PROP_LEDGER_RETENTION)
+        if raw is None:
+            return DEFAULT_BATCH_LEDGER_RETENTION
+        return None if str(raw).lower() in ("none", "null", "") else int(raw)
+
+    def _stored_ledger(self) -> list[str]:
+        """The expired-batches property as its CHRONOLOGICAL list —
+        order is what makes retention trimming (drop the oldest) sound."""
+        return list(json.loads(self._props.get(PROP_BATCHES, "[]")))
+
+    def _trimmed(self, ledger: list[str]) -> list[str]:
+        keep = self._ledger_retention()
+        if keep is not None and len(ledger) > keep:
+            return ledger[-keep:]
+        return ledger
+
+    def _ancestry_wap_ids(self) -> list[str]:
+        """wap.ids of the live ancestry, oldest-first (ancestry order —
+        the chronology the mirror preserves across expiry)."""
+        if not self._ancestry:
+            return []
+        rows = self.spark.sql(
+            f"SELECT snapshot_id, summary['wap.id'] AS b "
+            f"FROM {_qname(self.path)}.snapshots "
+            f"WHERE snapshot_id IN ({', '.join(map(str, self._ancestry))}) "
+            f"AND summary['wap.id'] IS NOT NULL"
+        ).collect()
+        by_id = {r["snapshot_id"]: r["b"] for r in rows}
+        return [by_id[s] for s in self._ancestry if s in by_id]
+
     # -- reads -------------------------------------------------------------
 
     def _snapshot_clause(self) -> str:
@@ -487,11 +524,17 @@ class IcebergTable:
             # LakeTable commits it as a no-op; here a MERGE would stage
             # no snapshot for publish_changes to find, so the batch id is
             # recorded straight into the durable batch ledger (the same
-            # property expire_snapshots mirrors into — law 2).
-            batches = self.committed_batches() | {batch_id}
+            # property expire_snapshots mirrors into — law 2). Appended
+            # chronologically, never re-sorted: order is what makes the
+            # retention trim (drop the oldest) sound. Live ancestry
+            # wap.ids stay discoverable from their summaries until expiry
+            # mirrors them here, so they are NOT folded in eagerly.
+            ledger = self._stored_ledger()
+            if batch_id not in ledger:
+                ledger.append(batch_id)
             self.spark.sql(
                 _sql_set_property(
-                    self.path, PROP_BATCHES, json.dumps(sorted(batches))
+                    self.path, PROP_BATCHES, json.dumps(self._trimmed(ledger))
                 )
             )
             self._props = self._load_props()
@@ -723,11 +766,22 @@ class IcebergTable:
         ``grace_seconds`` is accepted for protocol parity; Iceberg's
         own expire_snapshots never deletes files newer than the
         retained snapshots, so the in-flight-writer hazard LakeTable's
-        grace window guards against does not exist here."""
-        batches = self.committed_batches()
+        grace window guards against does not exist here.
+
+        The mirror is CHRONOLOGICAL (stored ids, then live ancestry
+        wap.ids oldest-first) and trimmed to the batch-ledger retention
+        window — unbounded, it would grow one id per epoch forever,
+        re-serialized at every expiry (LakeTable bounds its manifest
+        ledger identically; Delta's setTransaction retention is the
+        public analog)."""
+        stored = self._stored_ledger()
+        seen = set(stored)
+        mirror = stored + [
+            b for b in self._ancestry_wap_ids() if b not in seen
+        ]
         self.spark.sql(
             _sql_set_property(
-                self.path, PROP_BATCHES, json.dumps(sorted(batches))
+                self.path, PROP_BATCHES, json.dumps(self._trimmed(mirror))
             )
         )
         before = len(self._ancestry)

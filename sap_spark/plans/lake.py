@@ -30,7 +30,9 @@ Semantics provided (and how they scale):
   ``batch_id`` marker in the manifest, in the same atomic pointer flip as
   the data. A replayed ``foreachBatch`` with an already-committed batch_id
   is a no-op — the marker write cannot be observed without its data and
-  vice versa.
+  vice versa. The marker ledger keeps the most recent
+  ``batch_ledger_retention`` ids (default 10^4; None = unbounded) — see
+  DEFAULT_BATCH_LEDGER_RETENTION for why bounding it is sound.
 - **Version-aware rows**: each row carries ``_event_seq`` (last applied
   change) and ``_deleted`` (tombstone). MERGE applies a change only when
   its event_seq exceeds the stored one, so late or duplicate deliveries
@@ -75,6 +77,30 @@ from sap_spark.schema.compat import (
 SEQ_COL = "_event_seq"
 DELETED_COL = "_deleted"
 INTERNAL_COLS = (SEQ_COL, DELETED_COL)
+
+# Exactly-once batch-ledger retention (count of most-recent batch ids kept
+# in the manifest). Unbounded, the ledger grows one marker per epoch
+# FOREVER and is deep-copied + serialized into every subsequent manifest —
+# O(stream history) driver bytes per commit on a long-lived pipeline, the
+# same unbounded-state trap Delta bounds with
+# delta.setTransactionRetentionDuration. Every replay the ENGINE can
+# produce sits within a handful of epochs of the head (foreachBatch
+# retries, crash between table commit and checkpoint commit, a concurrent
+# writer racing its own successor), so a 10^4-epoch window is ~3 orders of
+# magnitude beyond any real replay depth; replaying a batch id that has
+# aged OUT of the window re-applies instead of no-opping — a semantic
+# no-op for the LWW merge (same winners, same final rows; it burns a
+# version). Set the `batch_ledger_retention` table property to None for
+# the old unbounded behavior.
+DEFAULT_BATCH_LEDGER_RETENTION = 10_000
+
+
+def _check_ledger_retention(v) -> None:
+    if v is not None and (not isinstance(v, int) or v < 1):
+        raise ValueError(
+            f"batch_ledger_retention must be a positive int or None "
+            f"(unbounded), got {v!r}"
+        )
 
 
 def _check_layout_columns(known: set, name: str, cols) -> None:
@@ -319,6 +345,7 @@ class LakeTable:
         sort_columns: "list[str] | None" = None,
         max_records_per_file: "int | None" = None,
         bloom_columns: "list[str] | None" = None,
+        batch_ledger_retention: "int | None" = DEFAULT_BATCH_LEDGER_RETENTION,
     ) -> "LakeTable":
         """Create an empty table (schema = user columns, no internal cols).
 
@@ -373,10 +400,16 @@ class LakeTable:
         stays metadata-sized at any file count); the read path loads
         them lazily. Opt-in: collection reads the column's data at
         commit time (O(batch), like the write itself); string/int
-        columns only."""
+        columns only.
+
+        ``batch_ledger_retention``: most-recent batch ids kept in the
+        manifest for exactly-once replay detection; ``None`` =
+        unbounded (see DEFAULT_BATCH_LEDGER_RETENTION for why the
+        default is bounded)."""
         if merge_mode not in ("cow", "mor"):
             raise ValueError(f"merge_mode must be 'cow' or 'mor', got {merge_mode!r}")
         _check_max_records(max_records_per_file)  # schema-free: always
+        _check_ledger_retention(batch_ledger_retention)
         meta_dir = os.path.join(path, "_meta")
         if os.path.exists(os.path.join(meta_dir, "VERSION")):
             # short-circuit BEFORE the schema-dependent knob validation:
@@ -429,6 +462,7 @@ class LakeTable:
                 "sort_columns": list(sort_columns or []),
                 "max_records_per_file": max_records_per_file,
                 "bloom_columns": list(bloom_columns or []),
+                "batch_ledger_retention": batch_ledger_retention,
             },
         }
         manifest["committed_at"] = time.time()
@@ -457,6 +491,25 @@ class LakeTable:
 
     def committed_batches(self) -> set[str]:
         return set(self.manifest["commits"])
+
+    @property
+    def batch_ledger_retention(self) -> "int | None":
+        """Most-recent batch ids kept for exactly-once replay detection
+        (None = unbounded). See DEFAULT_BATCH_LEDGER_RETENTION."""
+        props = self.manifest.get("properties", {})
+        if "batch_ledger_retention" in props:
+            return props["batch_ledger_retention"]
+        return DEFAULT_BATCH_LEDGER_RETENTION
+
+    def _append_batch_id(self, manifest: dict, batch_id: str) -> None:
+        """Record a commit's batch id, trimming the ledger to the
+        retention window (oldest first — the list is chronological, and
+        only ids near the head can ever replay through the engine)."""
+        ledger = manifest["commits"]
+        ledger.append(batch_id)
+        keep = self.batch_ledger_retention
+        if keep is not None and len(ledger) > keep:
+            del ledger[:-keep]
 
     @property
     def merge_mode(self) -> str:
@@ -542,6 +595,7 @@ class LakeTable:
         sort_columns=_UNSET,
         max_records_per_file=_UNSET,
         bloom_columns=_UNSET,
+        batch_ledger_retention=_UNSET,
     ) -> bool:
         """Change the write-path layout knobs after creation, as a
         metadata-only commit. All three affect only FUTURE writes —
@@ -572,6 +626,18 @@ class LakeTable:
             _check_max_records(max_records_per_file)
             changed["max_records_per_file"] = max_records_per_file
         changed = {k: v for k, v in changed.items() if props.get(k) != v}
+        if batch_ledger_retention is not self._UNSET:
+            _check_ledger_retention(batch_ledger_retention)
+            # change-detect on the EFFECTIVE value (not props.get(),
+            # which the generic filter above uses): on a legacy manifest
+            # the key is ABSENT and reads as the bounded default, so an
+            # explicit None (unbounded) is a real change even though
+            # props.get() also returns None
+            if (
+                "batch_ledger_retention" not in props
+                or self.batch_ledger_retention != batch_ledger_retention
+            ):
+                changed["batch_ledger_retention"] = batch_ledger_retention
         if not changed:
             return False
         manifest = json.loads(json.dumps(self.manifest))
@@ -908,7 +974,7 @@ class LakeTable:
         manifest = json.loads(json.dumps(self.manifest))
         manifest["buckets"] = new_buckets
         if batch_id is not None:
-            manifest["commits"].append(batch_id)
+            self._append_batch_id(manifest, batch_id)
         self._commit(manifest)
 
     def _conformed_bucket_expr(self, frame: DataFrame) -> F.Column:
@@ -1246,7 +1312,7 @@ class LakeTable:
                     manifest["buckets"].pop(b, None)
                 for b, entries in new_files.items():
                     manifest["buckets"][b] = entries
-            manifest["commits"].append(batch_id)
+            self._append_batch_id(manifest, batch_id)
             try:
                 self._commit(manifest)
                 return True

@@ -246,6 +246,39 @@ def test_compact_is_one_rewrite_call(spark):
     ]
 
 
+def test_expiry_mirror_trims_to_ledger_retention(spark):
+    """LakeTable parity: the expired-batches mirror is chronological and
+    bounded — beyond the retention window the OLDEST ids age out, or the
+    property would grow one id per epoch forever, re-serialized at every
+    expiry."""
+    from sap_spark.plans.iceberg_backend import PROP_LEDGER_RETENTION
+
+    t, fake = _table(spark)
+    t._props[PROP_BATCHES] = json.dumps(["e1", "e2", "e3", "e4"])
+    t._props[PROP_LEDGER_RETENTION] = "3"
+    t.expire_snapshots(keep_last=2)
+    stmts = [s for s in fake.sqls() if not s.startswith("SHOW TBLPROPERTIES")]
+    assert stmts[0] == _sql_set_property(
+        TABLE, PROP_BATCHES, json.dumps(["e2", "e3", "e4"])
+    )
+
+
+def test_empty_batch_ledger_append_is_chronological_and_trimmed(spark):
+    """The no-bucket fast path appends (never re-sorts — chronology is
+    what makes the trim sound) and honors the retention property."""
+    from sap_spark.plans.iceberg_backend import PROP_LEDGER_RETENTION
+
+    t, fake = _table(spark)
+    # "z-first" sorts BEFORE "a-later" lexically; chronological order
+    # must win over sort order for the trim to drop the true oldest
+    t._props[PROP_BATCHES] = json.dumps(["z-first", "a-later"])
+    t._props[PROP_LEDGER_RETENTION] = "2"
+    assert t.merge_cdc(_changes(spark), "m-new", affected_buckets=[]) is True
+    assert fake.sqls()[0] == _sql_set_property(
+        TABLE, PROP_BATCHES, json.dumps(["a-later", "m-new"])
+    )
+
+
 def test_overwrite_replay_is_statement_free(spark):
     """Law 2 applies to the backfill path too: a replayed overwrite
     batch_id (already in the ledger or a live wap.id summary) must not
