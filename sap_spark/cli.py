@@ -154,6 +154,9 @@ def run_ingest(args, spark=None) -> dict:
         pipeline_id=args.pipeline_id,
         dead_letter_dir=args.dead_letter_dir,
         auto_compact_delta_files=args.auto_compact_deltas,
+        auto_expire_keep=args.auto_expire_keep,
+        auto_expire_slack=args.auto_expire_slack,
+        auto_expire_grace_seconds=args.auto_expire_grace,
     )
     pipe.run_available_now(timeout_sec=args.timeout)
     fold = fold_lineage(pipe.lineage())
@@ -653,6 +656,19 @@ def main(argv: list[str] | None = None) -> None:
                         "into its base once they reach this count "
                         "(tombstones retained — safe mid-stream); bounds "
                         "read amplification on long replays")
+    i.add_argument("--auto-expire-keep", type=int, default=None,
+                   help="opt-in in-stream snapshot expiry: keep this many "
+                        "snapshots, expiring once the on-disk manifest "
+                        "count exceeds keep+slack — bounds metadata growth "
+                        "on long streams (time travel limited to the "
+                        "retained window)")
+    i.add_argument("--auto-expire-slack", type=int, default=16,
+                   help="manifests allowed beyond --auto-expire-keep "
+                        "before expiry runs (amortizes its cost)")
+    i.add_argument("--auto-expire-grace", type=float, default=3600.0,
+                   help="spare unreferenced files younger than this many "
+                        "seconds (protects a concurrent writer's "
+                        "in-flight commit)")
     i.add_argument("--timeout", type=float, default=None)
     i.add_argument("--master", default=None,
                    help="only for local runs; leave unset under spark-submit")

@@ -194,6 +194,22 @@ class LakeTable:
         with open(self._version_file()) as f:  # pre-manifest corruption aid
             return int(f.read().strip())
 
+    def retained_manifest_count(self) -> int:
+        """Numeric ``v*.json`` manifests currently on disk — the
+        metadata-growth watermark the streaming auto-expiry triggers on
+        (one manifest per commit since the last expiry; stray
+        non-numeric names the read path tolerates are not counted).
+        O(versions) driver-side, same listing cost as
+        :meth:`_current_version`."""
+        n = 0
+        for mf in glob.glob(os.path.join(self._meta_dir, "v*.json")):
+            try:
+                int(os.path.basename(mf)[1:-5])
+            except ValueError:
+                continue
+            n += 1
+        return n
+
     def _load_manifest(self, version: int) -> dict:
         with open(self._manifest_path(version)) as f:
             return self._reroot_entry_paths(
@@ -1787,7 +1803,11 @@ class LakeTable:
             # that snapshot (and its files, grace-aged) is someone else's
             # live state, never expiry's to remove
             if ver not in keep_versions and ver <= latest:
-                os.remove(mf)
+                try:
+                    os.remove(mf)
+                except FileNotFoundError:
+                    pass  # a concurrent expiry (auto-expire on a second
+                    # pipeline) already swept it — deletion is idempotent
         removed = 0
         now = time.time()
         for key, f in scanned.items():
@@ -1798,7 +1818,10 @@ class LakeTable:
                             continue  # possibly an in-flight write
                     except OSError:
                         continue  # vanished mid-scan: someone else's problem
-                os.remove(f)
+                try:
+                    os.remove(f)
+                except FileNotFoundError:
+                    continue  # concurrent expiry won the race to this file
                 # the bloom sidecar shares its data file's lifecycle
                 try:
                     os.remove(f + ".bloom")

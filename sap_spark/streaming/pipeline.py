@@ -307,6 +307,9 @@ class CdcPipeline:
         dead_letter_dir: str | None = None,
         dead_letter_rules=None,
         auto_compact_delta_files: int | None = None,
+        auto_expire_keep: int | None = None,
+        auto_expire_slack: int = 16,
+        auto_expire_grace_seconds: float = 3600.0,
     ):
         """``strategy``: the per-batch LWW fold (see :func:`ingest_batch`).
         Default ``'auto'`` — the fetch fold plus a per-batch hot-key probe
@@ -372,7 +375,27 @@ class CdcPipeline:
         one base rewrite per N delta files per bucket. Crash-safe: a
         retried epoch's merge no-ops on its commit marker and the
         re-probe finds no over-threshold buckets. Compacted bucket ids
-        and wall time ride the epoch's lineage record."""
+        and wall time ride the epoch's lineage record.
+
+        ``auto_expire_keep``: opt-in snapshot expiry inside the stream —
+        every applied epoch commits one manifest, and without expiry the
+        metadata directory grows forever (every table OPEN globs all
+        manifests, orphan walks are O(versions × entries)). When set, the
+        epoch tail checks the on-disk manifest count (a restart-proof
+        watermark — no in-memory cadence counter to lose) and runs
+        ``expire_snapshots(keep_last=auto_expire_keep,
+        grace_seconds=auto_expire_grace_seconds)`` once the count exceeds
+        ``auto_expire_keep + auto_expire_slack``, so expiry cost
+        amortizes over ``auto_expire_slack`` epochs. Time travel is
+        bounded to the retained window — that's the retention tradeoff
+        the operator opts into. The grace window (default 1 h) spares
+        young unreferenced files so a CONCURRENT pipeline's in-flight
+        commit spill is never swept (expiry itself tolerates
+        concurrent-expiry deletion races); expired batch ids stay
+        replay-safe via the manifest batch ledger, which survives expiry
+        (only old manifests are dropped, the head carries the ledger).
+        Expired-file count and wall time ride the epoch's lineage record
+        as ``expired_files`` / ``expire_sec``."""
         cfg.validate()
         self.spark = spark
         self.cfg = cfg
@@ -408,6 +431,24 @@ class CdcPipeline:
                     f"merge_mode='{table.merge_mode}'"
                 )
         self.auto_compact_delta_files = auto_compact_delta_files
+        if auto_expire_keep is not None:
+            if table is None:
+                raise ValueError(
+                    "auto_expire_keep applies to a single-table pipeline; "
+                    "for MultiTableCdcPipeline set it per target via "
+                    "TableTarget(auto_expire_keep=...)"
+                )
+            if auto_expire_keep < 1:
+                raise ValueError("auto_expire_keep must be >= 1")
+            if auto_expire_slack < 1:
+                raise ValueError("auto_expire_slack must be >= 1")
+            if auto_expire_grace_seconds < 0:
+                raise ValueError("auto_expire_grace_seconds must be >= 0")
+        self.auto_expire = (
+            (auto_expire_keep, auto_expire_slack, auto_expire_grace_seconds)
+            if auto_expire_keep is not None
+            else None
+        )
         # alternative staged layout (e.g. OData delta-response pages);
         # None = the change-event envelope (sources/changelog.py)
         self.stream_schema = stream_schema
@@ -787,6 +828,7 @@ class CdcPipeline:
             f"{self.pipeline_id}-epoch-{epoch_id}",
             f"lineage-{epoch_id}",
             self.auto_compact_delta_files,
+            self.auto_expire,
         )
         self._record_lineage(
             {
@@ -807,6 +849,7 @@ class CdcPipeline:
         batch_id: str,
         obs_name: str,
         auto_compact_delta_files: "int | None",
+        auto_expire: "tuple | None" = None,
     ) -> dict:
         """Shared epoch tail: observe the lineage metrics, fold + MERGE
         one batch into one table (exactly-once on ``batch_id``), and
@@ -847,6 +890,19 @@ class CdcPipeline:
                     purge_tombstones=False, buckets=over
                 )
                 compact_sec = round(time.monotonic() - t_c, 4)
+        expired_files = None
+        expire_sec = None
+        if applied and auto_expire is not None:
+            keep, slack, grace = auto_expire
+            # restart-proof trigger: the on-disk manifest count IS the
+            # cadence state (one manifest per applied epoch since the
+            # last expiry), so a resumed pipeline needs no counter
+            if table.retained_manifest_count() > keep + slack:
+                t_e = time.monotonic()
+                expired_files = table.expire_snapshots(
+                    keep_last=keep, grace_seconds=grace
+                )
+                expire_sec = round(time.monotonic() - t_e, 4)
         metrics = obs.get if applied else {}
         n = int(metrics.get("n_events") or 0)
         # per-partition (bucket) high-water offsets, computed inside the
@@ -867,6 +923,8 @@ class CdcPipeline:
             "merge_phases": getattr(table, "last_merge_metrics", None),
             "compacted_buckets": compacted,
             "compact_sec": compact_sec,
+            "expired_files": expired_files,
+            "expire_sec": expire_sec,
             "events_per_sec": round(n / elapsed, 1)
             if elapsed > 0 and n
             else None,
