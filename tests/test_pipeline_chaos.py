@@ -172,6 +172,77 @@ def test_random_crash_schedule_converges_to_oracle(spark, tmpdir_path, seed):
     assert chaos.injected >= 1 or attempts == 1
 
 
+@pytest.mark.parametrize("seed", [5, 29])
+def test_random_crash_schedule_with_auto_expiry(spark, tmpdir_path, seed):
+    """Crashes composed with IN-STREAM snapshot expiry (auto_expire_keep):
+    a 'post' crash can die between the merge commit and the epoch tail's
+    expiry, a 'pre' crash leaves orphans that a later epoch's grace=0
+    expiry deletes mid-stream — the resumed pipeline must still converge
+    to the oracle fold with metadata growth bounded throughout."""
+    rng = random.Random(seed)
+    events = gen_change_events(
+        spark,
+        n_events=2400,
+        n_keys=200,
+        events_per_token=300,  # 8 tokens → 8 epochs at one file/trigger
+        skew=3.0,
+        rocancel_rate=0.05,
+        dup_rate=0.05,
+    ).cache()
+    expected = fold_to_frame(events.toPandas())
+    log_dir = f"{tmpdir_path}/log"
+    write_change_log(events, log_dir, files_per_token=1)
+    table = LakeTable.create(
+        spark,
+        f"{tmpdir_path}/repos",
+        TARGET_SCHEMA,
+        key_columns=["repo", "path"],
+        num_buckets=rng.choice([4, 8]),
+        merge_mode=rng.choice(["cow", "mor"]),
+    )
+    pipe_kwargs = dict(
+        checkpoint_dir=f"{tmpdir_path}/ckpt",
+        max_files_per_trigger=1,
+        pipeline_id=f"chaos-exp-{seed}",
+        auto_expire_keep=2,
+        auto_expire_slack=1,
+        auto_expire_grace_seconds=0.0,
+    )
+    if table.merge_mode == "mor":
+        pipe_kwargs["auto_compact_delta_files"] = 4
+
+    real_commit = LakeTable._commit
+    chaos = _CommitChaos(rng, real_commit)
+    LakeTable._commit = lambda self, manifest, **kw: chaos(self, manifest, **kw)
+    attempts = 0
+    try:
+        while True:
+            attempts += 1
+            assert attempts <= MAX_ATTEMPTS, "chaos run did not converge"
+            pipe = CdcPipeline(
+                spark, CFG, LakeTable(spark, table.path), log_dir, **pipe_kwargs
+            )
+            try:
+                pipe.run_available_now(timeout_sec=600)
+                break
+            except Exception as exc:  # noqa: BLE001 — must be OUR crash
+                assert "chaos:" in str(exc), f"non-injected failure: {exc!r}"
+            survivor = LakeTable(spark, table.path)
+            survivor.read().count()
+    finally:
+        LakeTable._commit = real_commit
+
+    final = LakeTable(spark, table.path)
+    got = final.read().orderBy("repo", "path").toPandas().reset_index(drop=True)
+    assert got.equals(expected), (
+        f"seed={seed} mode={final.merge_mode} diverged after "
+        f"{chaos.injected} injected crashes / {attempts} attempts"
+    )
+    # metadata growth stayed bounded through crashes + resumes (+1: the
+    # count may sit one past keep+slack right after the last commit)
+    assert final.retained_manifest_count() <= 2 + 1 + 1
+
+
 @pytest.mark.parametrize("seed", [7, 19])
 def test_multi_writer_chaos_converges_to_union_oracle(spark, tmpdir_path, seed):
     """TWO concurrent streaming pipelines into one MOR table, with random

@@ -46,6 +46,11 @@ def main() -> int:
     ap.add_argument("--epochs", type=int, default=24)
     ap.add_argument("--cores", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--auto-expire-keep", type=int, default=None,
+                    help="run with in-stream snapshot expiry (grace=0: "
+                         "the bench owns its table exclusively) and report "
+                         "retained-manifest / expired-file evidence")
+    ap.add_argument("--auto-expire-slack", type=int, default=8)
     ap.add_argument("--keep-workdir", action="store_true")
     args = ap.parse_args()
 
@@ -102,6 +107,9 @@ def main() -> int:
             # documented read-amplification knee); COW rewrites buckets
             # in place, so there is nothing to compact
             auto_compact_delta_files=8 if merge_mode == "mor" else None,
+            auto_expire_keep=args.auto_expire_keep,
+            auto_expire_slack=args.auto_expire_slack,
+            auto_expire_grace_seconds=0.0,
         )
         t0 = time.monotonic()
         pipe.run_available_now(timeout_sec=4 * 3600)
@@ -151,6 +159,21 @@ def main() -> int:
             "final_rows": final_rows,
             "num_buckets": num_buckets,
             "epoch_walls": [round(w, 3) for w in walls],
+            # metadata-growth evidence (the axis auto-expiry bounds):
+            # manifests left on disk and how much expiry reclaimed
+            "retained_manifests": LakeTable(
+                spark, table.path
+            ).retained_manifest_count(),
+            "auto_expire_keep": args.auto_expire_keep,
+            "expire_events": [
+                {
+                    "epoch": e["epoch_id"],
+                    "expired_files": e["expired_files"],
+                    "expire_sec": e["expire_sec"],
+                }
+                for e in epochs
+                if e.get("expired_files") is not None
+            ],
         }
         print(json.dumps(summary))
         return 0
